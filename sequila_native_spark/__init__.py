@@ -1,0 +1,44 @@
+"""sequila_native_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of biodatageeks/sequila-native.
+
+The reference (studied read-only at /root/reference) is a Rust extension on
+Apache DataFusion whose core contribution is a genomic **interval overlap
+join** (``sequila/sequila-core/src/physical_planner/joins/interval_join.rs``)
+plus nearest-join / count-overlaps variants and session config knobs
+(``sequila/sequila-core/src/session_context.rs:50-60``).
+
+This package re-expresses that surface Spark-first:
+
+- :func:`overlap_join` — inner join on N equi-keys + closed-interval overlap,
+  with three interchangeable algorithms (``naive`` / ``binning`` / ``index``)
+  mirroring the reference's pluggable-algorithm design
+  (``interval_join.rs:720-736``).
+- :func:`nearest_join` — bedtools-closest / IRanges ``nearest`` semantics
+  (``interval_join.rs:909-990``).
+- :func:`count_overlaps` — the *intent* of the reference's experimental
+  ``CoitreesCountOverlaps`` algorithm, implemented correctly.
+- LLM-data-pipeline operators (dedup, similarity search, text analysis,
+  multimodal column plumbing) designed for 100 TB scale.
+
+Everything declarative goes through the DataFrame API so Catalyst handles
+pushdown, pruning, join selection and AQE; Python touches data only inside
+Arrow-batched pandas UDFs on the genuinely non-relational paths.
+"""
+
+from sequila_native_spark.session import (
+    SequilaConf,
+    sequila_session,
+)
+from sequila_native_spark.operators.interval_join import overlap_join
+from sequila_native_spark.operators.nearest_join import nearest_join
+from sequila_native_spark.operators.count_overlaps import count_overlaps
+
+__all__ = [
+    "SequilaConf",
+    "sequila_session",
+    "overlap_join",
+    "nearest_join",
+    "count_overlaps",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,185 @@
+"""Count-overlaps — the corrected intent of ``CoitreesCountOverlaps``.
+
+The reference declares a count-overlaps algorithm but its implementation is
+incomplete/experimental: the streaming probe keeps only ``temp_matches[0]``
+(``interval_join.rs:1268-1279``) while the full path appends all matches
+against an RLE count of 1 (``:1593-1607``), desynchronizing the output index
+arrays, and it has zero test coverage (SURVEY.md A6). We implement the
+*intent* correctly: for each probe (right) row, the number of build (left)
+intervals overlapping it within its equi-key group — 0 when none (matching
+the declared one-row-per-probe-row contract).
+
+Algorithms:
+
+``binning`` (default, scale path) — binned inner overlap join (each pair
+    emitted exactly once) → ``groupBy(probe id).count()`` → left join back to
+    the probe so zero-match rows survive. All Catalyst; shuffles on
+    ``(keys…, bin)`` then on the probe id.
+
+``index`` — broadcast per-key sorted arrays; ``mapInPandas`` probe computes
+    exact counts with two binary searches + a vectorized mask (the
+    superintervals ``count`` recipe, ``superintervals/src/
+    superintervals.rs:353-446``). Zero shuffle; probe rows stream through
+    unchanged with a count column appended.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from sequila_native_spark.operators.interval_join import (
+    _LE,
+    _LS,
+    _RE,
+    _RS,
+    _bin_of,
+    _with_bounds,
+)
+from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
+from sequila_native_spark.session import SequilaConf, parse_algorithm
+
+_PID = "__sq_probe_id"
+
+
+def count_overlaps(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None = None,
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    strict: bool = False,
+    algorithm: str | None = None,
+    bin_width: int | None = None,
+    count_col: str = "count",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Return ``right`` with ``count_col`` = number of overlapping ``left``
+    intervals in the same equi-key group (0 when none)."""
+    spark = left.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    width = bin_width if bin_width is not None else conf.bin_width
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+
+    sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
+    if count_col in right.columns:
+        raise ValueError(f"count column {count_col!r} already exists on right side")
+    # Only the left's key/bound columns are needed — prune before any join.
+    left = left.select(*dict.fromkeys([*sides.on, left_start, left_end]))
+    right_out_cols = list(right.columns)
+    right_orig = right
+
+    lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
+
+    if algo in ("naive", "binning"):
+        right = right.withColumn(_PID, F.monotonically_increasing_id())
+        rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
+        if algo == "naive":
+            cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
+            for k in sides.on:
+                cond = (lb[k] == rb[k]) & cond
+            pairs = rb.join(lb, cond, "inner")
+        else:
+            l_binned = lb.withColumn(
+                "__sq_lbin",
+                F.explode(
+                    F.sequence(
+                        _bin_of(F.col(_LS), width),
+                        F.greatest(_bin_of(F.col(_LS), width), _bin_of(F.col(_LE), width)),
+                    )
+                ),
+            )
+            r_binned = rb.withColumn(
+                "__sq_rbin",
+                F.explode(
+                    F.sequence(
+                        _bin_of(F.col(_RS), width),
+                        F.greatest(_bin_of(F.col(_RS), width), _bin_of(F.col(_RE), width)),
+                    )
+                ),
+            )
+            cond = l_binned["__sq_lbin"] == r_binned["__sq_rbin"]
+            for k in sides.on:
+                cond = (l_binned[k] == r_binned[k]) & cond
+            exact = overlap_predicate(
+                l_binned[_LS], l_binned[_LE], r_binned[_RS], r_binned[_RE]
+            )
+            first_bin = l_binned["__sq_lbin"] == F.greatest(
+                _bin_of(l_binned[_LS], width), _bin_of(r_binned[_RS], width)
+            )
+            pairs = r_binned.join(l_binned, cond & exact & first_bin, "inner")
+        counts = pairs.groupBy(_PID).agg(F.count(F.lit(1)).alias(count_col))
+        return (
+            right.join(counts, _PID, "left_outer")
+            .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+            .select(*right_out_cols, count_col)
+        )
+
+    # index algorithm: broadcast build arrays, streaming probe, zero shuffle
+    rb = _with_bounds(right_orig, right_start, right_end, _RS, _RE, strict, check)
+    left_pdf = lb.toPandas()
+    valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
+    for k in sides.on:
+        valid &= left_pdf[k].notna()
+    build = left_pdf[valid]
+    index: dict[tuple, tuple] = {}
+    if len(build):
+        group_iter = build.groupby(list(sides.on), sort=False) if sides.on else [((), build)]
+        for key, grp in group_iter:
+            if sides.on and not isinstance(key, tuple):
+                key = (key,)
+            starts = grp[_LS].to_numpy(np.int64)
+            ends = grp[_LE].to_numpy(np.int64)
+            order = np.argsort(starts, kind="stable")
+            starts, ends = starts[order], ends[order]
+            index[key] = (starts, ends, np.maximum.accumulate(ends))
+
+    bc = lb.sparkSession.sparkContext.broadcast(index)
+    out_schema = StructType(
+        list(right_orig.schema.fields) + [StructField(count_col, LongType(), False)]
+    )
+    keys = list(sides.on)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_map = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts_arr = np.zeros(len(pdf), dtype=np.int64)
+            qs_all = pdf[_RS].to_numpy(np.int64, na_value=0)
+            qe_all = pdf[_RE].to_numpy(np.int64, na_value=0)
+            has_null = (pdf[_RS].isna() | pdf[_RE].isna()).to_numpy()
+            groups = pdf.groupby(keys, sort=False) if keys else [((), pdf)]
+            for key, grp in groups:
+                if keys and not isinstance(key, tuple):
+                    key = (key,)
+                entry = idx_map.get(key)
+                if entry is None:
+                    continue
+                starts, ends, runmax = entry
+                for p in pdf.index.get_indexer(grp.index):
+                    if has_null[p]:
+                        continue
+                    qs, qe = qs_all[p], qe_all[p]
+                    hi = np.searchsorted(starts, qe, side="right")
+                    if hi == 0:
+                        continue
+                    lo = np.searchsorted(runmax[:hi], qs, side="left")
+                    if lo >= hi:
+                        continue
+                    counts_arr[p] = int(np.count_nonzero(ends[lo:hi] >= qs))
+            out = pdf[right_out_cols].reset_index(drop=True)
+            out[count_col] = counts_arr
+            yield out
+
+    return rb.mapInPandas(probe, schema=out_schema).select(*right_out_cols, count_col)

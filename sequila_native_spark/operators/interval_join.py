@@ -1,0 +1,341 @@
+"""Interval overlap join — the reference's core operator, Spark-first.
+
+Reference: ``IntervalJoinExec``
+(``sequila/sequila-core/src/physical_planner/joins/interval_join.rs:71-172``
+exec, ``:596-689`` build, ``:1421-1641`` probe) — inner join on N equi-keys
+plus closed-interval overlap ``ls <= re AND le >= rs``, with 7 pluggable
+build-side index algorithms (``:720-736``) that all produce identical output.
+The no-equi-key variant (rewritten from NestedLoopJoin with a ``lit(1)`` key,
+``sequila_physical_planner.rs:66-89,136``) is the same operator with zero
+keys.
+
+Spark re-expression — three interchangeable algorithms behind
+``spark.sequila.intervalJoinAlgorithm`` (mirroring the reference's
+cross-algorithm validation strategy):
+
+``naive``
+    The plain predicate join: ``left.join(right, equi & overlap)``. Catalyst
+    plans SMJ/BHJ on the equi-keys with the range conjuncts as a post-filter
+    (or BNLJ when keyless) — exactly the plan the reference documents as
+    catastrophic at genomic scale (``sandbox/datafusion_baseline.md:101-107``:
+    DNF >40 min, ~70 GB). Kept as the correctness oracle
+    (= ``prefer_interval_join=false``, ``sequila_physical_planner.rs:36-39``).
+
+``binning`` (default — the 100 TB scale path)
+    Pure-DataFrame range join: explode each interval into fixed-width
+    coordinate bins, equi-join on ``(keys…, bin)``, exact overlap filter,
+    and emit each pair exactly once by keeping only the first common bin
+    (``bin == greatest(bin(ls), bin(rs))`` — no dedup shuffle). Entirely
+    Catalyst-executed (shuffled hash / SMJ + AQE skew handling), so it
+    partitions, spills, and scales like any Spark equi-join. This replaces
+    the reference's *Partitioned* mode (``interval_join.rs:391-398``): the
+    shuffle on (key, bin) IS the partitioned index.
+
+``index``
+    CollectLeft analogue (``interval_join.rs:472-487``, shared build via
+    ``OnceAsync`` ``joins/utils.rs:73-107``): collect + broadcast the build
+    (left) side as per-key sorted numpy arrays — the superintervals recipe
+    (sorted starts, ends, running-max of ends; ``superintervals/src/
+    superintervals.rs:161-307``) — and stream probe batches through
+    ``mapInPandas``. Probe cost per row is two binary searches plus an
+    output-sensitive scan. Use when the build side fits in executor memory;
+    parallelism = probe-side partitions, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sequila_native_spark.operators.intervals import (
+    IntervalSides,
+    checked_i32,
+    normalize_strict,
+    overlap_predicate,
+    validate_sides,
+)
+from sequila_native_spark.session import SequilaConf, parse_algorithm
+
+# Internal temp columns (dropped before returning).
+_LS, _LE = "__sq_ls", "__sq_le"
+_RS, _RE = "__sq_rs", "__sq_re"
+_LBIN, _RBIN = "__sq_lbin", "__sq_rbin"
+
+
+def _disambiguate(
+    left: DataFrame, right: DataFrame, rsuffix: str
+) -> tuple[DataFrame, dict[str, str]]:
+    """Suffix right-side columns that collide with left-side names.
+
+    DataFusion emits duplicate column names in the joined schema
+    (``integration_test.rs:50-55`` goldens show two ``contig`` columns);
+    Spark allows that too but it makes the result unusable downstream, so we
+    rename like pandas' ``join(rsuffix=...)``.
+    """
+    lcols = set(left.columns)
+    mapping: dict[str, str] = {}
+    for c in right.columns:
+        if c in lcols:
+            if not rsuffix:
+                raise ValueError(
+                    f"column {c!r} exists on both sides; pass rsuffix= to rename"
+                )
+            mapping[c] = f"{c}{rsuffix}"
+    for old, new in mapping.items():
+        right = right.withColumnRenamed(old, new)
+    return right, mapping
+
+
+def _with_bounds(
+    df: DataFrame,
+    start: str,
+    end: str,
+    s_tmp: str,
+    e_tmp: str,
+    strict: bool,
+    check_bounds: bool,
+) -> DataFrame:
+    """Attach normalized int32 bound columns (originals untouched).
+
+    The reference casts bounds to Int32 inside the exec via an injected
+    ``CastExpr`` (``interval_join.rs:1661-1672``); output columns keep their
+    declared types. We mirror that with temp columns.
+    """
+    s_col: Column = F.col(start)
+    e_col: Column = F.col(end)
+    if check_bounds:
+        s_col = checked_i32(s_col, s_tmp)
+        e_col = checked_i32(e_col, e_tmp)
+    else:
+        s_col = s_col.cast("int")
+        e_col = e_col.cast("int")
+    s_col, e_col = normalize_strict(s_col, e_col, strict)
+    return df.withColumn(s_tmp, s_col).withColumn(e_tmp, e_col)
+
+
+def _bin_of(col: Column, width: int) -> Column:
+    # floor division exact for |coord| < 2^31 (double mantissa is 53 bits)
+    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None = None,
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    how: str = "inner",
+    strict: bool = False,
+    algorithm: str | None = None,
+    bin_width: int | None = None,
+    rsuffix: str = "_r",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Join ``left`` and ``right`` on equi-keys + closed-interval overlap.
+
+    Semantics: inner join where ``left[k] = right[k]`` for every ``k`` in
+    ``on`` (may be empty/None for the pure range join, reference A2) and the
+    closed intervals ``[left_start, left_end]`` / ``[right_start, right_end]``
+    overlap: ``ls <= re AND le >= rs``. ``strict=True`` uses ``<``/``>``
+    (normalized to inclusive via ``bound - 1``, ``intervals.rs:67-69``).
+
+    Only inner join is supported — every reference test/query uses
+    ``JoinType::Inner`` and the probe loop never emits unmatched build rows
+    (SURVEY.md §2A, ``interval_join.rs:1774``).
+
+    The right side retains its column names except collisions with the left,
+    which get ``rsuffix`` appended.
+    """
+    if how != "inner":
+        raise ValueError(
+            "overlap_join supports how='inner' only (the reference's probe "
+            "loop emits matched rows only; interval_join.rs:1586-1641)"
+        )
+    spark = left.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    width = bin_width if bin_width is not None else conf.bin_width
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+
+    sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
+    right, renames = _disambiguate(left, right, rsuffix)
+    r_start = renames.get(right_start, right_start)
+    r_end = renames.get(right_end, right_end)
+    r_keys = [renames.get(k, k) for k in sides.on]
+
+    out_cols = [*left.columns, *right.columns]
+
+    lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
+    rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
+
+    if algo == "naive":
+        cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
+        for k, rk in zip(sides.on, r_keys):
+            cond = (lb[k] == rb[rk]) & cond
+        return lb.join(rb, cond, "inner").select(*out_cols)
+
+    if algo == "binning":
+        return _binning_join(lb, rb, sides.on, r_keys, width, out_cols)
+
+    if algo == "index":
+        return _broadcast_index_join(lb, rb, sides.on, r_keys, out_cols)
+
+    raise AssertionError(f"unreachable algorithm {algo}")
+
+
+def _binning_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    l_keys: tuple[str, ...] | list[str],
+    r_keys: list[str],
+    width: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Pure-DataFrame binned range join (SURVEY.md §7 step 3).
+
+    Each interval explodes into the coordinate bins it touches; a pair of
+    overlapping intervals shares every bin of the overlap region, whose first
+    bin is ``greatest(bin(ls), bin(rs))`` — keeping only that bin emits each
+    pair exactly once with no distinct/dedup shuffle (SURVEY.md §7 risk (c)).
+
+    ``sequence(bin(start), greatest(bin(start), bin(end)))`` guards against
+    inverted intervals (start > end) generating descending sequences; such
+    intervals occupy their start bin only and still match via the exact
+    filter in the common one-sided case.
+    """
+    l_bins = F.sequence(
+        _bin_of(F.col(_LS), width),
+        F.greatest(_bin_of(F.col(_LS), width), _bin_of(F.col(_LE), width)),
+    )
+    r_bins = F.sequence(
+        _bin_of(F.col(_RS), width),
+        F.greatest(_bin_of(F.col(_RS), width), _bin_of(F.col(_RE), width)),
+    )
+    le = lb.withColumn(_LBIN, F.explode(l_bins))
+    re_ = rb.withColumn(_RBIN, F.explode(r_bins))
+
+    cond = le[_LBIN] == re_[_RBIN]
+    for k, rk in zip(l_keys, r_keys):
+        cond = (le[k] == re_[rk]) & cond
+
+    joined = le.join(re_, cond, "inner")
+    exact = overlap_predicate(le[_LS], le[_LE], re_[_RS], re_[_RE])
+    first_common_bin = le[_LBIN] == F.greatest(
+        _bin_of(le[_LS], width), _bin_of(re_[_RS], width)
+    )
+    return joined.where(exact & first_common_bin).select(*out_cols)
+
+
+def _broadcast_index_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    l_keys: tuple[str, ...] | list[str],
+    r_keys: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """CollectLeft-style broadcast index + mapInPandas probe.
+
+    Build: collect the left side once, group by equi-key tuple, sort each
+    group by start and keep ``(starts, ends, running_max(ends), order)`` —
+    the superintervals layout (``superintervals.rs:161-307``): for a query
+    ``[qs, qe]`` candidates lie in ``starts[lo:hi)`` with
+    ``hi = searchsorted(starts, qe, 'right')`` and
+    ``lo = searchsorted(running_max_ends[:hi], qs, 'left')`` (running max is
+    non-decreasing ⇒ binary-searchable), then an exact ``ends >= qs`` mask.
+
+    Probe: Arrow-batched ``mapInPandas`` over the right side — no shuffle;
+    every probe partition shares the one broadcast build, the analogue of the
+    reference's ``OnceAsync`` shared build (``joins/utils.rs:73-107``).
+    """
+    spark = lb.sparkSession
+    left_cols = [c for c in out_cols if c in lb.columns]
+    right_cols = [c for c in out_cols if c not in lb.columns]
+
+    left_pdf = lb.toPandas()
+    index: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
+    for k in l_keys:
+        valid &= left_pdf[k].notna()
+    build = left_pdf[valid]
+    if len(build):
+        group_iter = (
+            build.groupby(list(l_keys), sort=False) if l_keys else [((), build)]
+        )
+        for key, grp in group_iter:
+            if l_keys and not isinstance(key, tuple):
+                key = (key,)
+            starts = grp[_LS].to_numpy(np.int64)
+            ends = grp[_LE].to_numpy(np.int64)
+            order = np.argsort(starts, kind="stable")
+            starts = starts[order]
+            ends = ends[order]
+            row_idx = grp.index.to_numpy()[order]
+            index[key] = (starts, ends, np.maximum.accumulate(ends), row_idx)
+
+    left_out = left_pdf[left_cols]
+    bc = spark.sparkContext.broadcast((index, left_out))
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(lb.select(*left_cols).schema.fields)
+        + list(rb.select(*right_cols).schema.fields)
+    )
+
+    rk_list = list(r_keys)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_map, build_pdf = bc.value
+        for pdf in batches:
+            if pdf.empty or not idx_map:
+                continue
+            ok = pdf[_RS].notna() & pdf[_RE].notna()
+            for k in rk_list:
+                ok &= pdf[k].notna()
+            pdf = pdf[ok]
+            if pdf.empty:
+                continue
+            qs_all = pdf[_RS].to_numpy(np.int64)
+            qe_all = pdf[_RE].to_numpy(np.int64)
+            build_take: list[np.ndarray] = []
+            probe_take: list[np.ndarray] = []
+            groups = (
+                pdf.groupby(rk_list, sort=False) if rk_list else [((), pdf)]
+            )
+            for key, grp in groups:
+                if rk_list and not isinstance(key, tuple):
+                    key = (key,)
+                entry = idx_map.get(key)
+                if entry is None:
+                    continue
+                starts, ends, runmax, row_idx = entry
+                pos = pdf.index.get_indexer(grp.index)
+                for p in pos:
+                    qs, qe = qs_all[p], qe_all[p]
+                    hi = np.searchsorted(starts, qe, side="right")
+                    if hi == 0:
+                        continue
+                    lo = np.searchsorted(runmax[:hi], qs, side="left")
+                    if lo >= hi:
+                        continue
+                    hit = row_idx[lo:hi][ends[lo:hi] >= qs]
+                    if hit.size:
+                        build_take.append(hit)
+                        probe_take.append(np.full(hit.size, p, dtype=np.int64))
+            if not build_take:
+                continue
+            b_idx = np.concatenate(build_take)
+            p_idx = np.concatenate(probe_take)
+            l_part = build_pdf.loc[b_idx].reset_index(drop=True)
+            r_part = pdf[right_cols].iloc[p_idx].reset_index(drop=True)
+            yield pd.concat([l_part, r_part], axis=1)
+
+    return rb.mapInPandas(probe, schema=out_schema).select(*out_cols)

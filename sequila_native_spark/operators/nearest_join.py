@@ -1,0 +1,214 @@
+"""Nearest-interval join — bedtools-closest / IRanges ``nearest`` semantics.
+
+Reference: the ``CoitreesNearest`` algorithm
+(``interval_join.rs:726-734,794-815,909-990``; golden test
+``integration_test.rs:352-399``): for each probe (right) row emit exactly one
+output row —
+
+- an overlapping build interval if any overlap exists (IRanges overlap-first
+  rule, ``interval_join.rs:976``),
+- else the nearest build interval by genomic distance
+  (``distance = r2.first - end`` if the build interval starts after the probe
+  ends, ``start - r2.last`` if it ends before the probe starts,
+  ``interval_join.rs:938-946``),
+- **null left columns** when the probe's equi-key group has no build rows
+  (golden ``integration_test.rs:385-394``).
+
+Two deliberate fixes over the reference (documented divergences):
+
+1. The reference picks an *arbitrary* overlapping interval and, for the
+   no-overlap case, inspects only the two intervals adjacent to a binary
+   search on start (``interval_join.rs:926-951``) — which can return a
+   non-nearest interval when a long interval starts early but ends close to
+   the probe. We compute the *true* minimum distance.
+2. Ties are broken deterministically by ``(distance, start, end)`` so results
+   are reproducible and oracle-comparable. Both fixes agree with the
+   reference's golden output.
+
+Algorithms: ``naive`` = left-outer join on equi-keys + window ``row_number``
+(Catalyst-only; the correctness oracle); ``index`` (default) = broadcast
+per-key sorted arrays + ``mapInPandas`` probe (zero shuffle, O(log n)/row).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from sequila_native_spark.operators.interval_join import (
+    _LE,
+    _LS,
+    _RE,
+    _RS,
+    _disambiguate,
+    _with_bounds,
+)
+from sequila_native_spark.operators.intervals import validate_sides
+from sequila_native_spark.session import SequilaConf, parse_algorithm
+
+_PID = "__sq_probe_id"
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None = None,
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    strict: bool = False,
+    algorithm: str | None = None,
+    rsuffix: str = "_r",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """For each right (probe) row return exactly one row: the overlapping or
+    nearest left (build) interval within the same equi-key group, or nulls.
+
+    Output columns: left columns (possibly null) then right columns, like the
+    reference golden (``integration_test.rs:385-394``).
+    """
+    spark = left.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    if algo == "binning":
+        algo = "index"  # binning has no nearest analogue; index is the scale path
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+
+    sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
+    right, renames = _disambiguate(left, right, rsuffix)
+    r_start = renames.get(right_start, right_start)
+    r_end = renames.get(right_end, right_end)
+    r_keys = [renames.get(k, k) for k in sides.on]
+    out_cols = [*left.columns, *right.columns]
+
+    lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
+    rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
+
+    if algo == "naive":
+        return _naive_nearest(lb, rb, sides.on, r_keys, out_cols)
+    return _index_nearest(lb, rb, sides.on, r_keys, out_cols)
+
+
+def _distance_col(ls, le, rs, re):
+    """Genomic gap distance on normalized closed intervals
+    (``interval_join.rs:938-946``); 0 when overlapping."""
+    return (
+        F.when(ls > re, ls - re)
+        .when(le < rs, rs - le)
+        .otherwise(F.lit(0))
+    )
+
+
+def _naive_nearest(lb, rb, l_keys, r_keys, out_cols):
+    probe = rb.withColumn(_PID, F.monotonically_increasing_id())
+    cond = F.lit(True)
+    for k, rk in zip(l_keys, r_keys):
+        cond = cond & (lb[k] == probe[rk])
+    joined = probe.join(lb, cond, "left_outer")
+    dist = _distance_col(lb[_LS], lb[_LE], probe[_RS], probe[_RE])
+    w = Window.partitionBy(_PID).orderBy(
+        dist.asc_nulls_last(), lb[_LS].asc_nulls_last(), lb[_LE].asc_nulls_last()
+    )
+    return (
+        joined.withColumn("__sq_rn", F.row_number().over(w))
+        .where(F.col("__sq_rn") == 1)
+        .select(*out_cols)
+    )
+
+
+def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
+    spark = lb.sparkSession
+    left_cols = [c for c in out_cols if c in lb.columns]
+    right_cols = [c for c in out_cols if c not in lb.columns]
+
+    left_pdf = lb.toPandas()
+    valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
+    for k in l_keys:
+        valid &= left_pdf[k].notna()
+    build = left_pdf[valid]
+    index: dict[tuple, tuple] = {}
+    if len(build):
+        group_iter = build.groupby(list(l_keys), sort=False) if l_keys else [((), build)]
+        for key, grp in group_iter:
+            if l_keys and not isinstance(key, tuple):
+                key = (key,)
+            starts = grp[_LS].to_numpy(np.int64)
+            ends = grp[_LE].to_numpy(np.int64)
+            order = np.lexsort((ends, starts))  # (start, end) lexicographic
+            starts, ends = starts[order], ends[order]
+            row_idx = grp.index.to_numpy()[order]
+            index[key] = (starts, ends, np.maximum.accumulate(ends), row_idx)
+
+    left_out = left_pdf[left_cols]
+    bc = spark.sparkContext.broadcast((index, left_out))
+    out_schema = StructType(
+        list(lb.select(*left_cols).schema.fields)
+        + list(rb.select(*right_cols).schema.fields)
+    )
+    rk_list = list(r_keys)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_map, build_pdf = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qs_all = pdf[_RS].to_numpy(np.int64, na_value=0)
+            qe_all = pdf[_RE].to_numpy(np.int64, na_value=0)
+            has_null = (pdf[_RS].isna() | pdf[_RE].isna()).to_numpy()
+            build_take = np.full(len(pdf), -1, dtype=np.int64)  # -1 ⇒ null left
+            groups = pdf.groupby(rk_list, sort=False, dropna=False) if rk_list else [((), pdf)]
+            for key, grp in groups:
+                if rk_list and not isinstance(key, tuple):
+                    key = (key,)
+                if any(k is None or (isinstance(k, float) and np.isnan(k)) for k in key):
+                    continue
+                entry = idx_map.get(key)
+                if entry is None:
+                    continue
+                starts, ends, runmax, row_idx = entry
+                n = len(starts)
+                for p in pdf.index.get_indexer(grp.index):
+                    if has_null[p]:
+                        continue
+                    qs, qe = qs_all[p], qe_all[p]
+                    hi = int(np.searchsorted(starts, qe, side="right"))
+                    if hi > 0:
+                        lo = int(np.searchsorted(runmax[:hi], qs, side="left"))
+                        if lo < hi:
+                            seg = np.nonzero(ends[lo:hi] >= qs)[0]
+                            if seg.size:
+                                # overlap: min (start,end) in lex order = first hit
+                                build_take[p] = row_idx[lo + seg[0]]
+                                continue
+                    # no overlap — true nearest on both flanks
+                    best = None  # (dist, start, end, row)
+                    if hi > 0:
+                        max_end = runmax[hi - 1]
+                        cand = np.nonzero(ends[:hi] == max_end)[0][0]
+                        best = (qs - max_end, starts[cand], ends[cand], row_idx[cand])
+                    if hi < n:
+                        d = starts[hi] - qe
+                        c = (d, starts[hi], ends[hi], row_idx[hi])
+                        if best is None or (c[0], c[1], c[2]) < (best[0], best[1], best[2]):
+                            best = c
+                    if best is not None:
+                        build_take[p] = best[3]
+            # -1 is not a label in build_pdf's RangeIndex ⇒ reindex yields an
+            # all-null row: the reference's null-left padding for probe rows
+            # whose key group has no build rows (integration_test.rs:385-394).
+            l_part = build_pdf.reindex(build_take).reset_index(drop=True)
+            for c in l_part.columns:
+                if l_part[c].dtype == object:
+                    l_part[c] = l_part[c].where(pd.notna(l_part[c]), None)
+            r_part = pdf[right_cols].reset_index(drop=True)
+            yield pd.concat([l_part, r_part], axis=1)
+
+    return rb.mapInPandas(probe, schema=out_schema).select(*out_cols)

@@ -1,0 +1,129 @@
+"""Session helpers + config surface.
+
+Mirrors the reference's session extension
+(``src/session_context.rs:16-60``): ``SessionContext::new_with_sequila``
+installs a config extension with three knobs under the ``sequila.`` prefix —
+
+- ``sequila.prefer_interval_join`` (default ``true``)
+- ``sequila.interval_join_algorithm`` (default ``Coitrees``)
+- ``sequila.interval_join_low_memory`` (default ``false``)
+
+Our Spark equivalents live under ``spark.sequila.*`` and are plain
+``spark.conf`` entries read lazily by the operator functions — nothing needs
+to be set at session-build time, so :func:`sequila_session` works on an
+existing ``SparkSession`` too (the reference's embedded-library entry point,
+``integration_test.rs:14-22``).
+
+Algorithm-name parsing is case-insensitive like the reference's
+(``session_context.rs:85-104``); the reference's seven index flavors all
+produce identical join output (its tests assert this), so they all map onto
+our ``index`` implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+PREFER_INTERVAL_JOIN = "spark.sequila.preferIntervalJoin"
+INTERVAL_JOIN_ALGORITHM = "spark.sequila.intervalJoinAlgorithm"
+INTERVAL_JOIN_BIN_WIDTH = "spark.sequila.intervalJoinBinWidth"
+INTERVAL_JOIN_LOW_MEMORY = "spark.sequila.intervalJoinLowMemory"
+CHECK_INT32_BOUNDS = "spark.sequila.checkInt32Bounds"
+
+DEFAULT_ALGORITHM = "binning"
+DEFAULT_BIN_WIDTH = 5000
+
+# Reference algorithm enum (session_context.rs:62-72) → our implementations.
+# All reference index flavors are output-equivalent; they differ only in the
+# native index data structure, which in Spark collapses to one numpy index.
+_ALGORITHM_ALIASES = {
+    "naive": "naive",
+    "none": "naive",
+    "binning": "binning",
+    "index": "index",
+    "coitrees": "index",
+    "intervaltree": "index",
+    "arrayintervaltree": "index",
+    "lapper": "index",
+    "superintervals": "index",
+}
+
+
+def parse_algorithm(name: str) -> str:
+    """Case-insensitive algorithm parse (session_context.rs:85-104)."""
+    key = name.strip().lower()
+    if key not in _ALGORITHM_ALIASES:
+        raise ValueError(
+            f"Unknown interval join algorithm {name!r}; expected one of "
+            f"{sorted(set(_ALGORITHM_ALIASES))}"
+        )
+    return _ALGORITHM_ALIASES[key]
+
+
+@dataclass
+class SequilaConf:
+    """Resolved sequila configuration for one operator invocation."""
+
+    prefer_interval_join: bool = True
+    algorithm: str = DEFAULT_ALGORITHM
+    bin_width: int = DEFAULT_BIN_WIDTH
+    low_memory: bool = False
+    check_int32_bounds: bool = True
+
+    @classmethod
+    def from_spark(cls, spark: SparkSession) -> "SequilaConf":
+        def _get(key: str, default: str) -> str:
+            return spark.conf.get(key, default)
+
+        prefer = _get(PREFER_INTERVAL_JOIN, "true").lower() == "true"
+        algorithm = parse_algorithm(_get(INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM))
+        if not prefer:
+            # sequila.prefer_interval_join=false ⇒ vanilla join plan
+            # (sequila_physical_planner.rs:36-39).
+            algorithm = "naive"
+        return cls(
+            prefer_interval_join=prefer,
+            algorithm=algorithm,
+            bin_width=int(_get(INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH))),
+            low_memory=_get(INTERVAL_JOIN_LOW_MEMORY, "false").lower() == "true",
+            check_int32_bounds=_get(CHECK_INT32_BOUNDS, "true").lower() == "true",
+        )
+
+
+def sequila_session(
+    spark: SparkSession | None = None,
+    *,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Return a SparkSession tuned for sequila workloads.
+
+    Equivalent of ``SessionContext::new_with_sequila``
+    (session_context.rs:16-27): sets our conf defaults on an existing or new
+    session. Arrow execution is enabled because the index paths move batches
+    through pandas UDFs; AQE stays on so skewed equi-keys (one contig
+    dominating) get runtime-split.
+    """
+    if spark is None:
+        builder = (
+            SparkSession.builder.appName("sequila-native-spark")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+        )
+        spark = builder.getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Defaults only if unset — never clobber user choices.
+    for key, default in (
+        (PREFER_INTERVAL_JOIN, "true"),
+        (INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM),
+        (INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH)),
+        (INTERVAL_JOIN_LOW_MEMORY, "false"),
+        (CHECK_INT32_BOUNDS, "true"),
+    ):
+        if spark.conf.get(key, None) is None:
+            spark.conf.set(key, default)
+    return spark

@@ -1,0 +1,124 @@
+"""Nearest-join golden (F3) + count-overlaps correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark import count_overlaps, nearest_join, overlap_join
+from tests.conftest import rows_set
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "index"])
+def test_nearest_golden(spark, nearest_a, nearest_b, algorithm):
+    # integration_test.rs:352-399 (strict-inequality query, CoitreesNearest):
+    # every probe (b) row emits exactly one row; rows whose (contig, strand)
+    # group has no build rows get null left columns.
+    out = nearest_join(
+        nearest_a, nearest_b, on=["contig", "strand"],
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        strict=True, algorithm=algorithm,
+    )
+    got = rows_set(out)
+    expected = {
+        (None, None, None, None, "a", "x", 0, 1): 1,
+        (None, None, None, None, "b", "s", 1, 2): 1,
+        ("a", "s", 5, 10, "a", "s", 11, 13): 1,
+        ("a", "s", 5, 10, "a", "s", 20, 21): 1,
+    }
+    assert dict(got) == expected
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "index"])
+def test_nearest_overlap_first(spark, algorithm):
+    # overlap wins over a closer-by-distance... overlap distance is 0;
+    # deterministic tie-break picks min (start, end) among overlapping.
+    build = spark.createDataFrame(
+        [("c", 1, 100), ("c", 5, 20), ("c", 200, 300)],
+        "contig string, start int, end int",
+    )
+    probe = spark.createDataFrame([("c", 10, 15)], "contig string, start int, end int")
+    out = nearest_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm=algorithm,
+    )
+    row = out.collect()[0]
+    assert (row["start"], row["end"]) == (1, 100)
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "index"])
+def test_nearest_true_minimum_not_reference_heuristic(spark, algorithm):
+    # The reference's binary-search heuristic (interval_join.rs:926-951) would
+    # return (50,60) here; the true nearest is (0,100) (distance 50 vs 90).
+    build = spark.createDataFrame(
+        [("c", 0, 100), ("c", 50, 60)], "contig string, start int, end int"
+    )
+    probe = spark.createDataFrame([("c", 150, 160)], "contig string, start int, end int")
+    out = nearest_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm=algorithm,
+    )
+    row = out.collect()[0]
+    assert (row["start"], row["end"]) == (0, 100)
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "binning", "index"])
+def test_count_overlaps(spark, reads, targets, algorithm):
+    out = count_overlaps(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        algorithm=algorithm, bin_width=1000,
+    )
+    got = {
+        (r["contig"], r["pos_start"], r["pos_end"]): r["count"] for r in out.collect()
+    }
+    # probe side returned in full: 10 target rows
+    assert len(got) == 10
+    # totals must equal the overlap-join row count (16)
+    assert sum(got.values()) == 16
+    # chr1 22100-22100 overlaps the chr1 22000-22300 read only
+    assert got[("chr1", 22100, 22100)] == 1
+    # zero-match probe rows survive with count 0
+    assert got[("chr2", 10000, 20000)] == 1
+
+
+@pytest.mark.parametrize("algorithm", ["binning", "index"])
+def test_count_overlaps_zero_rows_survive(spark, algorithm):
+    build = spark.createDataFrame([("c1", 1, 5)], "contig string, start int, end int")
+    probe = spark.createDataFrame(
+        [("c1", 100, 200), ("cX", 1, 5)], "contig string, start int, end int"
+    )
+    out = count_overlaps(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm=algorithm, bin_width=50,
+    )
+    got = {(r["contig"], r["start"]): r["count"] for r in out.collect()}
+    assert got == {("c1", 100): 0, ("cX", 1): 0}
+
+
+def test_count_matches_join_groupcount(spark, reads, targets):
+    joined = overlap_join(targets, reads, on="contig", algorithm="binning")
+    agg = (
+        joined.groupBy("contig", "pos_start", "pos_end")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    via_join = {
+        (r["contig"], r["pos_start"], r["pos_end"]): r["count"] for r in agg.collect()
+    }
+    direct = count_overlaps(
+        reads, targets, on="contig", algorithm="index",
+    )
+    via_op = {
+        (r["contig"], r["pos_start"], r["pos_end"]): r["count"]
+        for r in direct.collect()
+        if r["count"] > 0
+    }
+    assert via_join == via_op

@@ -1,0 +1,149 @@
+"""Overlap-join correctness: reference goldens + cross-algorithm agreement.
+
+Mirrors the reference's four-pillar test strategy (SURVEY.md §5): the naive
+predicate join is the oracle (= ``prefer_interval_join=false``), every
+algorithm must produce the identical sorted output, and the tiny golden
+fixtures from ``integration_test.rs`` pin absolute row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark import overlap_join
+from tests.conftest import rows_set
+
+ALGORITHMS = ["naive", "binning", "index"]
+# reference algorithm names must parse too (session_context.rs:85-104)
+REFERENCE_NAMES = ["Coitrees", "IntervalTree", "ArrayIntervalTree", "Lapper", "SuperIntervals"]
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_equi_range_golden_16_rows(spark, reads, targets, algorithm):
+    # integration_test.rs:40-65 — equi+range join over reads×targets = 16 rows
+    out = overlap_join(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        algorithm=algorithm, bin_width=1000,
+    )
+    assert out.count() == 16
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_range_only_golden_32_rows(spark, reads, targets, algorithm):
+    # integration_test.rs:120-161 — no equi-key (A2, lit(1) group) = 32 rows
+    out = overlap_join(
+        reads, targets, on=None,
+        algorithm=algorithm, bin_width=1000,
+    )
+    assert out.count() == 32
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_boundary_sweep_inclusive_10(spark, table_a, table_b, algorithm):
+    # integration_test.rs:261-276 — inclusive bounds: 10 of 12 match
+    out = overlap_join(
+        table_a, table_b, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm=algorithm, bin_width=4,
+    )
+    got = {tuple(r) for r in out.select("start_r", "end_r").collect()}
+    assert got == {
+        (10, 15), (10, 10), (9, 15), (5, 15), (4, 15),
+        (4, 10), (6, 8), (4, 8), (4, 5), (5, 5),
+    }  # touching intervals DO match; only (11,15) and (4,4) drop
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_boundary_sweep_strict_6(spark, table_a, table_b, algorithm):
+    # integration_test.rs:330-341 — strict <,>: touching rows drop out → 6
+    out = overlap_join(
+        table_a, table_b, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        strict=True, algorithm=algorithm, bin_width=4,
+    )
+    got = {tuple(r) for r in out.select("start_r", "end_r").collect()}
+    assert got == {(9, 15), (5, 15), (4, 15), (4, 10), (6, 8), (4, 8)}
+    # touching rows (10,15) (10,10) (4,5) (5,5) drop under strict predicates
+
+
+def test_cross_algorithm_agreement(spark, reads, targets):
+    results = [
+        rows_set(
+            overlap_join(reads, targets, on="contig", algorithm=a, bin_width=777)
+        )
+        for a in ALGORITHMS
+    ]
+    assert results[0] == results[1] == results[2]
+    assert sum(results[0].values()) == 16
+
+
+@pytest.mark.parametrize("name", REFERENCE_NAMES)
+def test_reference_algorithm_names_accepted(spark, reads, targets, name):
+    out = overlap_join(reads, targets, on="contig", algorithm=name)
+    assert out.count() == 16
+
+
+def test_conf_algorithm_and_prefer_flag(spark, reads, targets):
+    # sequila.prefer_interval_join=false ⇒ vanilla plan (naive), still correct
+    spark.conf.set("spark.sequila.preferIntervalJoin", "false")
+    try:
+        out = overlap_join(reads, targets, on="contig")
+        assert out.count() == 16
+    finally:
+        spark.conf.set("spark.sequila.preferIntervalJoin", "true")
+
+
+def test_extra_columns_ride_along(spark):
+    left = spark.createDataFrame(
+        [("chr1", 1, 10, "gene1")], "contig string, start int, end int, name string"
+    )
+    right = spark.createDataFrame(
+        [("chr1", 5, 6, 0.5)], "contig string, start int, end int, score double"
+    )
+    out = overlap_join(
+        left, right, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm="binning",
+    )
+    assert out.columns == ["contig", "start", "end", "name", "contig_r", "start_r", "end_r", "score"]
+    assert out.collect()[0]["name"] == "gene1"
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "binning"])
+def test_int32_overflow_errors(spark, algorithm):
+    # interval_join.rs:1927-1968 — out-of-i32 bound must raise, not wrap
+    left = spark.createDataFrame(
+        [("chr1", 1, 2147483648)], "contig string, start long, end long"
+    )
+    right = spark.createDataFrame([("chr1", 1, 10)], "contig string, start long, end long")
+    out = overlap_join(
+        left, right, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        algorithm=algorithm,
+    )
+    with pytest.raises(Exception, match="Can't cast value 2147483648 to type Int32"):
+        out.collect()
+
+
+def test_join_order_invariance(spark, reads, targets):
+    a = rows_set(
+        overlap_join(targets, reads, on="contig", algorithm="binning").select(
+            "pos_start", "pos_end", "pos_start_r", "pos_end_r"
+        )
+    )
+    b = rows_set(
+        overlap_join(reads, targets, on="contig", algorithm="binning").select(
+            F.col("pos_start_r").alias("pos_start"),
+            F.col("pos_end_r").alias("pos_end"),
+            F.col("pos_start").alias("pos_start_r"),
+            F.col("pos_end").alias("pos_end_r"),
+        )
+    )
+    assert a == b
