@@ -1,0 +1,83 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+HEADLINE = [
+    "overlap_count_per_contig",   # binned interval join (scale path)
+    "overlap_small_build_index",  # broadcast-index join (CollectLeft case)
+    "overlap_strict_count",       # strict-predicate normalization
+    "range_only_count",           # keyless interval join
+    "count_overlaps_per_target",  # per-probe overlap counts
+    "nearest_target_read",        # nearest-interval join
+    "pricing_summary",            # relational aggregation
+    "top_orders",                 # 3-way join + top-k
+    "brand_volume",               # broadcast join + agg
+    "events_hourly",              # time-bucketed aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sequila-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM warmup outside the timed region
+    spark.range(1000).count()
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every row/column without collecting, and
+        # (unlike count) cannot be optimized into join elimination
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,7 @@ from sequila_native_spark.operators.interval_join import (
     _LS,
     _RE,
     _RS,
-    _bin_of,
+    _binned_pairs,
     _with_bounds,
 )
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
@@ -90,34 +90,7 @@ def count_overlaps(
                 cond = (lb[k] == rb[k]) & cond
             pairs = rb.join(lb, cond, "inner")
         else:
-            l_binned = lb.withColumn(
-                "__sq_lbin",
-                F.explode(
-                    F.sequence(
-                        _bin_of(F.col(_LS), width),
-                        F.greatest(_bin_of(F.col(_LS), width), _bin_of(F.col(_LE), width)),
-                    )
-                ),
-            )
-            r_binned = rb.withColumn(
-                "__sq_rbin",
-                F.explode(
-                    F.sequence(
-                        _bin_of(F.col(_RS), width),
-                        F.greatest(_bin_of(F.col(_RS), width), _bin_of(F.col(_RE), width)),
-                    )
-                ),
-            )
-            cond = l_binned["__sq_lbin"] == r_binned["__sq_rbin"]
-            for k in sides.on:
-                cond = (l_binned[k] == r_binned[k]) & cond
-            exact = overlap_predicate(
-                l_binned[_LS], l_binned[_LE], r_binned[_RS], r_binned[_RE]
-            )
-            first_bin = l_binned["__sq_lbin"] == F.greatest(
-                _bin_of(l_binned[_LS], width), _bin_of(r_binned[_RS], width)
-            )
-            pairs = r_binned.join(l_binned, cond & exact & first_bin, "inner")
+            pairs = _binned_pairs(lb, rb, list(sides.on), list(sides.on), width)
         counts = pairs.groupBy(_PID).agg(F.count(F.lit(1)).alias(count_col))
         return (
             right.join(counts, _PID, "left_outer")

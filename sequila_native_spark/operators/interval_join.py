@@ -191,15 +191,30 @@ def overlap_join(
     raise AssertionError(f"unreachable algorithm {algo}")
 
 
-def _binning_join(
+def _ensure_parallel(df: DataFrame, shuffle_cols: list[str]) -> DataFrame:
+    """Repartition a side whose scan has too few splits to use the cluster.
+
+    A single small parquet file (one row group) scans as ONE partition, and a
+    broadcast-hash join then emits every candidate pair in one task — the
+    local-bench analogue of a badly-partitioned table. At real scale scans
+    already have many splits and this is a no-op; the check costs no job.
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, parallelism):
+        return df.repartition(target, *shuffle_cols) if shuffle_cols else df.repartition(target)
+    return df
+
+
+def _binned_pairs(
     lb: DataFrame,
     rb: DataFrame,
     l_keys: tuple[str, ...] | list[str],
     r_keys: list[str],
     width: int,
-    out_cols: list[str],
-) -> DataFrame:
-    """Pure-DataFrame binned range join (SURVEY.md §7 step 3).
+):
+    """Binned candidate join shared by overlap_join and count_overlaps.
 
     Each interval explodes into the coordinate bins it touches; a pair of
     overlapping intervals shares every bin of the overlap region, whose first
@@ -210,6 +225,8 @@ def _binning_join(
     inverted intervals (start > end) generating descending sequences; such
     intervals occupy their start bin only and still match via the exact
     filter in the common one-sided case.
+
+    Returns the joined-and-filtered DataFrame with all columns of both sides.
     """
     l_bins = F.sequence(
         _bin_of(F.col(_LS), width),
@@ -219,8 +236,8 @@ def _binning_join(
         _bin_of(F.col(_RS), width),
         F.greatest(_bin_of(F.col(_RS), width), _bin_of(F.col(_RE), width)),
     )
-    le = lb.withColumn(_LBIN, F.explode(l_bins))
-    re_ = rb.withColumn(_RBIN, F.explode(r_bins))
+    le = _ensure_parallel(lb.withColumn(_LBIN, F.explode(l_bins)), [*l_keys, _LBIN])
+    re_ = _ensure_parallel(rb.withColumn(_RBIN, F.explode(r_bins)), [*r_keys, _RBIN])
 
     cond = le[_LBIN] == re_[_RBIN]
     for k, rk in zip(l_keys, r_keys):
@@ -231,7 +248,19 @@ def _binning_join(
     first_common_bin = le[_LBIN] == F.greatest(
         _bin_of(le[_LS], width), _bin_of(re_[_RS], width)
     )
-    return joined.where(exact & first_common_bin).select(*out_cols)
+    return joined.where(exact & first_common_bin)
+
+
+def _binning_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    l_keys: tuple[str, ...] | list[str],
+    r_keys: list[str],
+    width: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Pure-DataFrame binned range join (SURVEY.md §7 step 3)."""
+    return _binned_pairs(lb, rb, l_keys, r_keys, width).select(*out_cols)
 
 
 def _broadcast_index_join(
@@ -291,6 +320,7 @@ def _broadcast_index_join(
     )
 
     rk_list = list(r_keys)
+    rb = _ensure_parallel(rb, [])  # round-robin: probe-side parallelism, no skew
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_map, build_pdf = bc.value
@@ -318,23 +348,32 @@ def _broadcast_index_join(
                     continue
                 starts, ends, runmax, row_idx = entry
                 pos = pdf.index.get_indexer(grp.index)
-                for p in pos:
-                    qs, qe = qs_all[p], qe_all[p]
-                    hi = np.searchsorted(starts, qe, side="right")
-                    if hi == 0:
-                        continue
-                    lo = np.searchsorted(runmax[:hi], qs, side="left")
-                    if lo >= hi:
-                        continue
-                    hit = row_idx[lo:hi][ends[lo:hi] >= qs]
-                    if hit.size:
-                        build_take.append(hit)
-                        probe_take.append(np.full(hit.size, p, dtype=np.int64))
+                qs = qs_all[pos]
+                qe = qe_all[pos]
+                # Fully vectorized superintervals probe: candidates for row i
+                # live in [lo[i], hi[i]) of the start-sorted arrays. Searching
+                # the full runmax (not runmax[:hi]) is equivalent: runmax is
+                # non-decreasing, so lo >= hi simply yields an empty span.
+                hi = np.searchsorted(starts, qe, side="right")
+                lo = np.minimum(np.searchsorted(runmax, qs, side="left"), hi)
+                spans = hi - lo
+                tot = int(spans.sum())
+                if tot == 0:
+                    continue
+                probe_rep = np.repeat(np.arange(len(pos)), spans)
+                offsets = np.zeros(len(pos), dtype=np.int64)
+                np.cumsum(spans[:-1], out=offsets[1:])
+                cand = np.arange(tot, dtype=np.int64) - offsets[probe_rep] + lo[probe_rep]
+                hit = ends[cand] >= qs[probe_rep]
+                if not hit.any():
+                    continue
+                build_take.append(row_idx[cand[hit]])
+                probe_take.append(pos[probe_rep[hit]])
             if not build_take:
                 continue
             b_idx = np.concatenate(build_take)
             p_idx = np.concatenate(probe_take)
-            l_part = build_pdf.loc[b_idx].reset_index(drop=True)
+            l_part = build_pdf.take(b_idx).reset_index(drop=True)
             r_part = pdf[right_cols].iloc[p_idx].reset_index(drop=True)
             yield pd.concat([l_part, r_part], axis=1)
 
