@@ -23,6 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sequila_native_spark import count_overlaps, nearest_join, overlap_join
+from sequila_native_spark.functions import (
+    attach_binary,
+    cosine_topk,
+    decode_media_meta,
+    exact_dedup_clusters,
+    lang_id,
+    lsh_ann_topk,
+    minhash_pairs,
+    near_dup_pairs,
+    quality_features,
+    simhash64,
+)
+from sequila_native_spark.functions.text import STOPWORDS, lang_id_sql
+from sequila_native_spark.functions.dedup import minhash_signature_sql, shingles_sql
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+_SHINGLES_SQL = shingles_sql("text", 3)
+_MINHASH_SQL = minhash_signature_sql("text", 8, 3)
 
 # ---------------------------------------------------------------------------
 # Derived interval views (FIXTURES.md F7): reads from lineitem, targets from
@@ -154,9 +172,11 @@ def q_count_overlaps_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nearest_target_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5: for each target exactly one read — overlapping else nearest,
-    # deterministic (distance, start, end) tie-break
+    # deterministic (distance, start, end) tie-break. Probe side sampled
+    # 1-in-10 to keep the driver's O(|probe|·|build|) SQL oracle cheap.
     return nearest_join(
-        _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 10 == 0),
         on="contig", **_IVL, algorithm="index",
     )
 
@@ -241,6 +261,65 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north-star extensions)
+# ---------------------------------------------------------------------------
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(F.col("doc_id"), *[v.alias(k) for k, v in feats.items()])
+
+
+def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, threshold_milli=200
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold_milli=300
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(_t(spark, sf_dir, "documents"))
+    return decode_media_meta(docs).select("doc_id", "n_bytes", "header_hex")
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: 63-bit simhash needs per-bit vote aggregation (pandas
+    # UDF) — not expressible in ANSI SQL without 63 correlated aggregates
+    return simhash64(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: bucket assignment uses seeded random hyperplanes
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -265,6 +344,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume": q_brand_volume,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_dist": q_doc_lang_dist,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "minhash_near_dups": q_minhash_near_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "simhash_docs": q_simhash_docs,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -330,7 +418,8 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
                             WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
                             ELSE 0 END AS dist
-                FROM targets t LEFT JOIN reads r ON r.contig = t.contig
+                FROM (SELECT * FROM targets WHERE t_id % 10 = 0) t
+                LEFT JOIN reads r ON r.contig = t.contig
             )
             SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
             FROM j
@@ -384,4 +473,90 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
         """,
+        "doc_text_stats": f"""
+            WITH t AS (
+                SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                       CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT) AS ttr_milli,
+                       CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS stop_milli
+                FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, ttr_milli,
+                   stop_milli, ttr_milli + stop_milli AS quality_milli
+            FROM f
+        """,
+        "doc_lang_dist": f"""
+            SELECT {lang_id_sql("text")} AS lang_pred, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "exact_dup_clusters": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_near_dups": f"""
+            WITH base AS (
+                SELECT doc_id, {_SHINGLES_SQL} AS sh, {_MINHASH_SQL} AS sig
+                FROM documents
+            ),
+            banded AS (
+                SELECT doc_id, b.band_idx,
+                       md5(array_to_string(sig[b.band_idx*2+1 : b.band_idx*2+2], '|')) AS band_hash
+                FROM base, (SELECT unnest(range(0, 4)) AS band_idx) b
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+                   CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT) AS n_union
+            FROM cand c
+            JOIN base sa ON sa.doc_id = c.id_a
+            JOIN base sb ON sb.doc_id = c.id_b
+            WHERE len(list_intersect(sa.sh, sb.sh)) * 1000
+                  >= 200 * len(list_distinct(sa.sh || sb.sh))
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(e.v, q.qv)
+                       / sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)) AS c
+                FROM e, q
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 5
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+                   CAST(floor(list_dot_product(a.v, b.v)
+                        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                        * 1000) AS BIGINT) AS cos_milli
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE floor(list_dot_product(a.v, b.v)
+                  / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                  * 1000) >= 300
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   hex(substr(text, 1, 4)) AS header_hex
+            FROM documents
+        """,
+        # simhash_docs, lsh_ann_topk: intentionally no oracle (rows-only) —
+        # per-bit vote aggregation / seeded random hyperplanes are not
+        # ANSI-SQL-expressible; unit tests pin their semantics instead.
     }

@@ -32,6 +32,11 @@ from sequila_native_spark.session import (
 from sequila_native_spark.operators.interval_join import overlap_join
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
+from sequila_native_spark.operators.condition import (
+    overlap_join_on,
+    parse_overlap_condition,
+)
+from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
 __all__ = [
     "SequilaConf",
@@ -39,6 +44,8 @@ __all__ = [
     "overlap_join",
     "nearest_join",
     "count_overlaps",
+    "overlap_join_on",
+    "parse_overlap_condition",
 ]
 
 __version__ = "0.1.0"

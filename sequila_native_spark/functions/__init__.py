@@ -1,0 +1,43 @@
+"""LLM-data-pipeline operators (north-star extensions, BASELINE.json).
+
+Not ports of the reference — new surface designed Spark-first around the
+same partition-then-index discipline as the interval join: everything
+declarative stays in Catalyst expressions (SQL-oracle-able, codegen'd);
+Python appears only in Arrow-batched pandas UDFs (SimHash, LSH-ANN,
+multimodal decode) where expressions genuinely can't express the op.
+"""
+
+from sequila_native_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from sequila_native_spark.functions.dedup import (
+    dedup_keep_canonical,
+    exact_dedup_clusters,
+    minhash_pairs,
+    minhash_signature,
+    simhash64,
+    simhash_pairs,
+)
+from sequila_native_spark.functions.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_ann_topk,
+    near_dup_pairs,
+)
+from sequila_native_spark.functions.multimodal import (
+    attach_binary,
+    decode_media_meta,
+    sample_chunks,
+)
+
+__all__ = [
+    "tokens", "token_count", "quality_features", "lang_id", "fingerprint",
+    "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
+    "minhash_pairs", "simhash64", "simhash_pairs",
+    "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk",
+    "attach_binary", "decode_media_meta", "sample_chunks",
+]

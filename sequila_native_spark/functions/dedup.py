@@ -1,0 +1,330 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): every path is a Catalyst shuffle on a compact key —
+fingerprints, LSH band hashes, SimHash chunks — never an all-pairs compare.
+Candidate generation is equi-join-shaped so AQE/skew handling applies; exact
+verification runs only on candidate pairs.
+
+Determinism for oracle comparison: hashes are md5 (identical in DuckDB), and
+the MinHash signature is the lexicographic *minimum hex digest* per seeded
+hash family — a valid min-hash that both engines compute bit-identically
+(no platform-dependent integer hashing). Jaccard thresholds compare with
+integer cross-multiplication (``n_common * 1000 >= t_milli * n_union``), so
+no float ever enters the result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions.text import fingerprint, tokens
+from sequila_native_spark.util import ensure_parallel
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct fingerprint: cluster size + canonical (min) id.
+
+    A single hash-shuffle; at 100 TB this is the cheapest possible exact
+    dedup (map-side partial aggregation applies).
+    """
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per fingerprint."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__sq_rn", F.row_number().over(w))
+        .where(F.col("__sq_rn") == 1)
+        .drop("__sq_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). Arrays are 0-indexed in
+    Spark SQL subscripts; the DuckDB twin uses 1-based subscripts. Documents
+    shorter than ``n`` tokens yield an empty array (DuckDB's ``range`` does
+    this natively; Spark's ``sequence`` would go descending)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(text_expr: str = "text", n: int = 3) -> str:
+    toks = f"string_split(lower({text_expr}), ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> {parts}))"
+    )
+
+
+def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
+    """k-element MinHash signature over word shingles.
+
+    Hash family i = ``md5(i || ':' || shingle)``; the signature element is
+    the minimum digest (lexicographic on hex — a uniform order, so min-hash
+    collision probability still estimates Jaccard).
+    """
+    sh = shingles(col, n)
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x)))
+        ),
+    )
+
+
+def minhash_signature_fast(col: Column, k: int = 8, n: int = 3) -> Column:
+    """Same hash family as :func:`minhash_signature`, computed in an
+    Arrow-batched pandas UDF.
+
+    Catalyst evaluates higher-order-function lambdas interpreted (no
+    codegen), making per-element md5 ~50µs; hashlib runs the identical
+    digests at C speed, ~50× faster. Results are bit-identical to the
+    expression version (asserted in tests), so the SQL oracle is unchanged.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            out.append(
+                [
+                    min(hashlib.md5(f"{s}:{x}".encode()).hexdigest() for x in sh)
+                    for s in range(k)
+                ]
+            )
+        return pd.Series(out)
+
+    return sig(col)
+
+
+def minhash_signature_sql(text_expr: str = "text", k: int = 8, n: int = 3) -> str:
+    sh = shingles_sql(text_expr, n)
+    return (
+        f"list_transform(range(0, {k}), s -> "
+        f"list_min(list_transform({sh}, x -> md5(CAST(s AS VARCHAR) || ':' || x))))"
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold_milli: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, then exact
+    n-gram Jaccard verification on the candidates only.
+
+    Pipeline: signature → explode ``bands`` band-hashes → self-equi-join on
+    ``(band_idx, band_hash)`` (the LSH bucket join — a plain shuffle join,
+    never all-pairs) → distinct candidate pairs → exact
+    ``|A∩B|*1000 >= t*|A∪B|`` verification on the shingle sets.
+
+    Output: ``id_a < id_b, n_common, n_union`` (integers only).
+    """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    r = k // bands
+    src = ensure_parallel(df.select(id_col, text_col))
+    # signatures (k md5 passes over every shingle) are the expensive part —
+    # computed once, on the banding branch only; the verification joins
+    # recompute just the plain shingle arrays
+    base = src.select(
+        F.col(id_col).alias("__sq_id"),
+        minhash_signature_fast(F.col(text_col), k, n).alias("__sq_sig"),
+    ).where(F.size("__sq_sig") > 0)
+    sh_base = src.select(
+        F.col(id_col).alias("__sq_id"),
+        shingles(F.col(text_col), n).alias("__sq_sh"),
+    )
+    banded = base.select(
+        "__sq_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("__sq_sig"), (b * r + 1).cast("int"), r
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("__sq_band"),
+    ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__sq_id") < F.col("b.__sq_id")),
+        )
+        .select(
+            F.col("a.__sq_id").alias("id_a"), F.col("b.__sq_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh_a = sh_base.select(F.col("__sq_id").alias("id_a"), F.col("__sq_sh").alias("__sq_sh_a"))
+    sh_b = sh_base.select(F.col("__sq_id").alias("id_b"), F.col("__sq_sh").alias("__sq_sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__sq_sh_a", "__sq_sh_b")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union", F.size(F.array_union("__sq_sh_a", "__sq_sh_b")).cast("bigint")
+        )
+        .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
+    )
+    return verified.select("id_a", "id_b", "n_common", "n_union")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas UDF — bit-vote aggregation isn't expressible in Catalyst)
+# ---------------------------------------------------------------------------
+
+def _simhash_one(text: str) -> int:
+    """63-bit SimHash (bit 63 kept zero so the value stays a positive int64)
+    with md5-derived token hashes and per-token bit voting."""
+    votes = [0] * 63
+    for tok in text.lower().split():  # any-whitespace split: normalization-robust
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") >> 1
+        for i in range(63):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(63):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Append a deterministic 63-bit SimHash column (Arrow-batched)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [_simhash_one(t) for t in pdf[text_col]]
+            yield pdf
+
+    return ensure_parallel(df).mapInPandas(run, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: split the 63-bit hash into ``chunks`` bands — two hashes
+    within Hamming distance < chunks must share at least one exact band
+    (pigeonhole), so candidates come from an equi-join on (band_idx,
+    band_bits), then exact popcount verification.
+    """
+    width = 64 // chunks
+    h = simhash64(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("__sq_id"), F.col("simhash")
+    )
+    banded = h.select(
+        "__sq_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("__sq_band"),
+    ).select("__sq_id", "simhash", "__sq_band.band_idx", "__sq_band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.__sq_id") < F.col("b.__sq_id")),
+        )
+        .select(
+            F.col("a.__sq_id").alias("id_a"),
+            F.col("b.__sq_id").alias("id_b"),
+            F.col("a.simhash").alias("__sq_ha"),
+            F.col("b.simhash").alias("__sq_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sq_ha").bitwiseXOR(F.col("__sq_hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the correctness baseline.
+  Query set broadcast, scores computed JVM-side with ``zip_with`` +
+  ``aggregate`` (no UDF), ranked with a window. Scales linearly in corpus
+  size × query count; right when queries are few.
+- :func:`near_dup_pairs` — blocked all-pairs near-duplicate detection:
+  self-join restricted to a blocking column (label / shard / LSH bucket), so
+  the shuffle key keeps the quadratic term inside blocks.
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH buckets
+  (deterministic seeded planes) → candidates from bucket equi-join →
+  exact re-rank of candidates only.
+
+Rank output is integers; scores are exposed integer-scaled (``*_milli``)
+where included.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sequila_native_spark.util import ensure_parallel
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<double>`` columns (JVM-side)."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    Output: ``query_id, neighbor_id, rank`` (rank 1 = most similar;
+    deterministic tie-break on neighbor id).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("__sq_qv")
+    )
+    e = ensure_parallel(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__sq_v")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(q)).withColumn(
+        "__sq_cos", cosine(F.col("__sq_v"), F.col("__sq_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold_milli: int = 300,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks.
+
+    ``cos_milli = floor(cos * 1000)`` keeps the output integral. The block
+    column bounds the pair explosion: at scale, feed an LSH bucket id here.
+    """
+    df = ensure_parallel(df, [block_col])
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("__sq_blk"),
+        _as_double(F.col(vec_col)).alias("__sq_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("__sq_blk_b"),
+        _as_double(F.col(vec_col)).alias("__sq_vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__sq_blk") == F.col("__sq_blk_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    cos_milli = F.floor(cosine(F.col("__sq_va"), F.col("__sq_vb")) * 1000).cast("bigint")
+    return (
+        pairs.withColumn("cos_milli", cos_milli)
+        .where(F.col("cos_milli") >= threshold_milli)
+        .select("id_a", "id_b", F.col("__sq_blk").alias(block_col), "cos_milli")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed ⇒ reproducible buckets)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
+    """Append a sign-random-projection LSH bucket id (pandas UDF, Arrow).
+
+    ``bucket = Σ 2^i · [v · pᵢ > 0]`` — nearby vectors (small angle) agree on
+    most signs and land in the same bucket with high probability.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer embedding dim from an empty DataFrame")
+        dim = first["d"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), False)])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (mat @ planes.T) > 0
+            pdf = pdf.copy()
+            pdf[out_col] = (signs * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            yield pdf
+
+    return ensure_parallel(df).mapInPandas(assign, schema=out_schema)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH, exact re-rank of candidates.
+
+    ``n_tables`` independent plane sets; a corpus vector is a candidate if it
+    shares a bucket with the query in ANY table (union of equi-joins — the
+    standard recall/cost dial). Candidates then get exact cosine + window
+    rank. Output schema matches :func:`cosine_topk` (query_id, neighbor_id,
+    rank), so recall is directly measurable against the exact baseline.
+    """
+    cands = None
+    for t in range(n_tables):
+        cb = add_lsh_bucket(
+            corpus.select(id_col, vec_col), vec_col=vec_col,
+            n_planes=n_planes, seed=seed + t, out_col="__sq_bkt",
+        ).select(F.col(id_col).alias("neighbor_id"), "__sq_bkt")
+        qb = add_lsh_bucket(
+            queries.select(id_col, vec_col), vec_col=vec_col,
+            n_planes=n_planes, seed=seed + t, out_col="__sq_bkt",
+        ).select(F.col(id_col).alias("query_id"), "__sq_bkt")
+        pairs = cb.join(F.broadcast(qb), "__sq_bkt").select("query_id", "neighbor_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__sq_v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__sq_qv")
+    )
+    scored = (
+        cands.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("__sq_cos", cosine(F.col("__sq_v"), F.col("__sq_qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,107 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+
+All pure Catalyst column expressions (whole-stage codegen, no UDFs), each
+with a direct ANSI-SQL twin so results are oracle-comparable. Ratios are
+emitted integer-scaled (``floor(x * 1000)`` → ``*_milli``) so cross-engine
+hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Order is the deterministic tie-break priority for lang_id.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "im"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour", "que", "qui"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased. Single-space split keeps exact parity
+    with SQL ``string_split(text, ' ')`` semantics."""
+    return F.split(F.lower(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of token occurrences that are stopwords of ``lang``."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t)))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality signals for a document column.
+
+    - ``n_chars`` / ``n_tokens`` / ``n_distinct_tokens``
+    - ``ttr_milli``: type-token ratio ×1000 (lexical diversity)
+    - ``stop_milli``: English-stopword occurrence ratio ×1000
+    - ``quality_milli``: composite = ttr + stopword signal (a document with
+      near-zero stopwords or near-zero diversity is likely non-natural text)
+    """
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    hits = stopword_hits(col, "en")
+    ttr = F.floor(n_distinct * 1000.0 / n_tokens).cast("bigint")
+    stop = F.floor(hits * 1000.0 / n_tokens).cast("bigint")
+    return {
+        "n_chars": F.length(col).cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "n_distinct_tokens": n_distinct.cast("bigint"),
+        "ttr_milli": ttr,
+        "stop_milli": stop,
+        "quality_milli": (ttr + stop).cast("bigint"),
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language heuristic.
+
+    Picks the language with the most stopword occurrences; ties resolve to
+    the first language in ``STOPWORDS`` order; all-zero → ``'und'``. The
+    when-chain shape is mirrored 1:1 in the SQL oracle.
+    """
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build from lowest priority upward so the first lang wins ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def lang_id_sql(text_expr: str = "text") -> str:
+    """The DuckDB twin of :func:`lang_id` (same when-chain, same priority)."""
+    def hits(lang: str) -> str:
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split(lower({text_expr}), ' '), "
+            f"t -> list_contains([{arr}], t)))"
+        )
+
+    score_cols = {lang: hits(lang) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(score_cols.values()) + ")"
+    expr = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        expr = f"CASE WHEN {score_cols[lang]} = {best} THEN '{lang}' ELSE {expr} END"
+    return f"CASE WHEN {best} <= 0 THEN 'und' ELSE {expr} END"
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    SQL twin: ``md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))``.
+    """
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+FINGERPRINT_SQL = "md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"

@@ -75,7 +75,9 @@ def count_overlaps(
     if count_col in right.columns:
         raise ValueError(f"count column {count_col!r} already exists on right side")
     # Only the left's key/bound columns are needed — prune before any join.
-    left = left.select(*dict.fromkeys([*sides.on, left_start, left_end]))
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [p[1] for p in sides.on]
+    left = left.select(*dict.fromkeys([*l_keys, left_start, left_end]))
     right_out_cols = list(right.columns)
     right_orig = right
 
@@ -86,11 +88,11 @@ def count_overlaps(
         rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
         if algo == "naive":
             cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
-            for k in sides.on:
-                cond = (lb[k] == rb[k]) & cond
+            for lk, rk in zip(l_keys, r_keys):
+                cond = (lb[lk] == rb[rk]) & cond
             pairs = rb.join(lb, cond, "inner")
         else:
-            pairs = _binned_pairs(lb, rb, list(sides.on), list(sides.on), width)
+            pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
         counts = pairs.groupBy(_PID).agg(F.count(F.lit(1)).alias(count_col))
         return (
             right.join(counts, _PID, "left_outer")
@@ -102,14 +104,14 @@ def count_overlaps(
     rb = _with_bounds(right_orig, right_start, right_end, _RS, _RE, strict, check)
     left_pdf = lb.toPandas()
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
-    for k in sides.on:
+    for k in l_keys:
         valid &= left_pdf[k].notna()
     build = left_pdf[valid]
     index: dict[tuple, tuple] = {}
     if len(build):
-        group_iter = build.groupby(list(sides.on), sort=False) if sides.on else [((), build)]
+        group_iter = build.groupby(l_keys, sort=False) if l_keys else [((), build)]
         for key, grp in group_iter:
-            if sides.on and not isinstance(key, tuple):
+            if l_keys and not isinstance(key, tuple):
                 key = (key,)
             starts = grp[_LS].to_numpy(np.int64)
             ends = grp[_LE].to_numpy(np.int64)
@@ -121,7 +123,7 @@ def count_overlaps(
     out_schema = StructType(
         list(right_orig.schema.fields) + [StructField(count_col, LongType(), False)]
     )
-    keys = list(sides.on)
+    keys = list(r_keys)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_map = bc.value

@@ -138,6 +138,8 @@ def overlap_join(
     bin_width: int | None = None,
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
+    _shrink_left_end: bool | None = None,
+    _shrink_right_end: bool | None = None,
 ) -> DataFrame:
     """Join ``left`` and ``right`` on equi-keys + closed-interval overlap.
 
@@ -169,42 +171,35 @@ def overlap_join(
     right, renames = _disambiguate(left, right, rsuffix)
     r_start = renames.get(right_start, right_start)
     r_end = renames.get(right_end, right_end)
-    r_keys = [renames.get(k, k) for k in sides.on]
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [renames.get(p[1], p[1]) for p in sides.on]
 
     out_cols = [*left.columns, *right.columns]
 
-    lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
-    rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
+    # Per-conjunct strict normalization (intervals.rs:67-69): strictness of
+    # `le > rs` shrinks the LEFT end, strictness of `ls < re` the RIGHT end.
+    # The public `strict` flag sets both; the condition parser sets each.
+    shrink_l = strict if _shrink_left_end is None else _shrink_left_end
+    shrink_r = strict if _shrink_right_end is None else _shrink_right_end
+    lb = _with_bounds(left, left_start, left_end, _LS, _LE, shrink_l, check)
+    rb = _with_bounds(right, r_start, r_end, _RS, _RE, shrink_r, check)
 
     if algo == "naive":
         cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
-        for k, rk in zip(sides.on, r_keys):
+        for k, rk in zip(l_keys, r_keys):
             cond = (lb[k] == rb[rk]) & cond
         return lb.join(rb, cond, "inner").select(*out_cols)
 
     if algo == "binning":
-        return _binning_join(lb, rb, sides.on, r_keys, width, out_cols)
+        return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
 
     if algo == "index":
-        return _broadcast_index_join(lb, rb, sides.on, r_keys, out_cols)
+        return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols)
 
     raise AssertionError(f"unreachable algorithm {algo}")
 
 
-def _ensure_parallel(df: DataFrame, shuffle_cols: list[str]) -> DataFrame:
-    """Repartition a side whose scan has too few splits to use the cluster.
-
-    A single small parquet file (one row group) scans as ONE partition, and a
-    broadcast-hash join then emits every candidate pair in one task — the
-    local-bench analogue of a badly-partitioned table. At real scale scans
-    already have many splits and this is a no-op; the check costs no job.
-    """
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, parallelism):
-        return df.repartition(target, *shuffle_cols) if shuffle_cols else df.repartition(target)
-    return df
+from sequila_native_spark.util import ensure_parallel as _ensure_parallel
 
 
 def _binned_pairs(

@@ -33,10 +33,12 @@ class IntervalSides:
     """Validated column names for one overlap-join invocation.
 
     The analogue of the reference's ``ColIntervals`` (``intervals.rs:30-44``),
-    which pairs a (start, end) column expression per side.
+    which pairs a (start, end) column expression per side. ``on`` holds
+    (left_name, right_name) pairs — identical names when the caller passed
+    plain strings.
     """
 
-    on: tuple[str, ...]
+    on: tuple[tuple[str, str], ...]
     left_start: str
     left_end: str
     right_start: str
@@ -64,17 +66,19 @@ def validate_sides(
     expressions into columns instead.
     """
     if on is None:
-        keys: tuple[str, ...] = ()
+        keys: tuple[tuple[str, str], ...] = ()
     elif isinstance(on, str):
-        keys = (on,)
+        keys = ((on, on),)
     else:
-        keys = tuple(on)
+        keys = tuple((k, k) if isinstance(k, str) else (k[0], k[1]) for k in on)
 
     ltypes = dict(left.dtypes)
     rtypes = dict(right.dtypes)
-    for k in keys:
-        if k not in ltypes or k not in rtypes:
-            raise ValueError(f"equi-key column {k!r} must exist on both sides")
+    for lk, rk in keys:
+        if lk not in ltypes:
+            raise ValueError(f"equi-key column {lk!r} not found on left side")
+        if rk not in rtypes:
+            raise ValueError(f"equi-key column {rk!r} not found on right side")
     for side, types, cols in (
         ("left", ltypes, (left_start, left_end)),
         ("right", rtypes, (right_start, right_end)),

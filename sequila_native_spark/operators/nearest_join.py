@@ -86,15 +86,16 @@ def nearest_join(
     right, renames = _disambiguate(left, right, rsuffix)
     r_start = renames.get(right_start, right_start)
     r_end = renames.get(right_end, right_end)
-    r_keys = [renames.get(k, k) for k in sides.on]
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [renames.get(p[1], p[1]) for p in sides.on]
     out_cols = [*left.columns, *right.columns]
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
 
     if algo == "naive":
-        return _naive_nearest(lb, rb, sides.on, r_keys, out_cols)
-    return _index_nearest(lb, rb, sides.on, r_keys, out_cols)
+        return _naive_nearest(lb, rb, l_keys, r_keys, out_cols)
+    return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
 
 
 def _distance_col(ls, le, rs, re):

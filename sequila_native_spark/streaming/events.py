@@ -1,0 +1,105 @@
+"""Event-stream operators (Structured Streaming).
+
+The reference has no streaming surface (SURVEY.md §2B "not present");
+this is north-star extension surface designed Spark-native:
+
+- transformations are written against a plain DataFrame, so the SAME
+  function body serves batch tables and ``readStream`` sources — batch
+  equivalence is the test strategy (run the transformation both ways on the
+  same data, compare);
+- aggregations are watermarked so state is bounded under late data;
+- sessionization uses ``session_window`` (gap-based), the Spark-native
+  replacement for custom stateful operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event parquet/json drops with the declared
+    schema (streaming sources must never infer)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_event_aggregates(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count, integer-scaled value
+    sum, distinct-ish user count.
+
+    Works on both batch and streaming frames. On a stream the watermark
+    bounds state: windows older than max(event time) − watermark are
+    finalized and dropped. ``approx_count_distinct`` is used because exact
+    distinct aggregation is unsupported in streaming mode (and at 100 TB an
+    exact global distinct per window is a full shuffle anyway).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "approx_users",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessions: events within ``gap`` of each other merge into one
+    session window (Spark-native ``session_window`` — no custom state store
+    logic needed).
+
+    Output: user_id, session start/end, n_events, sum_value_cents.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )

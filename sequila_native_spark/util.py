@@ -1,0 +1,26 @@
+"""Shared plan utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> DataFrame:
+    """Repartition a side whose scan has too few splits to use the cluster.
+
+    A single small parquet file (one row group) scans as ONE partition, and
+    every downstream narrow op — expression evaluation, explode, broadcast
+    probe, mapInPandas — then runs in one task. At real scale scans already
+    have many splits and this is a no-op; the check itself costs no job.
+
+    With ``shuffle_cols`` the repartition is hash-keyed (so a following
+    equi-join on those columns reuses the exchange); otherwise round-robin.
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, parallelism):
+        if shuffle_cols:
+            return df.repartition(target, *shuffle_cols)
+        return df.repartition(target)
+    return df

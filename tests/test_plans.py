@@ -1,0 +1,61 @@
+"""Plan-shape assertions (the reference's EXPLAIN test pillar, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark import overlap_join
+from sequila_native_spark.plans import (
+    has_broadcast_hash_join,
+    pushed_filters,
+    scan_read_schemas,
+)
+from sequila_native_spark.plans.explain import (
+    has_nested_loop_join,
+    has_sort_merge_or_hash_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_binning_plans_equi_join_not_nested_loop(spark, reads, targets):
+    oj = overlap_join(reads, targets, on="contig", algorithm="binning")
+    assert has_sort_merge_or_hash_join(oj)
+    assert not has_nested_loop_join(oj)
+
+
+def test_naive_no_key_plans_nested_loop(spark, reads, targets):
+    # the catastrophic plan the reference documents for vanilla engines
+    # (sandbox/datafusion_baseline.md:101-107) — and what A2 avoids
+    oj = overlap_join(reads, targets, on=None, algorithm="naive")
+    assert has_nested_loop_join(oj)
+
+
+def test_binning_keyless_still_equi_join(spark, reads, targets):
+    # A2: even with no equi-keys, binning joins on the bin column —
+    # Catalyst plans a hash/merge join, never a nested loop
+    oj = overlap_join(reads, targets, on=None, algorithm="binning")
+    assert has_sort_merge_or_hash_join(oj)
+    assert not has_nested_loop_join(oj)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") == 42).select("l_orderkey", "l_partkey")
+    filters = pushed_filters(q)
+    assert any("l_orderkey" in f for f in filters), filters
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey").distinct()
+    schemas = scan_read_schemas(q)
+    assert schemas and all("l_partkey" not in s for s in schemas), schemas
+
+
+def test_small_side_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    assert has_broadcast_hash_join(j)

@@ -1,0 +1,96 @@
+"""Sources (BED/CSV) + streaming batch-equivalence tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.sources import read_bed, read_interval_csv
+from sequila_native_spark.streaming import (
+    hourly_event_aggregates,
+    read_event_stream,
+    sessionize,
+)
+from tests.conftest import rows_set
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_bed(spark, tmp_path):
+    p = str(tmp_path / "x.bed")
+    with open(p, "w") as f:
+        f.write("chr1\t100\t190\nchr1\t200\t290\nchr2\t1\t5\n")
+    df = read_bed(spark, p)
+    assert df.schema.simpleString() == "struct<contig:string,pos_start:bigint,pos_end:bigint>"
+    assert df.count() == 3
+    assert df.where(F.col("contig") == "chr2").first()["pos_end"] == 5
+
+
+def test_read_bed6(spark, tmp_path):
+    p = str(tmp_path / "x6.bed")
+    with open(p, "w") as f:
+        f.write("chr1\t100\t190\tfeat1\t960\t+\n")
+    df = read_bed(spark, p, columns=6)
+    row = df.first()
+    assert row["name"] == "feat1" and row["score"] == 960 and row["strand"] == "+"
+
+
+def test_read_interval_csv(spark, tmp_path):
+    p = str(tmp_path / "reads.csv")
+    with open(p, "w") as f:
+        f.write("contig,pos_start,pos_end\nchr1,150,250\nchr1,190,300\n")
+    df = read_interval_csv(spark, p)
+    assert dict(df.dtypes) == {"contig": "string", "pos_start": "int", "pos_end": "bigint"}
+    assert df.count() == 2
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_stream(spark, transformed_builder, batch_df, tmpdir):
+    """Write batch events to parquet, stream them back with availableNow,
+    apply the same transformation, and collect the complete result."""
+    src = os.path.join(tmpdir, "src")
+    batch_df.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    out = transformed_builder(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_test_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_test_out")
+
+
+def test_hourly_aggregates_stream_equals_batch(spark, events_batch):
+    batch_out = hourly_event_aggregates(events_batch)
+    tmpdir = tempfile.mkdtemp()
+    try:
+        stream_out = _run_stream(spark, hourly_event_aggregates, events_batch, tmpdir)
+        assert rows_set(batch_out) == rows_set(stream_out)
+        assert batch_out.count() > 0
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_sessionize_batch_sanity(spark, events_batch):
+    sess = sessionize(events_batch, gap="30 minutes")
+    out = sess.limit(2000).collect()
+    assert len(out) > 0
+    ev_total = events_batch.count()
+    n_events_total = sessionize(events_batch).agg(F.sum("n_events")).first()[0]
+    assert n_events_total == ev_total  # every event lands in exactly one session
+    for r in out:
+        assert r["session_start"] <= r["session_end"]

@@ -1,0 +1,116 @@
+"""Text analysis + dedup operators on constructed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    dedup_keep_canonical,
+    exact_dedup_clusters,
+    lang_id,
+    minhash_pairs,
+    quality_features,
+    simhash64,
+    simhash_pairs,
+    token_count,
+    fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "The  Quick brown fox jumps over the lazy dog near the river bank today"),  # dup after normalize
+        (4, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),  # near dup
+        (5, "completely different words about spark query engines and columnar data"),
+        (6, "el gato y la casa de que un por con una el la de que y en un"),
+        (7, "der hund ist von und mit den das die der und ist von ein im"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_quality(spark, docs):
+    row = docs.select(token_count(F.col("text")).alias("n")).where(F.col("n").isNotNull()).first()
+    assert row["n"] == 14
+    feats = quality_features(F.col("text"))
+    out = docs.select(F.col("doc_id"), *[v.alias(k) for k, v in feats.items()]).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 14
+    assert by_id[1]["n_distinct_tokens"] == 12  # 'the' ×3
+    assert by_id[1]["stop_milli"] == int(3 * 1000 / 14)  # 'the' ×3
+    assert by_id[5]["stop_milli"] > 0  # 'and' is a stopword
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[6] == "es"
+    assert out[7] == "de"
+
+
+def test_lang_id_und(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    assert df.select(lang_id(F.col("text")).alias("l")).first()["l"] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # case + whitespace normalize
+    assert fps[1] != fps[4]
+
+
+def test_exact_dedup(spark, docs):
+    clusters = exact_dedup_clusters(docs).collect()
+    sizes = sorted(r["n_docs"] for r in clusters)
+    assert sizes == [1, 1, 1, 1, 3]
+    big = next(r for r in clusters if r["n_docs"] == 3)
+    assert big["canonical_id"] == 1
+    kept = dedup_keep_canonical(docs)
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {1, 4, 5, 6, 7}
+
+
+def test_minhash_pairs_finds_near_dups(spark, docs):
+    pairs = minhash_pairs(docs, k=8, bands=4, threshold_milli=500).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the exact/normalized dups (1,2),(1,3),(2,3) must be found (jaccard 1.0
+    # on lowercased shingles); the near dup (x,4) family likely too
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    for a, b in got:
+        assert a < b
+    # doc 5 shares nothing with doc 1
+    assert not any({a, b} == {1, 5} for a, b in got)
+
+
+def test_minhash_jaccard_values(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_union"]) for r in
+             minhash_pairs(docs, threshold_milli=100).collect()}
+    n_common, n_union = pairs[(1, 2)]
+    assert n_common == n_union  # identical docs
+
+
+def test_minhash_fast_matches_expression(spark, docs):
+    from sequila_native_spark.functions.dedup import (
+        minhash_signature,
+        minhash_signature_fast,
+    )
+
+    both = docs.select(
+        minhash_signature(F.col("text")).alias("expr_sig"),
+        minhash_signature_fast(F.col("text")).alias("fast_sig"),
+    ).collect()
+    for r in both:
+        assert r["expr_sig"] == r["fast_sig"]
+
+
+def test_simhash_identity_and_pairs(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[1] == h[2] == h[3]  # lowercase tokens identical
+    assert all(v >= 0 for v in h.values())
+    pairs = simhash_pairs(docs, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) in got and got[(1, 4)] <= 16  # one-word change: small distance
