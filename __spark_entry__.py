@@ -147,6 +147,28 @@ def q_overlap_count_vanilla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oj.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_overlap_count_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned-mode analogue: cogroup-per-key index join, one shuffle per
+    # side, per-task memory bounded by the largest key group
+    oj = overlap_join(_reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+                      on="contig", **_IVL, algorithm="partitioned")
+    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_overlap_partitioned_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partitioned algorithm on a selective build side: the shape it serves
+    # at scale (build too big to broadcast per key, bounded output)
+    build = _targets(spark, sf_dir).where(F.col("t_id") % 101 == 0)
+    probe = _reads(spark, sf_dir, with_id=False)
+    oj = overlap_join(
+        build, probe, on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end",
+        algorithm="partitioned",
+    )
+    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def q_range_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A2: interval-only join, no equi-keys (reference injects lit(1)=lit(1))
     reads = _reads(spark, sf_dir).where(F.col("r_id") % 97 == 0).drop("r_id", "contig")
@@ -335,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_count_index": q_overlap_count_index,
         "overlap_small_build_index": q_overlap_small_build_index,
         "overlap_count_vanilla": q_overlap_count_vanilla,
+        "overlap_count_partitioned": q_overlap_count_partitioned,
+        "overlap_partitioned_selective": q_overlap_partitioned_selective,
         "range_only_count": q_range_only_count,
         "overlap_strict_count": q_overlap_strict_count,
         "count_overlaps_per_target": q_count_overlaps_per_target,
@@ -385,9 +409,22 @@ def oracle_sql() -> dict[str, str]:
             ON {overlap}
             GROUP BY r.contig
         """,
+        "overlap_partitioned_selective": f"""
+            WITH {reads}, {targets}
+            SELECT t.contig AS contig, count(*) AS n_pairs
+            FROM reads r JOIN (SELECT * FROM targets WHERE t_id % 101 = 0) t
+            ON {overlap}
+            GROUP BY t.contig
+        """,
         "overlap_count_vanilla": f"""
             WITH {reads}, {targets}
             SELECT count(*) AS n_pairs FROM reads r JOIN targets t ON {overlap}
+        """,
+        "overlap_count_partitioned": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig, count(*) AS n_pairs
+            FROM reads r JOIN targets t ON {overlap}
+            GROUP BY r.contig
         """,
         "range_only_count": f"""
             WITH {reads}, {targets}

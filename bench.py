@@ -23,6 +23,7 @@ import __spark_entry__ as entry  # noqa: E402
 
 HEADLINE = [
     "overlap_count_per_contig",   # binned interval join (scale path)
+    "overlap_partitioned_selective",  # cogroup per-key index join
     "overlap_small_build_index",  # broadcast-index join (CollectLeft case)
     "overlap_strict_count",       # strict-predicate normalization
     "range_only_count",           # keyless interval join
@@ -32,6 +33,11 @@ HEADLINE = [
     "top_orders",                 # 3-way join + top-k
     "brand_volume",               # broadcast join + agg
     "events_hourly",              # time-bucketed aggregation
+    "exact_dup_clusters",         # exact dedup (hash groupBy)
+    "minhash_near_dups",          # MinHash-LSH near-dup candidates + verify
+    "embedding_topk",             # brute-force cosine top-k
+    "lsh_ann_topk",               # LSH-bucketed approximate top-k
+    "doc_text_stats",             # text quality features
 ]
 
 

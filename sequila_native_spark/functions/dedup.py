@@ -108,6 +108,33 @@ def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
     )
 
 
+def shingles_fast(col: Column, n: int = 3) -> Column:
+    """pandas twin of :func:`shingles` (same output, C-speed string ops).
+
+    Preserves first-occurrence order like Spark's ``array_distinct`` /
+    DuckDB's ``list_distinct``."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return sh(col)
+
+
 def minhash_signature_fast(col: Column, k: int = 8, n: int = 3) -> Column:
     """Same hash family as :func:`minhash_signature`, computed in an
     Arrow-batched pandas UDF.
@@ -180,7 +207,7 @@ def minhash_pairs(
     ).where(F.size("__sq_sig") > 0)
     sh_base = src.select(
         F.col(id_col).alias("__sq_id"),
-        shingles(F.col(text_col), n).alias("__sq_sh"),
+        shingles_fast(F.col(text_col), n).alias("__sq_sh"),
     )
     banded = base.select(
         "__sq_id",

@@ -158,6 +158,54 @@ def add_lsh_bucket(
     return ensure_parallel(df).mapInPandas(assign, schema=out_schema)
 
 
+def _multi_table_buckets(
+    df: DataFrame,
+    out_id: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(id, table, bucket) rows for every LSH table — ONE Arrow pass instead
+    of one UDF invocation per table."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    out_schema = StructType(
+        [
+            StructField(out_id, df.schema[id_col].dataType, True),
+            StructField("__sq_table", LongType(), False),
+            StructField("__sq_bkt", LongType(), False),
+        ]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            # (n_tables, n, n_planes) signs → (n_tables, n) bucket ids
+            signs = np.einsum("nd,tpd->tnp", mat, planes) > 0
+            buckets = (signs * weights).sum(axis=2)
+            n = len(pdf)
+            ids = np.tile(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame(
+                {
+                    out_id: ids,
+                    "__sq_table": np.repeat(np.arange(n_tables, dtype=np.int64), n),
+                    "__sq_bkt": buckets.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -172,24 +220,29 @@ def lsh_ann_topk(
     """Approximate top-k via multi-table sign-LSH, exact re-rank of candidates.
 
     ``n_tables`` independent plane sets; a corpus vector is a candidate if it
-    shares a bucket with the query in ANY table (union of equi-joins — the
-    standard recall/cost dial). Candidates then get exact cosine + window
-    rank. Output schema matches :func:`cosine_topk` (query_id, neighbor_id,
-    rank), so recall is directly measurable against the exact baseline.
+    shares a bucket with the query in ANY table (a single equi-join on
+    ``(table, bucket)`` — the standard recall/cost dial). Candidates then get
+    exact cosine + window rank. Output schema matches :func:`cosine_topk`
+    (query_id, neighbor_id, rank), so recall is directly measurable against
+    the exact baseline.
     """
-    cands = None
-    for t in range(n_tables):
-        cb = add_lsh_bucket(
-            corpus.select(id_col, vec_col), vec_col=vec_col,
-            n_planes=n_planes, seed=seed + t, out_col="__sq_bkt",
-        ).select(F.col(id_col).alias("neighbor_id"), "__sq_bkt")
-        qb = add_lsh_bucket(
-            queries.select(id_col, vec_col), vec_col=vec_col,
-            n_planes=n_planes, seed=seed + t, out_col="__sq_bkt",
-        ).select(F.col(id_col).alias("query_id"), "__sq_bkt")
-        pairs = cb.join(F.broadcast(qb), "__sq_bkt").select("query_id", "neighbor_id")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot infer embedding dim from an empty corpus")
+    dim = first["d"]
+    opts = dict(
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim,
+    )
+    cb = _multi_table_buckets(
+        ensure_parallel(corpus.select(id_col, vec_col)), "neighbor_id", **opts
+    )
+    qb = _multi_table_buckets(queries.select(id_col, vec_col), "query_id", **opts)
+    cands = (
+        cb.join(F.broadcast(qb), ["__sq_table", "__sq_bkt"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     e = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__sq_v")

@@ -67,6 +67,51 @@ _RS, _RE = "__sq_rs", "__sq_re"
 _LBIN, _RBIN = "__sq_lbin", "__sq_rbin"
 
 
+def _probe_spans(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    runmax: np.ndarray,
+    qs: np.ndarray,
+    qe: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized superintervals probe.
+
+    For probe row i, candidates live in ``[lo[i], hi[i])`` of the
+    start-sorted build arrays: ``hi = searchsorted(starts, qe, 'right')``,
+    ``lo = searchsorted(runmax, qs, 'left')`` (running max of ends is
+    non-decreasing ⇒ binary-searchable; clamping at ``hi`` makes the
+    full-array search equivalent to ``runmax[:hi]``). Returns
+    ``(build_pos, probe_pos)`` index arrays of exact matches after the
+    ``ends >= qs`` mask.
+    """
+    hi = np.searchsorted(starts, qe, side="right")
+    lo = np.minimum(np.searchsorted(runmax, qs, side="left"), hi)
+    spans = hi - lo
+    tot = int(spans.sum())
+    if tot == 0:
+        return _EMPTY_I64, _EMPTY_I64
+    n = len(qs)
+    probe_rep = np.repeat(np.arange(n), spans)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(spans[:-1], out=offsets[1:])
+    cand = np.arange(tot, dtype=np.int64) - offsets[probe_rep] + lo[probe_rep]
+    hit = ends[cand] >= qs[probe_rep]
+    return cand[hit], probe_rep[hit]
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _sorted_build_arrays(
+    starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Start-sorted arrays + running-max ends + original-order map."""
+    order = np.argsort(starts, kind="stable")
+    starts = starts[order]
+    ends = ends[order]
+    return starts, ends, np.maximum.accumulate(ends), order
+
+
 def _disambiguate(
     left: DataFrame, right: DataFrame, rsuffix: str
 ) -> tuple[DataFrame, dict[str, str]]:
@@ -196,6 +241,9 @@ def overlap_join(
     if algo == "index":
         return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols)
 
+    if algo == "partitioned":
+        return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
+
     raise AssertionError(f"unreachable algorithm {algo}")
 
 
@@ -258,6 +306,71 @@ def _binning_join(
     return _binned_pairs(lb, rb, l_keys, r_keys, width).select(*out_cols)
 
 
+def _cogroup_index_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    l_keys: tuple[str, ...] | list[str],
+    r_keys: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """Partitioned-mode analogue (``interval_join.rs:391-398,488-503``):
+    shuffle BOTH sides by the equi-keys, build a per-key index and probe it
+    inside ``cogroup().applyInPandas``.
+
+    The right algorithm when the build side is too big to broadcast but no
+    single key group dominates: per-task memory is bounded by the largest
+    key group, and there is exactly one shuffle per side (the same
+    distribution requirement the reference's Partitioned mode declares).
+    Keyless calls degenerate to one group — use ``binning`` there.
+    """
+    if not l_keys:
+        # reference injects lit(1)=lit(1) (sequila_physical_planner.rs:136),
+        # which would serialize everything into one task here — broadcast
+        # index has the same memory shape with full probe parallelism
+        return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols)
+
+    # SQL equality semantics: null keys never match — drop before cogroup
+    # (cogroup would otherwise pair the two null groups)
+    lb = lb.na.drop(subset=list(l_keys))
+    rb = rb.na.drop(subset=list(r_keys))
+
+    from pyspark.sql.types import StructType
+
+    left_cols = [c for c in out_cols if c in lb.columns]
+    right_cols = [c for c in out_cols if c not in lb.columns]
+    out_schema = StructType(
+        list(lb.select(*left_cols).schema.fields)
+        + list(rb.select(*right_cols).schema.fields)
+    )
+
+    def join_group(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(l_pdf) or not len(r_pdf):
+            return pd.DataFrame(columns=[*left_cols, *right_cols])
+        lv = l_pdf[l_pdf[_LS].notna() & l_pdf[_LE].notna()]
+        rv = r_pdf[r_pdf[_RS].notna() & r_pdf[_RE].notna()]
+        if not len(lv) or not len(rv):
+            return pd.DataFrame(columns=[*left_cols, *right_cols])
+        starts, ends, runmax, order = _sorted_build_arrays(
+            lv[_LS].to_numpy(np.int64), lv[_LE].to_numpy(np.int64)
+        )
+        cand, probe_rep = _probe_spans(
+            starts, ends, runmax,
+            rv[_RS].to_numpy(np.int64), rv[_RE].to_numpy(np.int64),
+        )
+        if not cand.size:
+            return pd.DataFrame(columns=[*left_cols, *right_cols])
+        l_part = lv[left_cols].iloc[order[cand]].reset_index(drop=True)
+        r_part = rv[right_cols].iloc[probe_rep].reset_index(drop=True)
+        return pd.concat([l_part, r_part], axis=1)
+
+    return (
+        lb.groupBy(*l_keys)
+        .cogroup(rb.groupBy(*r_keys))
+        .applyInPandas(join_group, schema=out_schema)
+        .select(*out_cols)
+    )
+
+
 def _broadcast_index_join(
     lb: DataFrame,
     rb: DataFrame,
@@ -280,6 +393,8 @@ def _broadcast_index_join(
     reference's ``OnceAsync`` shared build (``joins/utils.rs:73-107``).
     """
     spark = lb.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    max_batch = 100_000 if conf.low_memory else 1_000_000
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
 
@@ -296,13 +411,10 @@ def _broadcast_index_join(
         for key, grp in group_iter:
             if l_keys and not isinstance(key, tuple):
                 key = (key,)
-            starts = grp[_LS].to_numpy(np.int64)
-            ends = grp[_LE].to_numpy(np.int64)
-            order = np.argsort(starts, kind="stable")
-            starts = starts[order]
-            ends = ends[order]
-            row_idx = grp.index.to_numpy()[order]
-            index[key] = (starts, ends, np.maximum.accumulate(ends), row_idx)
+            starts, ends, runmax, order = _sorted_build_arrays(
+                grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
+            )
+            index[key] = (starts, ends, runmax, grp.index.to_numpy()[order])
 
     left_out = left_pdf[left_cols]
     bc = spark.sparkContext.broadcast((index, left_out))
@@ -343,33 +455,22 @@ def _broadcast_index_join(
                     continue
                 starts, ends, runmax, row_idx = entry
                 pos = pdf.index.get_indexer(grp.index)
-                qs = qs_all[pos]
-                qe = qe_all[pos]
-                # Fully vectorized superintervals probe: candidates for row i
-                # live in [lo[i], hi[i]) of the start-sorted arrays. Searching
-                # the full runmax (not runmax[:hi]) is equivalent: runmax is
-                # non-decreasing, so lo >= hi simply yields an empty span.
-                hi = np.searchsorted(starts, qe, side="right")
-                lo = np.minimum(np.searchsorted(runmax, qs, side="left"), hi)
-                spans = hi - lo
-                tot = int(spans.sum())
-                if tot == 0:
-                    continue
-                probe_rep = np.repeat(np.arange(len(pos)), spans)
-                offsets = np.zeros(len(pos), dtype=np.int64)
-                np.cumsum(spans[:-1], out=offsets[1:])
-                cand = np.arange(tot, dtype=np.int64) - offsets[probe_rep] + lo[probe_rep]
-                hit = ends[cand] >= qs[probe_rep]
-                if not hit.any():
-                    continue
-                build_take.append(row_idx[cand[hit]])
-                probe_take.append(pos[probe_rep[hit]])
+                cand, probe_rep = _probe_spans(
+                    starts, ends, runmax, qs_all[pos], qe_all[pos]
+                )
+                if cand.size:
+                    build_take.append(row_idx[cand])
+                    probe_take.append(pos[probe_rep])
             if not build_take:
                 continue
             b_idx = np.concatenate(build_take)
             p_idx = np.concatenate(probe_take)
-            l_part = build_pdf.take(b_idx).reset_index(drop=True)
-            r_part = pdf[right_cols].iloc[p_idx].reset_index(drop=True)
-            yield pd.concat([l_part, r_part], axis=1)
+            # A8 analogue: cap emitted batch size so huge per-batch match
+            # counts don't balloon Arrow buffers (interval_join.rs:550-555,
+            # default 100k rows; :1439-1540 1M full-mode cap)
+            for s in range(0, len(b_idx), max_batch):
+                l_part = build_pdf.take(b_idx[s : s + max_batch]).reset_index(drop=True)
+                r_part = pdf[right_cols].iloc[p_idx[s : s + max_batch]].reset_index(drop=True)
+                yield pd.concat([l_part, r_part], axis=1)
 
     return rb.mapInPandas(probe, schema=out_schema).select(*out_cols)

@@ -47,6 +47,7 @@ from sequila_native_spark.operators.interval_join import (
     _RE,
     _RS,
     _disambiguate,
+    _probe_spans,
     _with_bounds,
 )
 from sequila_native_spark.operators.intervals import validate_sides
@@ -146,7 +147,14 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
             order = np.lexsort((ends, starts))  # (start, end) lexicographic
             starts, ends = starts[order], ends[order]
             row_idx = grp.index.to_numpy()[order]
-            index[key] = (starts, ends, np.maximum.accumulate(ends), row_idx)
+            runmax = np.maximum.accumulate(ends)
+            # first position achieving each running max (strict > keeps the
+            # earliest, i.e. lex-min, occurrence) — the left-flank witness
+            newmax = ends > np.concatenate(([np.iinfo(np.int64).min], runmax[:-1]))
+            argmax_first = np.maximum.accumulate(
+                np.where(newmax, np.arange(len(ends)), -1)
+            )
+            index[key] = (starts, ends, runmax, argmax_first, row_idx)
 
     left_out = left_pdf[left_cols]
     bc = spark.sparkContext.broadcast((index, left_out))
@@ -174,34 +182,52 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
                 entry = idx_map.get(key)
                 if entry is None:
                     continue
-                starts, ends, runmax, row_idx = entry
+                starts, ends, runmax, argmax_first, row_idx = entry
                 n = len(starts)
-                for p in pdf.index.get_indexer(grp.index):
-                    if has_null[p]:
-                        continue
-                    qs, qe = qs_all[p], qe_all[p]
-                    hi = int(np.searchsorted(starts, qe, side="right"))
-                    if hi > 0:
-                        lo = int(np.searchsorted(runmax[:hi], qs, side="left"))
-                        if lo < hi:
-                            seg = np.nonzero(ends[lo:hi] >= qs)[0]
-                            if seg.size:
-                                # overlap: min (start,end) in lex order = first hit
-                                build_take[p] = row_idx[lo + seg[0]]
-                                continue
-                    # no overlap — true nearest on both flanks
-                    best = None  # (dist, start, end, row)
-                    if hi > 0:
-                        max_end = runmax[hi - 1]
-                        cand = np.nonzero(ends[:hi] == max_end)[0][0]
-                        best = (qs - max_end, starts[cand], ends[cand], row_idx[cand])
-                    if hi < n:
-                        d = starts[hi] - qe
-                        c = (d, starts[hi], ends[hi], row_idx[hi])
-                        if best is None or (c[0], c[1], c[2]) < (best[0], best[1], best[2]):
-                            best = c
-                    if best is not None:
-                        build_take[p] = best[3]
+                pos = pdf.index.get_indexer(grp.index)
+                pos = pos[~has_null[pos]]
+                if not pos.size:
+                    continue
+                qs = qs_all[pos]
+                qe = qe_all[pos]
+                # overlap-first (IRanges): candidates in [lo, hi); positions
+                # are (start, end)-lex-sorted so the FIRST masked candidate
+                # per probe row is the deterministic lex-min overlap
+                cand, probe_rep = _probe_spans(starts, ends, runmax, qs, qe)
+                if cand.size:
+                    uniq, first_idx = np.unique(probe_rep, return_index=True)
+                    build_take[pos[uniq]] = row_idx[cand[first_idx]]
+                    overlapped = np.zeros(len(pos), dtype=bool)
+                    overlapped[uniq] = True
+                    rest = ~overlapped
+                else:
+                    rest = np.ones(len(pos), dtype=bool)
+                if not rest.any():
+                    continue
+                # no-overlap rows: true nearest on both flanks, vectorized
+                rqs, rqe, rpos = qs[rest], qe[rest], pos[rest]
+                hi = np.searchsorted(starts, rqe, side="right")
+                big = np.iinfo(np.int64).max
+                # left flank: the interval with max end among starts <= qe
+                has_l = hi > 0
+                wl = np.where(has_l, argmax_first[np.maximum(hi - 1, 0)], 0)
+                dist_l = np.where(has_l, rqs - runmax[np.maximum(hi - 1, 0)], big)
+                sl = np.where(has_l, starts[wl], big)
+                el = np.where(has_l, ends[wl], big)
+                # right flank: the first interval starting after qe
+                has_r = hi < n
+                wr = np.where(has_r, np.minimum(hi, n - 1), 0)
+                dist_r = np.where(has_r, starts[wr] - rqe, big)
+                sr = np.where(has_r, starts[wr], big)
+                er = np.where(has_r, ends[wr], big)
+                # lexicographic min of (dist, start, end) across the flanks
+                take_left = (dist_l < dist_r) | (
+                    (dist_l == dist_r)
+                    & ((sl < sr) | ((sl == sr) & (el <= er)))
+                )
+                winner = np.where(take_left, wl, wr)
+                valid_any = has_l | has_r
+                build_take[rpos[valid_any]] = row_idx[winner[valid_any]]
             # -1 is not a label in build_pdf's RangeIndex ⇒ reindex yields an
             # all-null row: the reference's null-left padding for probe rows
             # whose key group has no build rows (integration_test.rs:385-394).

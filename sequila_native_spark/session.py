@@ -43,6 +43,8 @@ _ALGORITHM_ALIASES = {
     "none": "naive",
     "binning": "binning",
     "index": "index",
+    "partitioned": "partitioned",
+    "cogroup": "partitioned",
     "coitrees": "index",
     "intervaltree": "index",
     "arrayintervaltree": "index",
