@@ -273,6 +273,15 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (session_window) run in batch mode; the
+    # streaming twin is sequila_native_spark.streaming.sessionize
+    from sequila_native_spark.streaming import sessionize
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    return sessionize(ev, gap="30 minutes")
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
@@ -367,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "brand_volume": q_brand_volume,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "events_json": q_events_json,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_dist": q_doc_lang_dist,
@@ -503,6 +513,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, ts, value FROM events WHERE user_id % 20 = 0
+            ),
+            m AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM s GROUP BY user_id, sid
+        """,
         "events_json": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -518,13 +553,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CAST(length(text) AS BIGINT) AS n_chars,
                        CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
                        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
                        CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT) AS ttr_milli,
                        CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS stop_milli
                 FROM t
             )
-            SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, ttr_milli,
-                   stop_milli, ttr_milli + stop_milli AS quality_milli
+            SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_distinct_tokens,
+                   ttr_milli, stop_milli, ttr_milli + stop_milli AS quality_milli
             FROM f
         """,
         "doc_lang_dist": f"""

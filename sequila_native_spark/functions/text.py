@@ -32,6 +32,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish subword segmentation proxy: alpha runs count 1, each digit counts
+# 1, each other non-space symbol counts 1 — the shape of byte-pair vocab
+# behavior (words mostly whole, numbers split per digit, punctuation split).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Approximate LLM-token count via the BPE-ish regex (JVM-side).
+
+    SQL twin: ``len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))``.
+    """
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     """Number of token occurrences that are stopwords of ``lang``."""
     stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -56,6 +70,7 @@ def quality_features(col: Column) -> dict[str, Column]:
     return {
         "n_chars": F.length(col).cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
+        "n_bpe_tokens": token_count_bpe(col).cast("bigint"),
         "n_distinct_tokens": n_distinct.cast("bigint"),
         "ttr_milli": ttr,
         "stop_milli": stop,

@@ -168,6 +168,27 @@ def _bin_of(col: Column, width: int) -> Column:
     return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
 
 
+def _auto_bin_width(lb: DataFrame, rb: DataFrame) -> int:
+    """Pick the bin width from the data: ≈ p95 interval length of both sides.
+
+    DESIGN.md math: rows explode by ``1 + len/W`` and candidate false
+    positives grow with ``W``; ``W ≈ p95(len)`` keeps both terms ~1×. Costs
+    one pass over the two bound columns per side (column-pruned scan —
+    cheap relative to the join itself). Clamped to [16, 2^20].
+    """
+    p = 0.95
+    widths = []
+    for df, s, e in ((lb, _LS, _LE), (rb, _RS, _RE)):
+        row = df.select(
+            F.percentile_approx(F.col(e) - F.col(s) + 1, p).alias("w")
+        ).first()
+        if row is not None and row["w"] is not None:
+            widths.append(int(row["w"]))
+    if not widths:
+        return 1 << 12
+    return max(16, min(1 << 20, max(widths)))
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -183,6 +204,7 @@ def overlap_join(
     bin_width: int | None = None,
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
+    metrics=None,
     _shrink_left_end: bool | None = None,
     _shrink_right_end: bool | None = None,
 ) -> DataFrame:
@@ -239,7 +261,7 @@ def overlap_join(
         return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
 
     if algo == "index":
-        return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols)
+        return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols, metrics)
 
     if algo == "partitioned":
         return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
@@ -271,6 +293,9 @@ def _binned_pairs(
 
     Returns the joined-and-filtered DataFrame with all columns of both sides.
     """
+    if width == "auto" or width is None:
+        width = _auto_bin_width(lb, rb)
+    width = int(width)
     l_bins = F.sequence(
         _bin_of(F.col(_LS), width),
         F.greatest(_bin_of(F.col(_LS), width), _bin_of(F.col(_LE), width)),
@@ -377,6 +402,7 @@ def _broadcast_index_join(
     l_keys: tuple[str, ...] | list[str],
     r_keys: list[str],
     out_cols: list[str],
+    metrics=None,
 ) -> DataFrame:
     """CollectLeft-style broadcast index + mapInPandas probe.
 
@@ -392,12 +418,15 @@ def _broadcast_index_join(
     every probe partition shares the one broadcast build, the analogue of the
     reference's ``OnceAsync`` shared build (``joins/utils.rs:73-107``).
     """
+    import time as _time
+
     spark = lb.sparkSession
     conf = SequilaConf.from_spark(spark)
     max_batch = 100_000 if conf.low_memory else 1_000_000
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
 
+    build_t0 = _time.time()
     left_pdf = lb.toPandas()
     index: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
@@ -426,12 +455,18 @@ def _broadcast_index_join(
         + list(rb.select(*right_cols).schema.fields)
     )
 
+    if metrics is not None:
+        metrics.record_build(len(left_pdf), build_t0)
+
     rk_list = list(r_keys)
     rb = _ensure_parallel(rb, [])  # round-robin: probe-side parallelism, no skew
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_map, build_pdf = bc.value
         for pdf in batches:
+            if metrics is not None:
+                metrics.probe_batches.add(1)
+                metrics.probe_input_rows.add(len(pdf))
             if pdf.empty or not idx_map:
                 continue
             ok = pdf[_RS].notna() & pdf[_RE].notna()
@@ -465,6 +500,8 @@ def _broadcast_index_join(
                 continue
             b_idx = np.concatenate(build_take)
             p_idx = np.concatenate(probe_take)
+            if metrics is not None:
+                metrics.output_rows.add(len(b_idx))
             # A8 analogue: cap emitted batch size so huge per-batch match
             # counts don't balloon Arrow buffers (interval_join.rs:550-555,
             # default 100k rows; :1439-1540 1M full-mode cap)

@@ -70,7 +70,7 @@ class SequilaConf:
 
     prefer_interval_join: bool = True
     algorithm: str = DEFAULT_ALGORITHM
-    bin_width: int = DEFAULT_BIN_WIDTH
+    bin_width: int | str = DEFAULT_BIN_WIDTH  # int or "auto" (p95 of lengths)
     low_memory: bool = False
     check_int32_bounds: bool = True
 
@@ -85,10 +85,11 @@ class SequilaConf:
             # sequila.prefer_interval_join=false ⇒ vanilla join plan
             # (sequila_physical_planner.rs:36-39).
             algorithm = "naive"
+        raw_width = _get(INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH)).strip().lower()
         return cls(
             prefer_interval_join=prefer,
             algorithm=algorithm,
-            bin_width=int(_get(INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH))),
+            bin_width="auto" if raw_width == "auto" else int(raw_width),
             low_memory=_get(INTERVAL_JOIN_LOW_MEMORY, "false").lower() == "true",
             check_int32_bounds=_get(CHECK_INT32_BOUNDS, "true").lower() == "true",
         )
