@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sequila_native_spark import count_overlaps, nearest_join, overlap_join
+from sequila_native_spark import count_overlaps, coverage, nearest_join, overlap_join
 from sequila_native_spark.functions import (
     attach_binary,
     cosine_topk,
@@ -192,6 +192,14 @@ def q_count_overlaps_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12 coverage kernel as an operator: overlap count + clipped-base sum
+    return coverage(
+        _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+        on="contig", **_IVL, algorithm="binning",
+    )
+
+
 def q_nearest_target_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5: for each target exactly one read — overlapping else nearest,
     # deterministic (distance, start, end) tie-break. Probe side sampled
@@ -350,6 +358,16 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: k-means coarse quantizer is iterative (not SQL)
+    from sequila_native_spark.functions import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -371,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_only_count": q_range_only_count,
         "overlap_strict_count": q_overlap_strict_count,
         "count_overlaps_per_target": q_count_overlaps_per_target,
+        "coverage_per_target": q_coverage_per_target,
         "nearest_target_read": q_nearest_target_read,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -387,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "simhash_docs": q_simhash_docs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -454,6 +474,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {reads}, {targets}
             SELECT t.contig, t.t_start, t.t_end, t.t_id,
                    count(r.contig) AS n_overlaps
+            FROM targets t LEFT JOIN reads r ON {overlap}
+            GROUP BY t.contig, t.t_start, t.t_end, t.t_id
+        """,
+        "coverage_per_target": f"""
+            WITH {reads}, {targets}
+            SELECT t.contig, t.t_start, t.t_end, t.t_id,
+                   count(r.contig) AS n_overlaps,
+                   CAST(coalesce(sum(
+                       CASE WHEN r.contig IS NULL THEN NULL
+                            ELSE least(r.r_end, t.t_end)
+                                 - greatest(r.r_start, t.t_start) + 1 END
+                   ), 0) AS BIGINT) AS bases_covered
             FROM targets t LEFT JOIN reads r ON {overlap}
             GROUP BY t.contig, t.t_start, t.t_end, t.t_id
         """,

@@ -28,6 +28,7 @@ HEADLINE = [
     "overlap_strict_count",       # strict-predicate normalization
     "range_only_count",           # keyless interval join
     "count_overlaps_per_target",  # per-probe overlap counts
+    "coverage_per_target",        # overlap count + clipped-base coverage
     "nearest_target_read",        # nearest-interval join
     "pricing_summary",            # relational aggregation
     "top_orders",                 # 3-way join + top-k
@@ -37,6 +38,7 @@ HEADLINE = [
     "minhash_near_dups",          # MinHash-LSH near-dup candidates + verify
     "embedding_topk",             # brute-force cosine top-k
     "lsh_ann_topk",               # LSH-bucketed approximate top-k
+    "ivf_ann_topk",               # IVF (k-means cells) approximate top-k
     "doc_text_stats",             # text quality features
 ]
 

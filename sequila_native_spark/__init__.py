@@ -32,6 +32,7 @@ from sequila_native_spark.session import (
 from sequila_native_spark.operators.interval_join import overlap_join
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
+from sequila_native_spark.operators.coverage import coverage
 from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
@@ -44,6 +45,7 @@ __all__ = [
     "overlap_join",
     "nearest_join",
     "count_overlaps",
+    "coverage",
     "overlap_join_on",
     "parse_overlap_condition",
 ]

@@ -25,6 +25,7 @@ from sequila_native_spark.functions.dedup import (
 from sequila_native_spark.functions.similarity import (
     cosine,
     cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
     near_dup_pairs,
 )
@@ -38,6 +39,6 @@ __all__ = [
     "tokens", "token_count", "quality_features", "lang_id", "fingerprint",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_pairs", "simhash64", "simhash_pairs",
-    "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk",
+    "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",
 ]

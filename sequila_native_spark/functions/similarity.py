@@ -115,6 +115,84 @@ def near_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means coarse
+    quantizer → corpus partitioned into cells → each query probes its
+    ``n_probe`` nearest cells → exact cosine re-rank of those cells only.
+
+    The complementary scale path to :func:`lsh_ann_topk`: training costs one
+    k-means pass (sampled), search reads ``n_probe/n_cells`` of the corpus.
+    Output schema matches :func:`cosine_topk` so recall is measurable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = ensure_parallel(corpus.select(vec_col)).withColumn(
+        "__sq_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__sq_feat").fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _cells(n: int):
+        @F.pandas_udf(ArrayType(LongType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            c = bc_centers.value
+            c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c_norm.T
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(top.astype(np.int64)))
+
+        return assign
+
+    e_cells = ensure_parallel(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_cells(1)(F.col(vec_col)), 1).alias("__sq_cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_cells(n_probe)(F.col(vec_col))).alias("__sq_cell"),
+    )
+    cands = (
+        e_cells.join(F.broadcast(q_cells), "__sq_cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__sq_v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__sq_qv")
+    )
+    scored = (
+        cands.join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("__sq_cos", cosine(F.col("__sq_v"), F.col("__sq_qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed ⇒ reproducible buckets)."""
     rng = np.random.RandomState(seed)

@@ -1,0 +1,59 @@
+"""Coverage operator + IVF ANN tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark import coverage
+from sequila_native_spark.functions import cosine_topk, ivf_ann_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "binning"])
+def test_coverage_golden(spark, reads, targets, algorithm):
+    out = coverage(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        algorithm=algorithm, bin_width=1000,
+    )
+    got = {
+        (r["contig"], r["pos_start"]): (r["n_overlaps"], r["bases_covered"])
+        for r in out.collect()
+    }
+    assert len(got) == 10  # every target survives
+    # chr1 100-190: overlapped by reads (150,250) and (190,300):
+    # clip(150..190)=41 bases, clip(190..190)=1 base
+    assert got[("chr1", 100)] == (2, 42)
+    # chr1 22100-22100: 1-base target inside read 22000-22300 → 1 base
+    assert got[("chr1", 22100)] == (1, 1)
+    # chr1 10000-20000: read 15000-15000 is a point → 1 base
+    assert got[("chr1", 10000)] == (1, 1)
+    # chr2 400-600 covered by (300,500) → 101 and (500,700) → 101
+    assert got[("chr2", 400)] == (2, 202)
+
+
+def test_coverage_zero_rows_survive(spark):
+    build = spark.createDataFrame([("c1", 1, 5)], "contig string, start int, end int")
+    probe = spark.createDataFrame([("cX", 1, 5)], "contig string, start int, end int")
+    out = coverage(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        bin_width=10,
+    )
+    row = out.collect()[0]
+    assert (row["n_overlaps"], row["bases_covered"]) == (0, 0)
+
+
+def test_ivf_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx_df = ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=8)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    assert all((q, q) in approx for q in range(8))  # self always in own cell
