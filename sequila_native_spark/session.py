@@ -86,10 +86,18 @@ class SequilaConf:
             # (sequila_physical_planner.rs:36-39).
             algorithm = "naive"
         raw_width = _get(INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH)).strip().lower()
+        if raw_width != "auto":
+            try:
+                raw_width = int(raw_width)
+            except ValueError:
+                raise ValueError(
+                    f"{INTERVAL_JOIN_BIN_WIDTH} must be a positive integer or "
+                    f"'auto', got {raw_width!r}"
+                ) from None
         return cls(
             prefer_interval_join=prefer,
             algorithm=algorithm,
-            bin_width="auto" if raw_width == "auto" else int(raw_width),
+            bin_width=raw_width,
             low_memory=_get(INTERVAL_JOIN_LOW_MEMORY, "false").lower() == "true",
             check_int32_bounds=_get(CHECK_INT32_BOUNDS, "true").lower() == "true",
         )
