@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sequila_native_spark import count_overlaps, coverage, nearest_join, overlap_join
+from sequila_native_spark import (
+    count_overlaps,
+    coverage,
+    nearest_join,
+    overlap_join,
+    union_coverage,
+)
 from sequila_native_spark.functions import (
     attach_binary,
     cosine_topk,
@@ -197,6 +203,14 @@ def q_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
         on="contig", **_IVL, algorithm="binning",
+    )
+
+
+def q_union_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # breadth of coverage: distinct covered bases (merged-interval sweep)
+    return union_coverage(
+        _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+        on="contig", **_IVL,
     )
 
 
@@ -390,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_strict_count": q_overlap_strict_count,
         "count_overlaps_per_target": q_count_overlaps_per_target,
         "coverage_per_target": q_coverage_per_target,
+        "union_coverage_per_target": q_union_coverage_per_target,
         "nearest_target_read": q_nearest_target_read,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -488,6 +503,31 @@ def oracle_sql() -> dict[str, str]:
                    ), 0) AS BIGINT) AS bases_covered
             FROM targets t LEFT JOIN reads r ON {overlap}
             GROUP BY t.contig, t.t_start, t.t_end, t.t_id
+        """,
+        "union_coverage_per_target": f"""
+            WITH {reads}, {targets},
+            pairs AS (
+                SELECT t.t_id,
+                       greatest(r.r_start, t.t_start) AS cs,
+                       least(r.r_end, t.t_end) AS ce
+                FROM targets t JOIN reads r ON {overlap}
+            ),
+            sweep AS (
+                SELECT t_id, cs, ce,
+                       max(ce) OVER (
+                           PARTITION BY t_id ORDER BY cs, ce
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS pm
+                FROM pairs
+            ),
+            agg AS (
+                SELECT t_id,
+                       CAST(sum(greatest(0, ce - greatest(cs - 1, coalesce(pm, cs - 1)))) AS BIGINT) AS bases_union
+                FROM sweep GROUP BY t_id
+            )
+            SELECT t.contig, t.t_start, t.t_end, t.t_id,
+                   CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
+            FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
         """,
         "nearest_target_read": f"""
             WITH {reads}, {targets},

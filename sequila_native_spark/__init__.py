@@ -32,7 +32,7 @@ from sequila_native_spark.session import (
 from sequila_native_spark.operators.interval_join import overlap_join
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
-from sequila_native_spark.operators.coverage import coverage
+from sequila_native_spark.operators.coverage import coverage, union_coverage
 from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
@@ -46,6 +46,7 @@ __all__ = [
     "nearest_join",
     "count_overlaps",
     "coverage",
+    "union_coverage",
     "overlap_join_on",
     "parse_overlap_condition",
 ]

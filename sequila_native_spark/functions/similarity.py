@@ -137,10 +137,13 @@ def ivf_ann_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = ensure_parallel(corpus.select(vec_col)).withColumn(
+    # coarse-quantizer training: k-means iterates maxIter times over the
+    # train set — few fat partitions beat many tiny ones (per-iteration task
+    # scheduling dominates otherwise); at real scale pass a sampled corpus
+    train = corpus.select(vec_col).coalesce(8).withColumn(
         "__sq_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__sq_feat").fit(train)
+    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="__sq_feat").fit(train)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
 

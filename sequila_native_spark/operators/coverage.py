@@ -20,7 +20,7 @@ aggregation on the probe id, left join back so zero-coverage rows survive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sequila_native_spark.operators.interval_join import (
@@ -94,4 +94,69 @@ def coverage(
         .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
         .withColumn(cover_col, F.coalesce(F.col(cover_col), F.lit(0)))
         .select(*right_out_cols, count_col, cover_col)
+    )
+
+
+def union_coverage(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None = None,
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    strict: bool = False,
+    bin_width: int | str | None = None,
+    cover_col: str = "bases_union",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Distinct covered bases per probe interval (breadth of coverage).
+
+    Unlike :func:`coverage` (aligned-base depth, double-counts overlapping
+    build intervals), this computes the size of the UNION of intersections —
+    the classic merged-interval sweep, expressed as a window: clip each
+    overlap to the probe, order by clipped start within the probe, and count
+    only bases past the running max of previous clipped ends. One window +
+    one aggregation, both partitioned on the probe id (exchange reused).
+    """
+    spark = left.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    width = bin_width if bin_width is not None else conf.bin_width
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+
+    sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
+    if cover_col in right.columns:
+        raise ValueError(f"output column {cover_col!r} already exists on right side")
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [p[1] for p in sides.on]
+    left = left.select(*dict.fromkeys([*l_keys, left_start, left_end]))
+    right_out_cols = list(right.columns)
+
+    lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
+    right = right.withColumn(_PID, F.monotonically_increasing_id())
+    rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
+
+    pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
+    cs = F.greatest(F.col(_LS), F.col(_RS))
+    ce = F.least(F.col(_LE), F.col(_RE))
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(cs.asc(), ce.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(ce).over(w)
+    new_bases = F.greatest(
+        F.lit(0).cast("bigint"),
+        (ce - F.greatest(cs - 1, F.coalesce(prev_max, cs - 1))).cast("bigint"),
+    )
+    aggs = (
+        pairs.withColumn("__sq_new", new_bases)
+        .groupBy(_PID)
+        .agg(F.sum("__sq_new").alias(cover_col))
+    )
+    return (
+        right.join(aggs, _PID, "left_outer")
+        .withColumn(cover_col, F.coalesce(F.col(cover_col), F.lit(0)))
+        .select(*right_out_cols, cover_col)
     )

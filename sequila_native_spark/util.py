@@ -16,6 +16,8 @@ def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> Dat
     With ``shuffle_cols`` the repartition is hash-keyed (so a following
     equi-join on those columns reuses the exchange); otherwise round-robin.
     """
+    if df.isStreaming:
+        return df  # no .rdd on streams; micro-batch sizing governs parallelism
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parallelism = spark.sparkContext.defaultParallelism

@@ -35,6 +35,56 @@ def test_coverage_golden(spark, reads, targets, algorithm):
     assert got[("chr2", 400)] == (2, 202)
 
 
+def test_union_coverage(spark):
+    from sequila_native_spark import union_coverage
+
+    # reads: [10,20] and [15,30] overlap each other; [50,60] disjoint
+    build = spark.createDataFrame(
+        [("c", 10, 20), ("c", 15, 30), ("c", 50, 60)],
+        "contig string, start int, end int",
+    )
+    probe = spark.createDataFrame(
+        [("c", 1, 100), ("c", 18, 55), ("c", 200, 300)],
+        "contig string, start int, end int",
+    )
+    out = union_coverage(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        bin_width=16,
+    )
+    got = {(r["contig"], r["start"]): r["bases_union"] for r in out.collect()}
+    # probe [1,100]: union of [10,30] (21 bases) + [50,60] (11) = 32
+    assert got[("c", 1)] == 32
+    # probe [18,55]: clips → [18,20]∪[18,30]=[18,30] (13) + [50,55] (6) = 19
+    assert got[("c", 18)] == 19
+    # probe [200,300]: nothing → 0 (row survives)
+    assert got[("c", 200)] == 0
+
+
+def test_union_vs_depth_coverage(spark, reads, targets):
+    from sequila_native_spark import union_coverage
+
+    depth = coverage(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end", bin_width=1000,
+    )
+    union = union_coverage(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end", bin_width=1000,
+    )
+    d = {(r["contig"], r["pos_start"]): r["bases_covered"] for r in depth.collect()}
+    u = {(r["contig"], r["pos_start"]): r["bases_union"] for r in union.collect()}
+    assert set(d) == set(u)
+    for k in d:
+        assert u[k] <= d[k]  # union never exceeds depth sum
+    # chr1 100-190 overlapped by (150,250),(190,300): union [150,190] = 41
+    # (depth counts 41 + 1 = 42 because base 190 is under two reads)
+    assert u[("chr1", 100)] == 41 and d[("chr1", 100)] == 42
+
+
 def test_coverage_zero_rows_survive(spark):
     build = spark.createDataFrame([("c1", 1, 5)], "contig string, start int, end int")
     probe = spark.createDataFrame([("cX", 1, 5)], "contig string, start int, end int")

@@ -85,6 +85,49 @@ def test_hourly_aggregates_stream_equals_batch(spark, events_batch):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def test_stream_static_overlap_join(spark, events_batch, tmp_path):
+    """The interval join runs on a STREAM probe against a static build side
+    (stream-static inner join — the streaming enrichment shape), producing
+    the same rows as the batch run."""
+    from sequila_native_spark import overlap_join
+
+    # static annotation intervals
+    build = spark.createDataFrame(
+        [("u0", 0, 20000), ("u1", 5000, 15000), ("u2", 0, 5000), ("u3", 30000, 49000)],
+        "contig string, pos_start int, pos_end int",
+    )
+
+    def to_intervals(ev):
+        return ev.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string")).alias("contig"),
+            (F.col("event_id") % 50000).cast("int").alias("pos_start"),
+            ((F.col("event_id") % 50000) + 100).cast("int").alias("pos_end"),
+        )
+
+    src = str(tmp_path / "ev_stream")
+    events_batch.write.mode("overwrite").parquet(src)
+
+    batch_out = overlap_join(
+        build, to_intervals(events_batch), on="contig", bin_width=4096
+    )
+    stream = read_event_stream(spark, src)
+    stream_joined = overlap_join(
+        build, to_intervals(stream), on="contig", bin_width=4096
+    )
+    assert stream_joined.isStreaming
+    q = (
+        stream_joined.writeStream.format("memory")
+        .queryName("stream_overlap_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rows_set(spark.table("stream_overlap_out"))
+    want = rows_set(batch_out)
+    assert got == want and sum(want.values()) > 0
+
+
 def test_sessionize_batch_sanity(spark, events_batch):
     sess = sessionize(events_batch, gap="30 minutes")
     out = sess.limit(2000).collect()
