@@ -306,6 +306,13 @@ def _binned_pairs(
     )
     le = _ensure_parallel(lb.withColumn(_LBIN, F.explode(l_bins)), [*l_keys, _LBIN])
     re_ = _ensure_parallel(rb.withColumn(_RBIN, F.explode(r_bins)), [*r_keys, _RBIN])
+    # High key multiplicity (hundreds of rows per (key, bin) on both sides)
+    # makes sort-merge emission the bottleneck once the small side outgrows
+    # the broadcast threshold; a shuffled-hash build probes straight out of a
+    # hash table instead. AQE still demotes to broadcast-hash at runtime when
+    # a side turns out small, so the local fast path is preserved.
+    le = le.hint("shuffle_hash")
+    re_ = re_.hint("shuffle_hash")
 
     cond = le[_LBIN] == re_[_RBIN]
     for k, rk in zip(l_keys, r_keys):

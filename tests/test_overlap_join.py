@@ -132,6 +132,28 @@ def test_int32_overflow_errors(spark, algorithm):
         out.collect()
 
 
+def test_skewed_key_distribution(spark):
+    # one contig holds ~95% of the data — the AQE-skew regime; all
+    # algorithms must stay correct (naive is ground truth)
+    rows = [("hot", i * 3, i * 3 + 20) for i in range(950)]
+    rows += [(f"c{i%10}", i * 7, i * 7 + 5) for i in range(50)]
+    left = spark.createDataFrame(rows, "contig string, start int, end int")
+    right = spark.createDataFrame(
+        [(c, s + 2, e + 9) for c, s, e in rows[::2]], "contig string, start int, end int"
+    )
+    results = {}
+    for algo in ALGORITHMS:
+        results[algo] = (
+            overlap_join(
+                left, right, on="contig",
+                left_start="start", left_end="end",
+                right_start="start", right_end="end",
+                algorithm=algo, bin_width=64,
+            ).count()
+        )
+    assert len(set(results.values())) == 1 and results["naive"] > 0
+
+
 def test_join_order_invariance(spark, reads, targets):
     a = rows_set(
         overlap_join(targets, reads, on="contig", algorithm="binning").select(

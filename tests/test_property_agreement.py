@@ -13,10 +13,11 @@ from sequila_native_spark import overlap_join
 from tests.conftest import rows_set
 
 # small coordinate domain → lots of overlaps, touching bounds, point
-# intervals, duplicates — the adversarial regime for bin/dedup logic
+# intervals, duplicates — the adversarial regime for bin/dedup logic;
+# negative starts exercise floor-division binning across zero
 interval = st.tuples(
     st.sampled_from(["c1", "c2"]),
-    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=-40, max_value=40),
     st.integers(min_value=0, max_value=15),
 )
 
