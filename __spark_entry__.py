@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from sequila_native_spark import (
     count_overlaps,
     coverage,
+    filter_by_overlap,
     nearest_join,
     overlap_join,
     union_coverage,
@@ -204,6 +205,30 @@ def q_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
         on="contig", **_IVL, algorithm="binning",
     )
+
+
+def q_reads_outside_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti overlap filter (bedtools intersect -v): reads overlapping no
+    # sampled target region, aggregated per contig
+    regions = _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0)
+    kept = filter_by_overlap(
+        _reads(spark, sf_dir), regions, on="contig",
+        df_start="r_start", df_end="r_end",
+        regions_start="t_start", regions_end="t_end",
+        negate=True,
+    )
+    return kept.groupBy("contig").agg(F.count(F.lit(1)).alias("n_reads"))
+
+
+def q_reads_inside_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi overlap filter (bedtools intersect -u)
+    regions = _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0)
+    kept = filter_by_overlap(
+        _reads(spark, sf_dir), regions, on="contig",
+        df_start="r_start", df_end="r_end",
+        regions_start="t_start", regions_end="t_end",
+    )
+    return kept.groupBy("contig").agg(F.count(F.lit(1)).alias("n_reads"))
 
 
 def q_union_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_overlaps_per_target": q_count_overlaps_per_target,
         "coverage_per_target": q_coverage_per_target,
         "union_coverage_per_target": q_union_coverage_per_target,
+        "reads_outside_targets": q_reads_outside_targets,
+        "reads_inside_targets": q_reads_inside_targets,
         "nearest_target_read": q_nearest_target_read,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -528,6 +555,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.contig, t.t_start, t.t_end, t.t_id,
                    CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
             FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
+        """,
+        "reads_outside_targets": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig, count(*) AS n_reads
+            FROM reads r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM targets t
+                WHERE t.t_id % 11 = 0 AND {overlap}
+            )
+            GROUP BY r.contig
+        """,
+        "reads_inside_targets": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig, count(*) AS n_reads
+            FROM reads r
+            WHERE EXISTS (
+                SELECT 1 FROM targets t
+                WHERE t.t_id % 11 = 0 AND {overlap}
+            )
+            GROUP BY r.contig
         """,
         "nearest_target_read": f"""
             WITH {reads}, {targets},

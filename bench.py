@@ -30,6 +30,7 @@ HEADLINE = [
     "count_overlaps_per_target",  # per-probe overlap counts
     "coverage_per_target",        # overlap count + clipped-base coverage
     "nearest_target_read",        # nearest-interval join
+    "reads_outside_targets",      # anti overlap filter (blacklist subtract)
     "pricing_summary",            # relational aggregation
     "top_orders",                 # 3-way join + top-k
     "brand_volume",               # broadcast join + agg

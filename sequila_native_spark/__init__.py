@@ -33,6 +33,7 @@ from sequila_native_spark.operators.interval_join import overlap_join
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
 from sequila_native_spark.operators.coverage import coverage, union_coverage
+from sequila_native_spark.operators.overlap_filter import filter_by_overlap
 from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
@@ -47,6 +48,7 @@ __all__ = [
     "count_overlaps",
     "coverage",
     "union_coverage",
+    "filter_by_overlap",
     "overlap_join_on",
     "parse_overlap_condition",
 ]

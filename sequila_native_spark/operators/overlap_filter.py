@@ -1,0 +1,88 @@
+"""Semi/anti overlap filtering — bedtools ``intersect -u`` / ``-v``.
+
+The reference's join-type enum declares Semi/Anti
+(``joins/utils.rs:496-521``) but its probe loop never implements their
+emission (SURVEY.md §2A note); this operator supplies the semantics the
+declaration promises, as the two most common interval-filter shapes:
+
+- ``filter_by_overlap(df, regions)`` — keep rows of ``df`` whose interval
+  overlaps at least one region (semi join);
+- ``negate=True`` — keep rows overlapping NO region (anti join; blacklist
+  subtraction).
+
+Scale shape: binned candidate join → distinct probe ids → Catalyst
+left-semi/left-anti join back. The pair set is never materialized wider
+than (id, id); at 100 TB this is two compact shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sequila_native_spark.operators.interval_join import (
+    _LE,
+    _LS,
+    _RE,
+    _RS,
+    _binned_pairs,
+    _with_bounds,
+)
+from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
+from sequila_native_spark.session import SequilaConf, parse_algorithm
+
+_PID = "__sq_probe_id"
+
+
+def filter_by_overlap(
+    df: DataFrame,
+    regions: DataFrame,
+    on: list[str] | str | None = None,
+    df_start: str = "pos_start",
+    df_end: str = "pos_end",
+    regions_start: str = "pos_start",
+    regions_end: str = "pos_end",
+    *,
+    negate: bool = False,
+    strict: bool = False,
+    algorithm: str | None = None,
+    bin_width: int | str | None = None,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Keep rows of ``df`` that overlap ≥1 ``regions`` interval in their
+    equi-key group (``negate=True``: keep rows overlapping none).
+
+    Returns ``df``'s rows unchanged (schema preserved, duplicates kept).
+    """
+    spark = df.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    width = bin_width if bin_width is not None else conf.bin_width
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+
+    # validate with df as the probe (right) side, regions as build (left)
+    sides = validate_sides(
+        regions, df, on, regions_start, regions_end, df_start, df_end
+    )
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [p[1] for p in sides.on]
+    regions = regions.select(
+        *dict.fromkeys([*l_keys, regions_start, regions_end])
+    )
+    out_cols = list(df.columns)
+
+    lb = _with_bounds(regions, regions_start, regions_end, _LS, _LE, strict, check)
+    probe = df.withColumn(_PID, F.monotonically_increasing_id())
+    rb = _with_bounds(probe, df_start, df_end, _RS, _RE, strict, check)
+
+    if algo == "naive":
+        cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
+        for lk, rk in zip(l_keys, r_keys):
+            cond = (lb[lk] == rb[rk]) & cond
+        pairs = rb.join(lb, cond, "inner")
+    else:
+        pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
+
+    matched_ids = pairs.select(_PID).distinct()
+    how = "left_anti" if negate else "left_semi"
+    return probe.join(matched_ids, _PID, how).select(*out_cols)
