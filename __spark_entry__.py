@@ -26,6 +26,7 @@ from sequila_native_spark import (
     count_overlaps,
     coverage,
     filter_by_overlap,
+    merge_intervals,
     nearest_join,
     overlap_join,
     union_coverage,
@@ -231,6 +232,19 @@ def q_reads_inside_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("contig").agg(F.count(F.lit(1)).alias("n_reads"))
 
 
+def q_merged_read_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools-merge: flatten the read set into maximal disjoint runs
+    merged = merge_intervals(
+        _reads(spark, sf_dir, with_id=False), on="contig",
+        start="r_start", end="r_end",
+    )
+    return merged.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum(F.col("r_end") - F.col("r_start") + 1).alias("bases_total"),
+        F.sum("n_merged").alias("n_inputs"),
+    )
+
+
 def q_union_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     # breadth of coverage: distinct covered bases (merged-interval sweep)
     return union_coverage(
@@ -431,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_per_target": q_coverage_per_target,
         "union_coverage_per_target": q_union_coverage_per_target,
         "reads_outside_targets": q_reads_outside_targets,
+        "merged_read_runs": q_merged_read_runs,
         "reads_inside_targets": q_reads_inside_targets,
         "nearest_target_read": q_nearest_target_read,
         "pricing_summary": q_pricing_summary,
@@ -555,6 +570,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.contig, t.t_start, t.t_end, t.t_id,
                    CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
             FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
+        """,
+        "merged_read_runs": f"""
+            WITH {reads},
+            m AS (
+                SELECT contig, r_start, r_end,
+                       CASE WHEN max(r_end) OVER (
+                                PARTITION BY contig ORDER BY r_start, r_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) IS NULL
+                            OR r_start > max(r_end) OVER (
+                                PARTITION BY contig ORDER BY r_start, r_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) + 1
+                       THEN 1 ELSE 0 END AS new_run
+                FROM reads
+            ),
+            runs AS (
+                SELECT contig, r_start, r_end,
+                       sum(new_run) OVER (
+                           PARTITION BY contig ORDER BY r_start, r_end
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS run_id
+                FROM m
+            ),
+            merged AS (
+                SELECT contig, min(r_start) AS s, max(r_end) AS e,
+                       count(*) AS n_merged
+                FROM runs GROUP BY contig, run_id
+            )
+            SELECT contig, count(*) AS n_runs,
+                   CAST(sum(e - s + 1) AS BIGINT) AS bases_total,
+                   CAST(sum(n_merged) AS BIGINT) AS n_inputs
+            FROM merged GROUP BY contig
         """,
         "reads_outside_targets": f"""
             WITH {reads}, {targets}

@@ -1,0 +1,64 @@
+"""bedtools-merge semantics: overlapping/bookended runs flatten."""
+
+from __future__ import annotations
+
+from sequila_native_spark import merge_intervals
+
+
+def test_merge_basic(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 1, 5), ("c1", 6, 10),    # bookended → merge
+            ("c1", 8, 20),                   # overlaps → same run
+            ("c1", 30, 40),                  # gap → new run
+            ("c2", 1, 3),                    # other key
+        ],
+        "contig string, pos_start int, pos_end int",
+    )
+    out = {
+        (r["contig"], r["pos_start"], r["pos_end"]): r["n_merged"]
+        for r in merge_intervals(df).collect()
+    }
+    assert out == {("c1", 1, 20): 3, ("c1", 30, 40): 1, ("c2", 1, 3): 1}
+
+
+def test_merge_max_gap(spark):
+    df = spark.createDataFrame(
+        [("c", 1, 5), ("c", 9, 12)], "contig string, pos_start int, pos_end int"
+    )
+    assert merge_intervals(df).count() == 2          # gap of 3 > 0
+    merged = merge_intervals(df, max_gap=3).collect()
+    assert len(merged) == 1
+    assert (merged[0]["pos_start"], merged[0]["pos_end"]) == (1, 12)
+
+
+def test_merge_contained_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [("c", 1, 100), ("c", 10, 20), ("c", 10, 20), ("c", 100, 100)],
+        "contig string, pos_start int, pos_end int",
+    )
+    out = merge_intervals(df).collect()
+    assert len(out) == 1
+    assert (out[0]["pos_start"], out[0]["pos_end"], out[0]["n_merged"]) == (1, 100, 4)
+
+
+def test_merge_union_coverage_consistency(spark, reads, targets):
+    # union coverage of a probe == sum of clipped merged-run lengths
+    from pyspark.sql import functions as F
+    from sequila_native_spark import union_coverage
+
+    merged = merge_intervals(reads)
+    probe = targets
+    uc = union_coverage(
+        reads, probe, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end", bin_width=1000,
+    )
+    uc2 = union_coverage(
+        merged.drop("n_merged"), probe, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end", bin_width=1000,
+    )
+    a = {(r["contig"], r["pos_start"]): r["bases_union"] for r in uc.collect()}
+    b = {(r["contig"], r["pos_start"]): r["bases_union"] for r in uc2.collect()}
+    assert a == b  # merging the build side never changes union coverage
