@@ -62,22 +62,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Warmups outside the timed region: JVM/codegen, Python UDF workers
-    # (first pandas UDF pays worker fork + Arrow init), and MLlib classes
-    # (first KMeans pays classloading).
+    # Warmups outside the timed region: JVM/codegen, and Python UDF workers
+    # (first pandas UDF pays worker fork + Arrow init).
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-        from pyspark.sql import functions as F
-
-        tiny = spark.range(32).select(
-            array_to_vector(F.array(F.rand(1), F.rand(2))).alias("f")
-        )
-        KMeans(k=2, seed=1, maxIter=1, featuresCol="f").fit(tiny)
-    except Exception:
-        pass
 
     qs = entry.queries()
     timings: dict[str, float] = {}

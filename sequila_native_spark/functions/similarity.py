@@ -115,6 +115,81 @@ def near_dup_pairs(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    sample_size: int = 16384,
+    n_iter: int = 15,
+) -> np.ndarray:
+    """Spherical k-means on a bounded, seeded sample — driver-side numpy.
+
+    One metadata-cheap ``count()`` + one column-pruned sampled scan; the
+    Lloyd iterations run on ≤``sample_size`` rows locally, so no per-iteration
+    Spark jobs (MLlib KMeans pays scheduler latency × maxIter, which dwarfs
+    the math at coarse-quantizer sizes).
+    """
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train an IVF quantizer on an empty corpus")
+    frac = min(1.0, (sample_size * 1.3) / n)
+    pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(x) == 0:  # pathological sample; fall back to first rows
+        x = np.array(
+            corpus.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist(),
+            dtype=np.float64,
+        )
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_cells, len(x))
+
+    def _kmeanspp(rng: np.random.RandomState) -> np.ndarray:
+        # k-means++ init (D² sampling on angular distance): matches the
+        # seeding quality of MLlib's k-means|| without per-round Spark jobs.
+        first = rng.randint(len(x))
+        idx = [first]
+        d2 = np.maximum(1.0 - x @ x[first], 0.0) ** 2
+        for _ in range(1, k):
+            total = d2.sum()
+            nxt = rng.randint(len(x)) if total <= 0 else int(rng.choice(len(x), p=d2 / total))
+            idx.append(nxt)
+            d2 = np.minimum(d2, np.maximum(1.0 - x @ x[nxt], 0.0) ** 2)
+        return x[idx]
+
+    def _lloyd(centers: np.ndarray) -> tuple[np.ndarray, float]:
+        for _ in range(n_iter):
+            assign = np.argmax(x @ centers.T, axis=1)
+            counts = np.bincount(assign, minlength=k)
+            new = np.zeros_like(centers)
+            np.add.at(new, assign, x)
+            empty = counts == 0
+            if empty.any():  # reseed dead cells to random sample points
+                new[empty] = x[rng.choice(len(x), size=int(empty.sum()))]
+                counts = np.where(empty, 1, counts)
+            new /= counts[:, None]
+            new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            converged = np.allclose(new, centers, atol=1e-9)
+            centers = new
+            if converged:
+                break
+        obj = float(np.max(x @ centers.T, axis=1).sum())  # higher = tighter
+        return centers, obj
+
+    best, best_obj = None, -np.inf
+    for restart in range(3):  # restarts are sample-bounded numpy — cheap
+        centers, obj = _lloyd(_kmeanspp(np.random.RandomState(seed + restart)))
+        if obj > best_obj:
+            best, best_obj = centers, obj
+    return best
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,18 +208,14 @@ def ivf_ann_topk(
     The complementary scale path to :func:`lsh_ann_topk`: training costs one
     k-means pass (sampled), search reads ``n_probe/n_cells`` of the corpus.
     Output schema matches :func:`cosine_topk` so recall is measurable.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    # coarse-quantizer training: k-means iterates maxIter times over the
-    # train set — few fat partitions beat many tiny ones (per-iteration task
-    # scheduling dominates otherwise); at real scale pass a sampled corpus
-    train = corpus.select(vec_col).coalesce(8).withColumn(
-        "__sq_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="__sq_feat").fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    The coarse quantizer is trained driver-side on a bounded sample
+    (spherical k-means in numpy) — the FAISS IVF recipe: sample size is
+    capped regardless of corpus size, so training cost is O(1) in the data
+    while search stays fully distributed. Spherical (normalized) centroids
+    match the cosine metric used for cell assignment at search time.
+    """
+    centers = _train_centroids(corpus, vec_col, n_cells, seed)
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
 
     from pyspark.sql.types import ArrayType, LongType
