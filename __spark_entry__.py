@@ -421,6 +421,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlap_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SQL text run verbatim through the ``sequila_sql`` front-end.
+
+    The reference's users write this exact shape (queries/q1-coitrees.sql,
+    rewritten by sequila_physical_planner.rs:46-65); our front-end recognizes
+    the 2-conjunct range pattern in the text and runs the binned equi-join.
+    """
+    from sequila_native_spark.sql import sequila_sql
+
+    _reads(spark, sf_dir, with_id=False).createOrReplaceTempView("sq_sql_reads")
+    _targets(spark, sf_dir).createOrReplaceTempView("sq_sql_targets")
+    return sequila_sql(spark, """
+        SELECT a.contig AS contig, count(*) AS n_pairs
+        FROM sq_sql_reads a JOIN sq_sql_targets b
+        ON a.contig = b.contig AND a.r_start <= b.t_end AND a.r_end >= b.t_start
+        GROUP BY a.contig
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -439,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_count_vanilla": q_overlap_count_vanilla,
         "overlap_count_partitioned": q_overlap_count_partitioned,
         "overlap_partitioned_selective": q_overlap_partitioned_selective,
+        "overlap_count_sql": q_overlap_count_sql,
         "range_only_count": q_range_only_count,
         "overlap_strict_count": q_overlap_strict_count,
         "count_overlaps_per_target": q_count_overlaps_per_target,
@@ -484,6 +504,12 @@ def oracle_sql() -> dict[str, str]:
                    r.contig AS contig
             FROM reads r JOIN targets t ON {overlap}
             WHERE r.contig = 'chr0' AND r.r_id % 7 = 0
+        """,
+        "overlap_count_sql": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig, count(*) AS n_pairs
+            FROM reads r JOIN targets t ON {overlap}
+            GROUP BY r.contig
         """,
         "overlap_count_index": f"""
             WITH {reads}, {targets}

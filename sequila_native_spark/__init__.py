@@ -39,6 +39,7 @@ from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
 )
+from sequila_native_spark.sql import sequila_sql, rewrite_interval_sql
 from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
 __all__ = [

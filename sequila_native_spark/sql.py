@@ -1,0 +1,257 @@
+"""SQL front-end: accelerate interval-overlap joins written as plain SQL.
+
+The reference drives everything through SQL text (``queries/q1-coitrees.sql``,
+``sequila-cli``): a physical-optimizer rule rewrites any hash/nested-loop join
+whose filter is the 2-conjunct range pattern into ``IntervalJoinExec``
+(``sequila_physical_planner.rs:27-101``, recognizer ``intervals.rs:30-232``).
+Catalyst is not extensible from Python, so this module does the equivalent one
+level up: recognize the pattern in the SQL *text* and rewrite the FROM clause
+into the binned equi-join (same plan `overlap_join(algorithm="binning")`
+produces — explode fixed-width bins, equi-join on ``(keys…, bin)``, exact
+filter, first-common-bin dedup), then hand the rewritten text to
+``spark.sql``. Everything else in the statement (projection, aggregates,
+GROUP/ORDER/LIMIT, residual predicates) is untouched, so the full inherited
+SQL surface keeps working.
+
+Recognized shape (the reference's documented surface, 8 predicate orderings,
+strict or inclusive, ≥0 equi-keys, extra single-side predicates ride along):
+
+    SELECT … FROM t1 [AS] a [INNER] JOIN t2 [AS] b ON <cond> [tail]
+    SELECT … FROM t1 [AS] a, t2 [AS] b WHERE <cond> [tail]
+
+Anything else — OR, parenthesized conditions, compound bound expressions
+(rejected by the reference too, ``intervals.rs:48,54``), subqueries, outer
+joins, multi-joins — falls back to ``spark.sql(sql)`` verbatim: never wrong,
+just not accelerated. ``spark.sequila.preferIntervalJoin=false`` disables the
+rewrite, mirroring ``sequila.prefer_interval_join``.
+
+Scale note: the rewrite never materializes the unfiltered equi-join
+intermediate (the 70 GB / DNF plan of ``sandbox/datafusion_baseline.md:101``);
+the binned join shuffles both sides by ``(keys…, bin)`` so it distributes
+across executors like any equi-join.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import SequilaConf
+
+_BIN = "__sq_bin"
+
+# one comparison between the two relations: q1.c1 <op> q2.c2
+_CMP = re.compile(
+    r"^(\w+)\.(\w+)\s*(<=|>=|=|<|>)\s*(\w+)\.(\w+)$", re.ASCII
+)
+_REL = r"[\w.]+"
+_JOIN_FROM = re.compile(
+    rf"\bFROM\s+({_REL})(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(\w+))?"
+    rf"\s+(?:INNER\s+)?JOIN\s+({_REL})(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    rf"\s+ON\s+",
+    re.IGNORECASE,
+)
+_COMMA_FROM = re.compile(
+    rf"\bFROM\s+({_REL})(?:\s+(?:AS\s+)?(\w+))?\s*,"
+    rf"\s*({_REL})(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+",
+    re.IGNORECASE,
+)
+_TAIL = re.compile(r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_BAIL = re.compile(r"\bOR\b|[()']", re.IGNORECASE)
+
+
+def _bin_sql(qual_col: str, width: int) -> str:
+    # mirrors operators/interval_join.py::_bin_of — floor division via double,
+    # exact for |coord| < 2^31 (53-bit mantissa)
+    return f"CAST(FLOOR(CAST({qual_col} AS DOUBLE) / {float(width)}) AS BIGINT)"
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _classify(cond: str, a: str, b: str):
+    """Split a conjunction into (equi, range, residual) conjunct lists.
+
+    Returns None if the text is outside the recognized grammar (the caller
+    falls back to vanilla ``spark.sql``).
+    """
+    if _BAIL.search(cond):
+        return None
+    equi: list[str] = []
+    ranges: list[tuple[str, str, str, str]] = []  # (a_col, op, b_col, text)
+    residual: list[str] = []
+    for conj in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        conj = conj.strip()
+        if not conj:
+            return None
+        m = _CMP.match(conj)
+        if not m:
+            # single-side predicate like a.pos_start > 0 — keep verbatim
+            quals = set(re.findall(r"\b(\w+)\s*\.", conj))
+            if quals <= {a, b}:
+                residual.append(conj)
+                continue
+            return None
+        q1, c1, op, q2, c2 = m.groups()
+        if {q1, q2} == {a, b}:
+            if q1 == b:  # normalize: a-side on the left, flip the operator
+                q1, c1, q2, c2 = q2, c2, q1, c1
+                op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+            if op == "=":
+                equi.append(conj)
+            else:
+                ranges.append((c1, op, c2, conj))
+        elif {q1, q2} <= {a, b}:  # same-side comparison — residual
+            residual.append(conj)
+        else:
+            return None
+    return equi, ranges, residual
+
+
+def _bounds(ranges):
+    """From the two range conjuncts, identify each side's (start, end) column.
+
+    ``a.X <= b.Y`` ⇒ X is a's start, Y is b's end; ``a.X >= b.Y`` ⇒ X is a's
+    end, Y is b's start (the 8 orderings of ``intervals.rs:76-84`` collapse to
+    these two after operand normalization). Strict ``<``/``>`` forms are
+    *stricter* than the closed ones, so bins computed from the raw bounds
+    still cover every qualifying pair — the original conjunct text remains the
+    exact filter, no ``x-1`` rewrite needed here.
+    """
+    if len(ranges) != 2:
+        return None
+    lo = [r for r in ranges if r[1] in ("<=", "<")]
+    hi = [r for r in ranges if r[1] in (">=", ">")]
+    if len(lo) != 1 or len(hi) != 1:
+        return None
+    a_start, _, b_end, _ = lo[0]
+    a_end, _, b_start, _ = hi[0]
+    return a_start, a_end, b_start, b_end
+
+
+def _expand_stars(select_list: str, a: str, b: str, a_cols, b_cols):
+    items = _split_top_commas(select_list)
+    out = []
+    for it in items:
+        if it == "*":
+            out += [f"{a}.{c}" for c in a_cols] + [f"{b}.{c}" for c in b_cols]
+        elif re.fullmatch(rf"{a}\s*\.\s*\*", it):
+            out += [f"{a}.{c}" for c in a_cols]
+        elif re.fullmatch(rf"{b}\s*\.\s*\*", it):
+            out += [f"{b}.{c}" for c in b_cols]
+        else:
+            out.append(it)
+    return ", ".join(out)
+
+
+def rewrite_interval_sql(
+    spark: SparkSession, sql: str, *, bin_width: int | None = None
+) -> str | None:
+    """Return the binned-join rewrite of ``sql``, or None if unrecognized."""
+    text = sql.strip().rstrip(";")
+    if re.search(r"\bUNION\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bCROSS\b|/\*", text, re.IGNORECASE):
+        return None
+    if not re.match(r"SELECT\b", text, re.IGNORECASE):
+        return None
+    if len(re.findall(r"\bJOIN\b", text, re.IGNORECASE)) > 1:
+        return None
+    if len(re.findall(r"\bSELECT\b", text, re.IGNORECASE)) > 1:  # subqueries
+        return None
+
+    comma = False
+    m = _JOIN_FROM.search(text)
+    if not m:
+        m = _COMMA_FROM.search(text)
+        comma = True
+    if not m:
+        return None
+    rel1, a, rel2, b = m.groups()
+    a = a or rel1.split(".")[-1]
+    b = b or rel2.split(".")[-1]
+    if a == b:
+        return None
+
+    head = text[: m.start()]  # "SELECT <list> " (FROM excluded)
+    rest = text[m.end():]
+    t = _TAIL.search(rest)
+    cond, tail = (rest[: t.start()], rest[t.start():]) if t else (rest, "")
+    if comma and t and t.group(1).upper() == "WHERE":
+        return None  # two WHEREs can't happen; defensive
+    parsed = _classify(cond.strip(), a, b)
+    if parsed is None:
+        return None
+    equi, ranges, residual = parsed
+    bounds = _bounds(ranges)
+    if bounds is None:
+        return None
+    a_start, a_end, b_start, b_end = bounds
+
+    conf = SequilaConf.from_spark(spark)
+    if not conf.prefer_interval_join:
+        return None
+    width = bin_width if bin_width is not None else conf.bin_width
+    if not isinstance(width, int):  # "auto" needs DataFrames; SQL path uses
+        width = 4096  # a fixed default instead (document in README)
+
+    try:  # star expansion + integral-bounds guard need the schemas
+        sch1 = dict((f.name, f.dataType.simpleString()) for f in spark.table(rel1).schema)
+        sch2 = dict((f.name, f.dataType.simpleString()) for f in spark.table(rel2).schema)
+    except Exception:
+        return None
+    ints = {"tinyint", "smallint", "int", "bigint"}
+    if (
+        sch1.get(a_start) not in ints or sch1.get(a_end) not in ints
+        or sch2.get(b_start) not in ints or sch2.get(b_end) not in ints
+    ):
+        return None  # closed-interval + bin math is integer-only
+
+    sel = re.sub(r"^SELECT\s+", "", head.strip(), flags=re.IGNORECASE)
+    sel = _expand_stars(sel, a, b, list(sch1), list(sch2))
+
+    def binned(rel: str, alias: str, s: str, e: str) -> str:
+        bs, be = _bin_sql(f"{alias}.{s}", width), _bin_sql(f"{alias}.{e}", width)
+        # sequence(bin(s), greatest(bin(s), bin(e))) guards inverted intervals
+        return (
+            f"(SELECT {alias}.*, explode(sequence({bs}, greatest({bs}, {be}))) "
+            f"AS {_BIN} FROM {rel} {alias}) {alias}"
+        )
+
+    on = [
+        f"{a}.{_BIN} = {b}.{_BIN}",
+        # first-common-bin: emit each qualifying pair exactly once
+        f"{a}.{_BIN} = greatest({_bin_sql(f'{a}.{a_start}', width)}, "
+        f"{_bin_sql(f'{b}.{b_start}', width)})",
+        *equi,
+        *[r[3] for r in ranges],
+        *residual,
+    ]
+    return (
+        f"SELECT /*+ SHUFFLE_HASH({a}, {b}) */ {sel} "
+        f"FROM {binned(rel1, a, a_start, a_end)} "
+        f"JOIN {binned(rel2, b, b_start, b_end)} "
+        f"ON {' AND '.join(on)}{tail and ' ' + tail.strip()}"
+    )
+
+
+def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) -> DataFrame:
+    """``spark.sql`` with interval-join acceleration (reference CLI parity).
+
+    A recognized 2-conjunct range join (``sequila_physical_planner.rs:46-89``
+    surface) runs as the binned equi-join; anything else runs verbatim.
+    """
+    rewritten = rewrite_interval_sql(spark, sql, bin_width=bin_width)
+    return spark.sql(rewritten if rewritten is not None else sql)
