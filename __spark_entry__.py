@@ -264,6 +264,16 @@ def q_nearest_target_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 scale path: cogroup-per-key nearest — one shuffle per side, no
+    # driver-side build collect, per-task memory bounded by the key group
+    return nearest_join(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 10 == 5),
+        on="contig", **_IVL, algorithm="partitioned",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inherited relational surface (SURVEY.md §2B) — stock Spark
 # ---------------------------------------------------------------------------
@@ -468,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_read_runs": q_merged_read_runs,
         "reads_inside_targets": q_reads_inside_targets,
         "nearest_target_read": q_nearest_target_read,
+        "nearest_partitioned": q_nearest_partitioned,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "brand_volume": q_brand_volume,
@@ -659,6 +670,24 @@ def oracle_sql() -> dict[str, str]:
                             WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
                             ELSE 0 END AS dist
                 FROM (SELECT * FROM targets WHERE t_id % 10 = 0) t
+                LEFT JOIN reads r ON r.contig = t.contig
+            )
+            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
+            FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY t_id
+                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+            ) = 1
+        """,
+        "nearest_partitioned": f"""
+            WITH {reads}, {targets},
+            j AS (
+                SELECT r.contig AS contig, r.r_start, r.r_end,
+                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                            ELSE 0 END AS dist
+                FROM (SELECT * FROM targets WHERE t_id % 10 = 5) t
                 LEFT JOIN reads r ON r.contig = t.contig
             )
             SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id

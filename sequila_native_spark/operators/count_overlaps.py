@@ -39,8 +39,11 @@ from sequila_native_spark.operators.interval_join import (
     _LS,
     _RE,
     _RS,
+    BuildSideTooLargeError,
     _binned_pairs,
+    _probe_spans,
     _with_bounds,
+    guarded_build_pandas,
 )
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
@@ -83,7 +86,16 @@ def count_overlaps(
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
 
-    if algo in ("naive", "binning"):
+    if algo == "index":
+        try:
+            return _index_count(
+                lb, right_orig, l_keys, r_keys, right_start, right_end,
+                strict, check, count_col, right_out_cols,
+            )
+        except BuildSideTooLargeError:
+            algo = "binning"  # accounted-memory fallback, never a blind collect
+
+    if algo in ("naive", "binning", "partitioned"):
         right = right.withColumn(_PID, F.monotonically_increasing_id())
         rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
         if algo == "naive":
@@ -100,9 +112,22 @@ def count_overlaps(
             .select(*right_out_cols, count_col)
         )
 
-    # index algorithm: broadcast build arrays, streaming probe, zero shuffle
+    raise AssertionError(f"unreachable algorithm {algo}")
+
+
+def _index_count(
+    lb, right_orig, l_keys, r_keys, right_start, right_end,
+    strict, check, count_col, right_out_cols,
+):
+    """Broadcast build arrays, streaming vectorized probe, zero shuffle.
+
+    The per-batch count is ``_probe_spans`` (two binary searches + exact
+    mask, batch-at-a-time) followed by ``bincount`` over the surviving probe
+    positions — the superintervals ``count`` recipe
+    (``superintervals.rs:353-446``) without any per-row Python loop.
+    """
     rb = _with_bounds(right_orig, right_start, right_end, _RS, _RE, strict, check)
-    left_pdf = lb.toPandas()
+    left_pdf = guarded_build_pandas(lb)
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
     for k in l_keys:
         valid &= left_pdf[k].notna()
@@ -142,17 +167,15 @@ def count_overlaps(
                 if entry is None:
                     continue
                 starts, ends, runmax = entry
-                for p in pdf.index.get_indexer(grp.index):
-                    if has_null[p]:
-                        continue
-                    qs, qe = qs_all[p], qe_all[p]
-                    hi = np.searchsorted(starts, qe, side="right")
-                    if hi == 0:
-                        continue
-                    lo = np.searchsorted(runmax[:hi], qs, side="left")
-                    if lo >= hi:
-                        continue
-                    counts_arr[p] = int(np.count_nonzero(ends[lo:hi] >= qs))
+                pos = pdf.index.get_indexer(grp.index)
+                pos = pos[~has_null[pos]]
+                if not pos.size:
+                    continue
+                _, probe_rep = _probe_spans(
+                    starts, ends, runmax, qs_all[pos], qe_all[pos]
+                )
+                if probe_rep.size:
+                    counts_arr[pos] = np.bincount(probe_rep, minlength=len(pos))
             out = pdf[right_out_cols].reset_index(drop=True)
             out[count_col] = counts_arr
             yield out

@@ -67,6 +67,36 @@ _RS, _RE = "__sq_rs", "__sq_re"
 _LBIN, _RBIN = "__sq_lbin", "__sq_rbin"
 
 
+class BuildSideTooLargeError(RuntimeError):
+    """The build side exceeds ``spark.sequila.maxBroadcastBuildRows``.
+
+    The reference pre-reserves and accounts build memory before collecting
+    (``interval_join.rs:624-660``); collecting an unbounded build side to the
+    driver would OOM instead. Callers with a distributed equivalent
+    (``partitioned`` / ``binning``) auto-fall-back; otherwise this error
+    surfaces with the knob to raise."""
+
+
+def guarded_build_pandas(df: DataFrame, max_rows: int | None = None) -> pd.DataFrame:
+    """``df.toPandas()`` with a row-count guard.
+
+    Probes ``limit(max+1).count()`` first — a cheap bounded scan — and raises
+    :class:`BuildSideTooLargeError` instead of collecting when the build side
+    exceeds ``spark.sequila.maxBroadcastBuildRows`` (≤0 disables the guard).
+    """
+    if max_rows is None:
+        max_rows = SequilaConf.from_spark(df.sparkSession).max_broadcast_build_rows
+    if max_rows is not None and max_rows > 0:
+        seen = df.limit(max_rows + 1).count()
+        if seen > max_rows:
+            raise BuildSideTooLargeError(
+                f"build side has more than {max_rows} rows; broadcast-index "
+                f"collect would risk a driver OOM. Use algorithm='partitioned' "
+                f"or 'binning', or raise spark.sequila.maxBroadcastBuildRows."
+            )
+    return df.toPandas()
+
+
 def _probe_spans(
     starts: np.ndarray,
     ends: np.ndarray,
@@ -261,7 +291,14 @@ def overlap_join(
         return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
 
     if algo == "index":
-        return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols, metrics)
+        try:
+            return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols, metrics)
+        except BuildSideTooLargeError:
+            # reference intent: accounted memory, never a blind collect
+            # (interval_join.rs:624-660) — fall back to the distributed path
+            if l_keys:
+                return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
+            return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
 
     if algo == "partitioned":
         return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
@@ -434,7 +471,7 @@ def _broadcast_index_join(
     right_cols = [c for c in out_cols if c not in lb.columns]
 
     build_t0 = _time.time()
-    left_pdf = lb.toPandas()
+    left_pdf = guarded_build_pandas(lb)
     index: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
     for k in l_keys:

@@ -25,9 +25,26 @@ Two deliberate fixes over the reference (documented divergences):
    are reproducible and oracle-comparable. Both fixes agree with the
    reference's golden output.
 
-Algorithms: ``naive`` = left-outer join on equi-keys + window ``row_number``
-(Catalyst-only; the correctness oracle); ``index`` (default) = broadcast
-per-key sorted arrays + ``mapInPandas`` probe (zero shuffle, O(log n)/row).
+Algorithms:
+
+``naive``
+    Left-outer join on equi-keys + window ``row_number`` (Catalyst-only; the
+    correctness oracle).
+
+``index``
+    Broadcast per-key sorted arrays + ``mapInPandas`` probe (zero shuffle,
+    O(log n)/row). Build side must fit in driver/executor memory — guarded by
+    ``spark.sequila.maxBroadcastBuildRows``.
+
+``partitioned`` (default scale path)
+    The reference's Partitioned mode applied to nearest
+    (``interval_join.rs:391-398,488-503``): shuffle BOTH sides by the
+    equi-keys, build the per-key sorted index and probe inside
+    ``cogroup().applyInPandas``. One shuffle per side, per-task memory
+    bounded by the largest key group, works for build sides of any size.
+    Probe groups whose key has no build rows still flow through the cogroup
+    (cogroup is full-outer on group keys) and get null-left padding —
+    no driver-side collect anywhere.
 """
 
 from __future__ import annotations
@@ -39,21 +56,25 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from sequila_native_spark.operators.interval_join import (
     _LE,
     _LS,
     _RE,
     _RS,
+    BuildSideTooLargeError,
     _disambiguate,
     _probe_spans,
     _with_bounds,
+    guarded_build_pandas,
 )
 from sequila_native_spark.operators.intervals import validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
 
 _PID = "__sq_probe_id"
+_I64_MIN = np.iinfo(np.int64).min
+_I64_MAX = np.iinfo(np.int64).max
 
 
 def nearest_join(
@@ -80,7 +101,9 @@ def nearest_join(
     conf = SequilaConf.from_spark(spark)
     algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
     if algo == "binning":
-        algo = "index"  # binning has no nearest analogue; index is the scale path
+        # binning has no nearest analogue; partitioned is the distributed
+        # equivalent (same shuffle-by-key distribution requirement)
+        algo = "partitioned"
     check = conf.check_int32_bounds if check_bounds is None else check_bounds
 
     sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
@@ -96,7 +119,14 @@ def nearest_join(
 
     if algo == "naive":
         return _naive_nearest(lb, rb, l_keys, r_keys, out_cols)
-    return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
+    if algo == "partitioned":
+        return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+    try:
+        return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
+    except BuildSideTooLargeError:
+        if l_keys:
+            return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+        raise
 
 
 def _distance_col(ls, le, rs, re):
@@ -126,12 +156,151 @@ def _naive_nearest(lb, rb, l_keys, r_keys, out_cols):
     )
 
 
+def _build_nearest_arrays(starts: np.ndarray, ends: np.ndarray):
+    """(start, end)-lex-sorted arrays + runmax + left-flank witness.
+
+    ``argmax_first[i]`` is the FIRST (lex-min) position achieving the running
+    max of ends over ``[0, i]`` — the deterministic left-flank witness for the
+    (distance, start, end) tie-break.  Returns
+    ``(starts, ends, runmax, argmax_first, order)`` with ``order`` mapping
+    sorted positions back to input positions.
+    """
+    order = np.lexsort((ends, starts))  # (start, end) lexicographic
+    starts, ends = starts[order], ends[order]
+    runmax = np.maximum.accumulate(ends)
+    newmax = ends > np.concatenate(([_I64_MIN], runmax[:-1]))
+    argmax_first = np.maximum.accumulate(np.where(newmax, np.arange(len(ends)), -1))
+    return starts, ends, runmax, argmax_first, order
+
+
+def _nearest_take(starts, ends, runmax, argmax_first, qs, qe) -> np.ndarray:
+    """Core nearest kernel: for each probe ``[qs, qe]`` return the position
+    (into the sorted build arrays) of the chosen build interval, or -1.
+
+    Overlap-first (IRanges rule): the lex-min overlapping interval if any;
+    else the true nearest across both flanks with the deterministic
+    ``(distance, start, end)`` tie-break.
+    """
+    n, m = len(starts), len(qs)
+    take = np.full(m, -1, dtype=np.int64)
+    if n == 0 or m == 0:
+        return take
+    # overlap-first: candidates per probe are ascending sorted positions, so
+    # the FIRST per probe is the deterministic lex-min overlap
+    cand, probe_rep = _probe_spans(starts, ends, runmax, qs, qe)
+    rest_mask = np.ones(m, dtype=bool)
+    if cand.size:
+        uniq, first_idx = np.unique(probe_rep, return_index=True)
+        take[uniq] = cand[first_idx]
+        rest_mask[uniq] = False
+    rest = np.nonzero(rest_mask)[0]
+    if not rest.size:
+        return take
+    # no-overlap rows: true nearest on both flanks, vectorized
+    rqs, rqe = qs[rest], qe[rest]
+    hi = np.searchsorted(starts, rqe, side="right")
+    # left flank: the interval with max end among starts <= qe
+    has_l = hi > 0
+    wl = np.where(has_l, argmax_first[np.maximum(hi - 1, 0)], 0)
+    dist_l = np.where(has_l, rqs - runmax[np.maximum(hi - 1, 0)], _I64_MAX)
+    sl = np.where(has_l, starts[wl], _I64_MAX)
+    el = np.where(has_l, ends[wl], _I64_MAX)
+    # right flank: the first interval starting after qe
+    has_r = hi < n
+    wr = np.where(has_r, np.minimum(hi, n - 1), 0)
+    dist_r = np.where(has_r, starts[wr] - rqe, _I64_MAX)
+    sr = np.where(has_r, starts[wr], _I64_MAX)
+    er = np.where(has_r, ends[wr], _I64_MAX)
+    # lexicographic min of (dist, start, end) across the flanks
+    take_left = (dist_l < dist_r) | (
+        (dist_l == dist_r) & ((sl < sr) | ((sl == sr) & (el <= er)))
+    )
+    winner = np.where(take_left, wl, wr)
+    valid_any = has_l | has_r
+    take[rest[valid_any]] = winner[valid_any]
+    return take
+
+
+def _null_object_cols(pdf: pd.DataFrame) -> pd.DataFrame:
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].where(pd.notna(pdf[c]), None)
+    return pdf
+
+
+def _nearest_out_schema(lb, rb, left_cols, right_cols) -> StructType:
+    # left fields forced nullable: probe groups with no build rows emit
+    # null-left padding (integration_test.rs:385-394)
+    return StructType(
+        [StructField(f.name, f.dataType, True)
+         for f in lb.select(*left_cols).schema.fields]
+        + list(rb.select(*right_cols).schema.fields)
+    )
+
+
+def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
+    """Cogroup-per-key nearest: the Partitioned-mode analogue.
+
+    Shuffles both sides once on the equi-keys; each task builds the sorted
+    index for its key groups and probes it — no driver collect, no broadcast.
+    Keyless calls degenerate to one group, so route them to the broadcast
+    index instead (same memory shape, full probe parallelism).
+    """
+    if not l_keys:
+        return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
+
+    # SQL equality: null build keys never match anything — drop them. Probe
+    # rows with null keys stay: their group cogroups against an empty build
+    # side and emits null-left rows (matching the index path's behavior).
+    lb = lb.na.drop(subset=list(l_keys))
+
+    left_cols = [c for c in out_cols if c in lb.columns]
+    right_cols = [c for c in out_cols if c not in lb.columns]
+    out_schema = _nearest_out_schema(lb, rb, left_cols, right_cols)
+
+    def nearest_group(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(r_pdf):
+            # build-only key group: nearest emits one row per PROBE row only
+            return pd.DataFrame(columns=[*left_cols, *right_cols])
+        take_pos = np.full(len(r_pdf), -1, dtype=np.int64)  # -1 ⇒ null left
+        lv = (
+            l_pdf[l_pdf[_LS].notna() & l_pdf[_LE].notna()]
+            if len(l_pdf) else l_pdf
+        )
+        if len(lv):
+            starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
+                lv[_LS].to_numpy(np.int64), lv[_LE].to_numpy(np.int64)
+            )
+            ok = (r_pdf[_RS].notna() & r_pdf[_RE].notna()).to_numpy()
+            qs = r_pdf[_RS].to_numpy(np.int64, na_value=0)[ok]
+            qe = r_pdf[_RE].to_numpy(np.int64, na_value=0)[ok]
+            take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+            pos_ok = np.nonzero(ok)[0]
+            good = take >= 0
+            take_pos[pos_ok[good]] = order[take[good]]
+        l_src = (
+            lv[left_cols].reset_index(drop=True)
+            if len(lv) else pd.DataFrame(columns=left_cols)
+        )
+        # -1 is not a label in the RangeIndex ⇒ reindex yields all-null rows
+        l_part = _null_object_cols(l_src.reindex(take_pos).reset_index(drop=True))
+        r_part = r_pdf[right_cols].reset_index(drop=True)
+        return pd.concat([l_part, r_part], axis=1)
+
+    return (
+        lb.groupBy(*l_keys)
+        .cogroup(rb.groupBy(*r_keys))
+        .applyInPandas(nearest_group, schema=out_schema)
+        .select(*out_cols)
+    )
+
+
 def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
     spark = lb.sparkSession
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
 
-    left_pdf = lb.toPandas()
+    left_pdf = guarded_build_pandas(lb)
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
     for k in l_keys:
         valid &= left_pdf[k].notna()
@@ -142,26 +311,15 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
         for key, grp in group_iter:
             if l_keys and not isinstance(key, tuple):
                 key = (key,)
-            starts = grp[_LS].to_numpy(np.int64)
-            ends = grp[_LE].to_numpy(np.int64)
-            order = np.lexsort((ends, starts))  # (start, end) lexicographic
-            starts, ends = starts[order], ends[order]
-            row_idx = grp.index.to_numpy()[order]
-            runmax = np.maximum.accumulate(ends)
-            # first position achieving each running max (strict > keeps the
-            # earliest, i.e. lex-min, occurrence) — the left-flank witness
-            newmax = ends > np.concatenate(([np.iinfo(np.int64).min], runmax[:-1]))
-            argmax_first = np.maximum.accumulate(
-                np.where(newmax, np.arange(len(ends)), -1)
+            starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
+                grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
             )
-            index[key] = (starts, ends, runmax, argmax_first, row_idx)
+            index[key] = (starts, ends, runmax, argmax_first,
+                          grp.index.to_numpy()[order])
 
     left_out = left_pdf[left_cols]
     bc = spark.sparkContext.broadcast((index, left_out))
-    out_schema = StructType(
-        list(lb.select(*left_cols).schema.fields)
-        + list(rb.select(*right_cols).schema.fields)
-    )
+    out_schema = _nearest_out_schema(lb, rb, left_cols, right_cols)
     rk_list = list(r_keys)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,58 +341,21 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
                 if entry is None:
                     continue
                 starts, ends, runmax, argmax_first, row_idx = entry
-                n = len(starts)
                 pos = pdf.index.get_indexer(grp.index)
                 pos = pos[~has_null[pos]]
                 if not pos.size:
                     continue
-                qs = qs_all[pos]
-                qe = qe_all[pos]
-                # overlap-first (IRanges): candidates in [lo, hi); positions
-                # are (start, end)-lex-sorted so the FIRST masked candidate
-                # per probe row is the deterministic lex-min overlap
-                cand, probe_rep = _probe_spans(starts, ends, runmax, qs, qe)
-                if cand.size:
-                    uniq, first_idx = np.unique(probe_rep, return_index=True)
-                    build_take[pos[uniq]] = row_idx[cand[first_idx]]
-                    overlapped = np.zeros(len(pos), dtype=bool)
-                    overlapped[uniq] = True
-                    rest = ~overlapped
-                else:
-                    rest = np.ones(len(pos), dtype=bool)
-                if not rest.any():
-                    continue
-                # no-overlap rows: true nearest on both flanks, vectorized
-                rqs, rqe, rpos = qs[rest], qe[rest], pos[rest]
-                hi = np.searchsorted(starts, rqe, side="right")
-                big = np.iinfo(np.int64).max
-                # left flank: the interval with max end among starts <= qe
-                has_l = hi > 0
-                wl = np.where(has_l, argmax_first[np.maximum(hi - 1, 0)], 0)
-                dist_l = np.where(has_l, rqs - runmax[np.maximum(hi - 1, 0)], big)
-                sl = np.where(has_l, starts[wl], big)
-                el = np.where(has_l, ends[wl], big)
-                # right flank: the first interval starting after qe
-                has_r = hi < n
-                wr = np.where(has_r, np.minimum(hi, n - 1), 0)
-                dist_r = np.where(has_r, starts[wr] - rqe, big)
-                sr = np.where(has_r, starts[wr], big)
-                er = np.where(has_r, ends[wr], big)
-                # lexicographic min of (dist, start, end) across the flanks
-                take_left = (dist_l < dist_r) | (
-                    (dist_l == dist_r)
-                    & ((sl < sr) | ((sl == sr) & (el <= er)))
+                take = _nearest_take(
+                    starts, ends, runmax, argmax_first, qs_all[pos], qe_all[pos]
                 )
-                winner = np.where(take_left, wl, wr)
-                valid_any = has_l | has_r
-                build_take[rpos[valid_any]] = row_idx[winner[valid_any]]
+                good = take >= 0
+                build_take[pos[good]] = row_idx[take[good]]
             # -1 is not a label in build_pdf's RangeIndex ⇒ reindex yields an
             # all-null row: the reference's null-left padding for probe rows
             # whose key group has no build rows (integration_test.rs:385-394).
-            l_part = build_pdf.reindex(build_take).reset_index(drop=True)
-            for c in l_part.columns:
-                if l_part[c].dtype == object:
-                    l_part[c] = l_part[c].where(pd.notna(l_part[c]), None)
+            l_part = _null_object_cols(
+                build_pdf.reindex(build_take).reset_index(drop=True)
+            )
             r_part = pdf[right_cols].reset_index(drop=True)
             yield pd.concat([l_part, r_part], axis=1)
 

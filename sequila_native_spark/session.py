@@ -31,9 +31,14 @@ INTERVAL_JOIN_ALGORITHM = "spark.sequila.intervalJoinAlgorithm"
 INTERVAL_JOIN_BIN_WIDTH = "spark.sequila.intervalJoinBinWidth"
 INTERVAL_JOIN_LOW_MEMORY = "spark.sequila.intervalJoinLowMemory"
 CHECK_INT32_BOUNDS = "spark.sequila.checkInt32Bounds"
+MAX_BROADCAST_BUILD_ROWS = "spark.sequila.maxBroadcastBuildRows"
 
 DEFAULT_ALGORITHM = "binning"
 DEFAULT_BIN_WIDTH = 5000
+# Build-side row cap for the collect+broadcast index paths (~0.5-1 GB of
+# driver pandas at genomic row widths); <=0 disables the guard. The
+# reference's analogue is accounted build memory (interval_join.rs:624-660).
+DEFAULT_MAX_BROADCAST_BUILD_ROWS = 8_000_000
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the
@@ -73,6 +78,7 @@ class SequilaConf:
     bin_width: int | str = DEFAULT_BIN_WIDTH  # int or "auto" (p95 of lengths)
     low_memory: bool = False
     check_int32_bounds: bool = True
+    max_broadcast_build_rows: int = DEFAULT_MAX_BROADCAST_BUILD_ROWS
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "SequilaConf":
@@ -100,6 +106,9 @@ class SequilaConf:
             bin_width=raw_width,
             low_memory=_get(INTERVAL_JOIN_LOW_MEMORY, "false").lower() == "true",
             check_int32_bounds=_get(CHECK_INT32_BOUNDS, "true").lower() == "true",
+            max_broadcast_build_rows=int(
+                _get(MAX_BROADCAST_BUILD_ROWS, str(DEFAULT_MAX_BROADCAST_BUILD_ROWS))
+            ),
         )
 
 
@@ -134,6 +143,7 @@ def sequila_session(
         (INTERVAL_JOIN_BIN_WIDTH, str(DEFAULT_BIN_WIDTH)),
         (INTERVAL_JOIN_LOW_MEMORY, "false"),
         (CHECK_INT32_BOUNDS, "true"),
+        (MAX_BROADCAST_BUILD_ROWS, str(DEFAULT_MAX_BROADCAST_BUILD_ROWS)),
     ):
         if spark.conf.get(key, None) is None:
             spark.conf.set(key, default)
