@@ -264,6 +264,23 @@ def q_nearest_target_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlap_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left-outer emission (bedtools -loj): every preserved target appears,
+    # unmatched ones null-padded (joins/utils.rs:496-521 declared semantics)
+    oj = overlap_join(
+        _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0),
+        _reads(spark, sf_dir, with_id=False),
+        on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end",
+        how="left", algorithm="binning",
+    )
+    return oj.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("r_start").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
 def q_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5 scale path: cogroup-per-key nearest — one shuffle per side, no
     # driver-side build collect, per-task memory bounded by the key group
@@ -479,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reads_inside_targets": q_reads_inside_targets,
         "nearest_target_read": q_nearest_target_read,
         "nearest_partitioned": q_nearest_partitioned,
+        "overlap_left_outer": q_overlap_left_outer,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "brand_volume": q_brand_volume,
@@ -678,6 +696,15 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY t_id
                 ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
             ) = 1
+        """,
+        "overlap_left_outer": f"""
+            WITH {reads}, {targets}
+            SELECT t.contig AS contig, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN r.r_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+            FROM (SELECT * FROM targets WHERE t_id % 11 = 0) t
+            LEFT JOIN reads r
+            ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
+            GROUP BY t.contig
         """,
         "nearest_partitioned": f"""
             WITH {reads}, {targets},

@@ -169,3 +169,70 @@ def test_join_order_invariance(spark, reads, targets):
         )
     )
     assert a == b
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+@pytest.mark.parametrize("how", ["left", "right"])
+def test_outer_overlap_agrees_with_naive_sql(spark, reads, targets, how, algorithm):
+    # joins/utils.rs:496-521 declares Left/Right; naive Catalyst outer join
+    # is the oracle for every accelerated algorithm
+    kwargs = dict(
+        on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        how=how, bin_width=1000,
+    )
+    got = rows_set(overlap_join(reads, targets, algorithm=algorithm, **kwargs))
+    want = rows_set(overlap_join(reads, targets, algorithm="naive", **kwargs))
+    assert got == want
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_left_outer_pads_unmatched(spark, algorithm):
+    build = spark.createDataFrame(
+        [("c1", 1, 5), ("c1", 100, 200), ("cZ", 1, 5)],
+        "contig string, start int, end int",
+    )
+    probe = spark.createDataFrame(
+        [("c1", 3, 4)], "contig string, start int, end int"
+    )
+    out = overlap_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        how="left", algorithm=algorithm, bin_width=10,
+    )
+    got = rows_set(out)
+    assert got == {
+        ("c1", 1, 5, "c1", 3, 4): 1,
+        ("c1", 100, 200, None, None, None): 1,
+        ("cZ", 1, 5, None, None, None): 1,
+    }
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_right_outer_pads_unmatched_and_keeps_duplicates(spark, algorithm):
+    build = spark.createDataFrame(
+        [("c1", 1, 5)], "contig string, start int, end int"
+    )
+    probe = spark.createDataFrame(
+        [("c1", 3, 4), ("c1", 50, 60), ("c1", 50, 60), ("cX", 1, 2)],
+        "contig string, start int, end int",
+    )
+    out = overlap_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        how="right", algorithm=algorithm, bin_width=10,
+    )
+    got = rows_set(out)
+    assert got == {
+        ("c1", 1, 5, "c1", 3, 4): 1,
+        (None, None, None, "c1", 50, 60): 2,  # duplicates preserved
+        (None, None, None, "cX", 1, 2): 1,
+    }
+
+
+def test_outer_rejects_bad_how(spark, reads, targets):
+    with pytest.raises(ValueError, match="how="):
+        overlap_join(reads, targets, on="contig", how="full")
