@@ -39,7 +39,12 @@ from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
 )
-from sequila_native_spark.sql import sequila_sql, rewrite_interval_sql
+from sequila_native_spark.sql import (
+    rewrite_interval_sql,
+    run_sql_file,
+    run_sql_script,
+    sequila_sql,
+)
 from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
 __all__ = [
@@ -54,6 +59,10 @@ __all__ = [
     "merge_intervals",
     "overlap_join_on",
     "parse_overlap_condition",
+    "sequila_sql",
+    "rewrite_interval_sql",
+    "run_sql_script",
+    "run_sql_file",
 ]
 
 __version__ = "0.1.0"

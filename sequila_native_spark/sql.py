@@ -37,7 +37,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .session import SequilaConf
+from .session import DEFAULT_BIN_WIDTH, SequilaConf
 
 _BIN = "__sq_bin"
 
@@ -204,8 +204,10 @@ def rewrite_interval_sql(
     if not conf.prefer_interval_join:
         return None
     width = bin_width if bin_width is not None else conf.bin_width
-    if not isinstance(width, int):  # "auto" needs DataFrames; SQL path uses
-        width = 4096  # a fixed default instead (document in README)
+    if not isinstance(width, int):
+        # "auto" width needs a data pass over DataFrames; the text-level SQL
+        # path uses the engine default instead (documented in README §SQL)
+        width = DEFAULT_BIN_WIDTH
 
     try:  # star expansion + integral-bounds guard need the schemas
         sch1 = dict((f.name, f.dataType.simpleString()) for f in spark.table(rel1).schema)
@@ -255,3 +257,167 @@ def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) 
     """
     rewritten = rewrite_interval_sql(spark, sql, bin_width=bin_width)
     return spark.sql(rewritten if rewritten is not None else sql)
+
+
+# ---------------------------------------------------------------------------
+# Script runner: execute the reference's .sql files verbatim
+# ---------------------------------------------------------------------------
+#
+# The reference drives benchmarks through datafusion-cli scripts
+# (``queries/q1-coitrees.sql:1-14``): SET sequila.* / SET datafusion.* knobs,
+# CREATE EXTERNAL TABLE … STORED AS CSV … OPTIONS ('delimiter' '\t', …),
+# then the SELECT. ``run_sql_script`` executes that text end-to-end:
+# statements split on top-level semicolons, SET sequila.* mapped onto
+# ``spark.sequila.*`` (snake_case → camelCase), SET datafusion.* ignored
+# (engine-specific), CREATE EXTERNAL TABLE translated to a schema'd
+# ``spark.read.csv``/``parquet`` temp view, queries routed through
+# :func:`sequila_sql` so the interval rewrite still fires.
+
+_SET_STMT = re.compile(
+    r"^SET\s+([\w.]+)\s+(?:TO|=)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_CET_STMT = re.compile(
+    r"^CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"\((?P<cols>.*?)\)\s*"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s+"
+    r"LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s*OPTIONS\s*\((?P<opts>.*?)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPT_PAIR = re.compile(r"'((?:[^'\\]|\\.)*)'\s+'((?:[^'\\]|\\.)*)'")
+
+_SQL_TYPES = {
+    "VARCHAR": "string", "STRING": "string", "TEXT": "string", "CHAR": "string",
+    "BIGINT": "long", "LONG": "long", "INT": "int", "INTEGER": "int",
+    "SMALLINT": "short", "TINYINT": "byte",
+    "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+    "BOOLEAN": "boolean", "DATE": "date", "TIMESTAMP": "timestamp",
+}
+
+# sequila.<snake> → spark.sequila.<camel> (session_context.rs:29-49 knobs)
+def _camel(snake: str) -> str:
+    head, *rest = snake.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split on semicolons outside single-quoted strings; strip -- comments."""
+    lines = []
+    for line in script.splitlines():
+        # cut -- comments not inside quotes (count preceding quotes)
+        idx, search = -1, 0
+        while True:
+            idx = line.find("--", search)
+            if idx < 0:
+                break
+            if line.count("'", 0, idx) % 2 == 0:
+                line = line[:idx]
+                break
+            search = idx + 2
+        lines.append(line)
+    text = "\n".join(lines)
+    out, cur, in_q = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_q = not in_q
+        if ch == ";" and not in_q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+def _unescape(s: str) -> str:
+    return s.replace("\\t", "\t").replace("\\n", "\n").replace("\\'", "'")
+
+
+def _create_external_table(spark: SparkSession, m: re.Match, base_dir: str | None):
+    import os
+
+    name = m.group(1)
+    fields = []
+    for coldef in _split_top_commas(m.group("cols")):
+        parts = coldef.split()
+        if len(parts) < 2:
+            raise ValueError(f"cannot parse column definition {coldef!r}")
+        cname, ctype = parts[0].strip('"`'), parts[1].upper()
+        ctype = re.sub(r"\(.*", "", ctype)  # VARCHAR(10) → VARCHAR
+        if ctype not in _SQL_TYPES:
+            raise ValueError(f"unsupported column type {ctype!r} in {coldef!r}")
+        nullable = "NOT NULL" not in coldef.upper()
+        fields.append(f"{cname} {_SQL_TYPES[ctype]}" + ("" if nullable else " not null"))
+    schema = ", ".join(f.replace(" not null", "") for f in fields)
+
+    loc = m.group("loc")
+    if base_dir is not None and not os.path.isabs(loc):
+        loc = os.path.join(base_dir, loc)
+    opts = dict(
+        (k.lower(), _unescape(v))
+        for k, v in _OPT_PAIR.findall(m.group("opts") or "")
+    )
+    fmt = m.group("fmt").upper()
+    if fmt == "CSV":
+        df = spark.read.csv(
+            loc,
+            sep=opts.get("delimiter", ","),
+            header=opts.get("has_header", "false").lower() == "true",
+            schema=schema,
+        )
+    elif fmt == "PARQUET":
+        df = spark.read.parquet(loc)
+    else:
+        raise ValueError(f"unsupported STORED AS format {fmt!r} (CSV/PARQUET)")
+    df.createOrReplaceTempView(name)
+
+
+def run_sql_script(
+    spark: SparkSession,
+    script: str,
+    *,
+    base_dir: str | None = None,
+    bin_width: int | None = None,
+) -> DataFrame | None:
+    """Execute a reference-style ``.sql`` script; return the last query result.
+
+    ``base_dir`` resolves relative ``LOCATION`` paths (the reference scripts
+    use paths relative to the repo root). Unknown ``SET`` namespaces
+    (``datafusion.*``) are ignored — they tune the other engine.
+    """
+    result: DataFrame | None = None
+    for stmt in _split_statements(script):
+        m = _SET_STMT.match(stmt)
+        if m:
+            key, value = m.group(1), m.group(2).strip().strip("'\"")
+            if key.lower().startswith("sequila."):
+                spark.conf.set("spark.sequila." + _camel(key[len("sequila."):]), value)
+            elif key.lower().startswith("datafusion."):
+                pass  # other engine's knob — no Spark analogue
+            else:
+                spark.sql(stmt)  # plain Spark SET
+            continue
+        m = _CET_STMT.match(stmt)
+        if m:
+            _create_external_table(spark, m, base_dir)
+            continue
+        result = sequila_sql(spark, stmt, bin_width=bin_width)
+    return result
+
+
+def run_sql_file(
+    spark: SparkSession,
+    path: str,
+    *,
+    base_dir: str | None = None,
+    bin_width: int | None = None,
+) -> DataFrame | None:
+    """``run_sql_script`` over a file; LOCATIONs resolve against its dir
+    unless ``base_dir`` is given."""
+    import os
+
+    with open(path) as f:
+        text = f.read()
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(path))
+    return run_sql_script(spark, text, base_dir=base_dir, bin_width=bin_width)

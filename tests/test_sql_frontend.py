@@ -131,3 +131,115 @@ def test_non_integral_bounds_fall_back(spark):
         assert fast == slow
     finally:
         spark.catalog.dropTempView("sql_reads_f")
+
+
+# ---------------------------------------------------------------------------
+# Script runner: reference .sql files end-to-end (queries/q1-coitrees.sql)
+# ---------------------------------------------------------------------------
+
+import os
+
+from sequila_native_spark.sql import run_sql_file, run_sql_script
+
+_BED_A = "chr1\t150\t250\nchr1\t400\t600\nchr2\t100\t200\nchr3\t5\t6\n"
+_BED_B = "chr1\t100\t190\nchr1\t500\t700\nchr2\t150\t160\nchr4\t1\t2\n"
+
+# queries/q1-coitrees.sql:1-14 verbatim, LOCATION parameterized
+_Q1_TEMPLATE = """
+SET sequila.prefer_interval_join TO true;
+SET sequila.interval_join_algorithm TO coitrees;
+SET datafusion.optimizer.repartition_joins TO false;
+SET datafusion.execution.coalesce_batches TO false;
+
+CREATE EXTERNAL TABLE a (contig VARCHAR NOT NULL, start BIGINT NOT NULL, end BIGINT NOT NULL)
+STORED AS CSV
+LOCATION '{a}'
+OPTIONS ('delimiter' '\\t', 'has_header' 'false');
+
+CREATE EXTERNAL TABLE b (contig VARCHAR NOT NULL, start BIGINT NOT NULL, end BIGINT NOT NULL)
+STORED AS CSV
+LOCATION '{b}'
+OPTIONS ('delimiter' '\\t', 'has_header' 'false');
+
+select count(1) from a join b
+ on a.contig = b.contig
+and a.end >= b.start
+and a.start <= b.end;
+"""
+
+
+@pytest.fixture
+def bed_files(tmp_path):
+    pa, pb = tmp_path / "a.bed", tmp_path / "b.bed"
+    pa.write_text(_BED_A)
+    pb.write_text(_BED_B)
+    yield str(pa), str(pb)
+
+
+@pytest.fixture
+def clean_conf(spark):
+    yield
+    for k in ("spark.sequila.preferIntervalJoin", "spark.sequila.intervalJoinAlgorithm"):
+        spark.conf.unset(k)
+    for v in ("a", "b"):
+        spark.catalog.dropTempView(v)
+
+
+def test_run_q1_script_verbatim(spark, bed_files, clean_conf):
+    script = _Q1_TEMPLATE.format(a=bed_files[0], b=bed_files[1])
+    out = run_sql_script(spark, script)
+    # expected: chr1 150-250 vs 100-190 (hit), 400-600 vs 500-700 (hit),
+    # chr2 100-200 vs 150-160 (hit); chr3/chr4 unmatched = 3
+    assert out.collect()[0][0] == 3
+    # the SETs took effect on the Spark side
+    assert spark.conf.get("spark.sequila.preferIntervalJoin") == "true"
+    assert spark.conf.get("spark.sequila.intervalJoinAlgorithm") == "coitrees"
+    # the query statement itself got the interval rewrite (binned plan), not
+    # a plain BNLJ/SMJ-filter plan: re-run matches the naive join
+    naive = spark.sql(
+        "SELECT count(1) FROM a JOIN b ON a.contig = b.contig "
+        "AND a.end >= b.start AND a.start <= b.end"
+    ).collect()[0][0]
+    assert naive == 3
+
+
+def test_run_q1_reference_file_with_rebased_location(spark, tmp_path, bed_files, clean_conf):
+    # the actual reference file text, LOCATION paths rebased onto tmp data
+    ref = "/root/reference/queries/q1-coitrees.sql"
+    if not os.path.exists(ref):
+        pytest.skip("reference queries not present")
+    text = open(ref).read()
+    text = text.replace("./testing/data/exons.bed", bed_files[0])
+    text = text.replace("./testing/data/fBrain-DS14718.bed", bed_files[1])
+    out = run_sql_script(spark, text)
+    assert out.collect()[0][0] == 3
+
+
+def test_run_sql_file_relative_location(spark, tmp_path, clean_conf):
+    (tmp_path / "a.bed").write_text(_BED_A)
+    (tmp_path / "b.bed").write_text(_BED_B)
+    script = _Q1_TEMPLATE.format(a="a.bed", b="b.bed")
+    p = tmp_path / "q1.sql"
+    p.write_text(script)
+    out = run_sql_file(spark, str(p))  # LOCATIONs resolve against the file dir
+    assert out.collect()[0][0] == 3
+
+
+def test_script_comments_and_unknown_set(spark, bed_files, clean_conf):
+    script = (
+        "-- a comment; with a semicolon\n"
+        "SET spark.sql.shuffle.partitions = 8;\n"
+        "CREATE EXTERNAL TABLE a (contig VARCHAR NOT NULL, start BIGINT, end BIGINT) "
+        f"STORED AS CSV LOCATION '{bed_files[0]}' OPTIONS ('delimiter' '\\t', 'has_header' 'false');\n"
+        "SELECT count(1) AS n FROM a;\n"
+    )
+    out = run_sql_script(spark, script)
+    assert out.collect()[0]["n"] == 4
+
+
+def test_script_rejects_bad_type(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported column type"):
+        run_sql_script(
+            spark,
+            "CREATE EXTERNAL TABLE t (x BLOB) STORED AS CSV LOCATION '/tmp/x.csv';",
+        )
