@@ -403,8 +403,20 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 family: bit-identical to the DuckDB oracle; the engine default is
+    # the vectorized numeric family (hash_family="fast", ~10x signatures)
     return minhash_pairs(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, threshold_milli=200
+        _t(spark, sf_dir, "documents"), k=8, bands=4, threshold_milli=200,
+        hash_family="md5",
+    )
+
+
+def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: the fast family's siphash base is not reproducible in
+    # DuckDB; exact-Jaccard verification semantics are pinned by unit tests
+    return minhash_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, threshold_milli=200,
+        hash_family="fast",
     )
 
 
@@ -507,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_dist": q_doc_lang_dist,
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,

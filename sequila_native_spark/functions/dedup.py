@@ -174,6 +174,50 @@ def minhash_signature_sql(text_expr: str = "text", k: int = 8, n: int = 3) -> st
     )
 
 
+def minhash_signature_vectorized(col: Column, k: int = 8, n: int = 3) -> Column:
+    """Numeric MinHash: one C-speed base hash per shingle + k multiply-shift
+    draws, fully vectorized in numpy.
+
+    The md5 family exists for bit-identical DuckDB oracle parity; at scale
+    the ``k × |shingles|`` md5 calls dominate the signature pass. Here the
+    base hash is pandas' siphash (``pd.util.hash_array``, deterministic
+    fixed-key, C-speed) and family ``i`` is ``a_i * h + b_i mod 2^64`` with
+    fixed odd multipliers — a standard universal-hash min-wise family. Top
+    bit shifted off so values fit signed int64 (Spark LongType).
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    rs = np.random.RandomState(20260813)
+    mult = (
+        rs.randint(1, 2**62, size=k).astype(np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    add = rs.randint(0, 2**62, size=k).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+            for t in texts:
+                toks = t.lower().split(" ")
+                if len(toks) < n:
+                    out.append([])
+                    continue
+                sh = list(
+                    {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                )
+                base = pd.util.hash_array(
+                    np.asarray(sh, dtype=object)
+                ).astype(np.uint64)
+                vals = mult[:, None] * base[None, :] + add[:, None]
+                out.append(
+                    (vals.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
+                )
+        return pd.Series(out)
+
+    return sig(col)
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -183,6 +227,7 @@ def minhash_pairs(
     bands: int = 4,
     n: int = 3,
     threshold_milli: int = 200,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, then exact
     n-gram Jaccard verification on the candidates only.
@@ -192,23 +237,46 @@ def minhash_pairs(
     never all-pairs) → distinct candidate pairs → exact
     ``|A∩B|*1000 >= t*|A∪B|`` verification on the shingle sets.
 
+    ``hash_family``: ``"fast"`` (default — vectorized numeric family,
+    :func:`minhash_signature_vectorized`, band-hashed with JVM ``xxhash64``)
+    or ``"md5"`` (bit-identical to the DuckDB oracle SQL; ~an order of
+    magnitude slower signatures — use for cross-engine verification).
+    Both verify candidates with the same exact Jaccard test; they can differ
+    only on pairs one family's LSH happens to miss.
+
     Output: ``id_a < id_b, n_common, n_union`` (integers only).
     """
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k}")
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     r = k // bands
     src = ensure_parallel(df.select(id_col, text_col))
-    # signatures (k md5 passes over every shingle) are the expensive part —
+    # signatures (k hash passes over every shingle) are the expensive part —
     # computed once, on the banding branch only; the verification joins
     # recompute just the plain shingle arrays
+    sig_col = (
+        minhash_signature_fast(F.col(text_col), k, n)
+        if hash_family == "md5"
+        else minhash_signature_vectorized(F.col(text_col), k, n)
+    )
     base = src.select(
         F.col(id_col).alias("__sq_id"),
-        minhash_signature_fast(F.col(text_col), k, n).alias("__sq_sig"),
+        sig_col.alias("__sq_sig"),
     ).where(F.size("__sq_sig") > 0)
     sh_base = src.select(
         F.col(id_col).alias("__sq_id"),
         shingles_fast(F.col(text_col), n).alias("__sq_sh"),
     )
+    def band_hash(b):
+        band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
+        if hash_family == "md5":
+            # oracle family: md5 over '|'-joined hex digests, byte-identical
+            # to the DuckDB twin (minhash_signature_sql)
+            return F.md5(F.concat_ws("|", band))
+        # whole-stage-codegen'd 64-bit hash of the numeric band
+        return F.xxhash64(band)
+
     banded = base.select(
         "__sq_id",
         F.explode(
@@ -216,14 +284,7 @@ def minhash_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.slice(
-                                F.col("__sq_sig"), (b * r + 1).cast("int"), r
-                            ),
-                        )
-                    ).alias("band_hash"),
+                    band_hash(b).alias("band_hash"),
                 ),
             )
         ).alias("__sq_band"),
@@ -303,16 +364,34 @@ def simhash_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 8,
-    chunks: int = 4,
+    chunks: int | None = None,
+    approximate: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Scale path: split the 63-bit hash into ``chunks`` bands — two hashes
-    within Hamming distance < chunks must share at least one exact band
-    (pigeonhole), so candidates come from an equi-join on (band_idx,
-    band_bits), then exact popcount verification.
+    within Hamming distance < ``chunks`` must share at least one exact band
+    (pigeonhole: ≤ ``max_hamming`` differing bits can dirty at most
+    ``max_hamming`` bands), so candidates come from an equi-join on
+    (band_idx, band_bits), then exact popcount verification.
+
+    The pigeonhole guarantee REQUIRES ``chunks > max_hamming`` — the default
+    derives ``chunks = max_hamming + 1``. Passing fewer chunks trades recall
+    for fewer/larger bands and must be opted into with ``approximate=True``
+    (pairs whose differing bits spread across every band are then missed).
     """
-    width = 64 // chunks
+    if chunks is None:
+        # 63 usable bits: >63 chunks would add all-zero bands past bit 62
+        # that match every row pair (quadratic candidate blowup)
+        chunks = min(max_hamming + 1, 63)
+    if max_hamming >= chunks and not approximate:
+        raise ValueError(
+            f"chunks={chunks} only guarantees recall for Hamming distance "
+            f"< {chunks}, but max_hamming={max_hamming}; pass "
+            f"approximate=True to accept missed pairs, or chunks >= "
+            f"max_hamming + 1"
+        )
+    width = max(1, 64 // chunks)
     h = simhash64(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("__sq_id"), F.col("simhash")
     )

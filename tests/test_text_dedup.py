@@ -114,3 +114,80 @@ def test_simhash_identity_and_pairs(spark, docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got[(1, 2)] == 0
     assert (1, 4) in got and got[(1, 4)] <= 16  # one-word change: small distance
+
+
+def test_simhash_pairs_recall_vs_brute_force(spark):
+    # pigeonhole contract: with default chunks (= max_hamming + 1), EVERY
+    # pair within max_hamming must be found — compare against the O(n^2)
+    # driver-side truth on a vocabulary engineered for varied distances
+    import itertools
+
+    from sequila_native_spark.functions.dedup import _simhash_one
+
+    texts = [
+        " ".join(ws)
+        for ws in itertools.combinations(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"], 4
+        )
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for max_h in (4, 8, 12):
+        want = set()
+        hs = {i: _simhash_one(t) for i, t in rows}
+        for a, b in itertools.combinations(range(len(rows)), 2):
+            if bin(hs[a] ^ hs[b]).count("1") <= max_h:
+                want.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, max_hamming=max_h).collect()
+        }
+        assert got == want, f"max_hamming={max_h}: missed {want - got}"
+
+
+def test_simhash_pairs_rejects_lossy_chunks(spark, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="approximate=True"):
+        simhash_pairs(docs, max_hamming=8, chunks=4)
+    # explicit opt-in works and returns a subset of the guaranteed set
+    sub = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=8, chunks=4, approximate=True).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert sub <= full
+
+
+def test_minhash_fast_family_agrees_with_md5_family(spark, docs):
+    from sequila_native_spark.functions.dedup import minhash_signature_vectorized
+
+    kw = dict(k=8, bands=4, threshold_milli=200)
+    md5_pairs = {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_union"])
+        for r in minhash_pairs(docs, hash_family="md5", **kw).collect()
+    }
+    fast_pairs = {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_union"])
+        for r in minhash_pairs(docs, hash_family="fast", **kw).collect()
+    }
+    # both families verify candidates with the same exact-Jaccard test, so
+    # every emitted pair is a TRUE near-dup; the families may differ only in
+    # LSH recall. On this fixture the fast family recovers everything md5
+    # does (it additionally catches (3,4), which md5's banding misses).
+    assert md5_pairs and md5_pairs <= fast_pairs
+    for _, _, n_common, n_union in fast_pairs:
+        assert n_common * 1000 >= 200 * n_union
+
+    # signatures: k elements, deterministic across evaluations
+    s1 = docs.select(minhash_signature_vectorized(F.col("text")).alias("s")).collect()
+    s2 = docs.select(minhash_signature_vectorized(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+    assert all(len(r["s"]) in (0, 8) for r in s1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_family"):
+        minhash_pairs(docs, hash_family="sha9000")
