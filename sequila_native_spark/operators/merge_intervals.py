@@ -6,20 +6,72 @@ adjacency: ``[1,5]`` and ``[6,10]`` merge; ``max_gap`` extends this to
 bedtools ``-d``). The classic interval-set normalization that precedes
 coverage/complement analyses.
 
-Plan shape: one window (running max of ends per key, ordered by start) +
-one aggregation on the derived run id — both partitioned on the same keys,
-so Catalyst reuses the exchange; no joins, no explosion. At 100 TB this is
-a single sort-shuffle per key group.
+Plan shape — two-phase chunked merge, so parallelism is NOT capped at the
+key cardinality (a human genome has ~25 contigs; one sort task per contig
+would cap a 1000-executor cluster at 25 tasks):
+
+1. *Local merge*: partition by ``(keys…, chunk)`` where ``chunk =
+   start div chunk_width`` — a contiguous start-range slice — and run the
+   window sweep (running max of ends, run-id prefix sum) inside each slice.
+   This collapses every intra-chunk chain edge; output is one row per local
+   run carrying its absorbed count.
+2. *Fix-up sweep*: the same window merge over the per-key local runs.
+   Correctness: local merging only joins truly-adjacent intervals, and the
+   phase-2 sweep re-examines ALL runs in global start order, so chains that
+   cross chunk boundaries (including a long interval swallowing later
+   chunks' runs) merge exactly as a single-pass sweep would. Per-key row
+   count entering phase 2 is O(#chunks + #final runs) — bounded and tiny —
+   so the per-key sort that was the scale bottleneck now touches compacted
+   runs only.
+
+Both windows shuffle once each; no joins, no explosion.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sequila_native_spark.operators.interval_join import _LE, _LS, _with_bounds
 from sequila_native_spark.operators.intervals import validate_sides
 from sequila_native_spark.session import SequilaConf
+
+_N = "__sq_n"
+_CHUNK = "__sq_chunk"
+
+# 32 kbp start-range slices: ~7600-way parallelism per human contig, ~10k
+# rows per slice at 50x short-read coverage — slice sorts stay in-cache and
+# the phase-2 fix-up input is thousands of runs per contig, not millions
+DEFAULT_CHUNK_WIDTH = 1 << 15
+
+
+def _runs(df: DataFrame, keys: list[str], extra_keys: list[str],
+          n_col: Column, max_gap: int) -> DataFrame:
+    """One window sweep: group rows into maximal adjacent runs within
+    ``(keys + extra_keys)`` partitions; emit (min start, max end, Σn)."""
+    part = [*keys, *extra_keys]
+    w_order = Window.partitionBy(*part).orderBy(F.col(_LS).asc(), F.col(_LE).asc())
+    prev_max = F.max(F.col(_LE)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_run = F.when(
+        prev_max.isNull() | (F.col(_LS) > prev_max + 1 + max_gap), 1
+    ).otherwise(0)
+    runs = df.withColumn(
+        "__sq_run",
+        F.sum(new_run).over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy(*part, "__sq_run")
+        .agg(
+            F.min(_LS).alias(_LS),
+            F.max(_LE).alias(_LE),
+            F.sum(n_col).alias(_N),
+        )
+        .drop("__sq_run", *extra_keys)
+    )
 
 
 def merge_intervals(
@@ -29,6 +81,7 @@ def merge_intervals(
     end: str = "pos_end",
     *,
     max_gap: int = 0,
+    chunk_width: int | None = DEFAULT_CHUNK_WIDTH,
     check_bounds: bool | None = None,
 ) -> DataFrame:
     """Return one row per merged run: keys, run ``start``/``end``, and
@@ -36,6 +89,9 @@ def merge_intervals(
 
     Intervals sharing a key merge when ``next.start <= running_max_end + 1 +
     max_gap`` (closed-interval bookends merge at ``max_gap=0``).
+    ``chunk_width`` controls phase-1 parallelism (start-range slice size);
+    ``None`` forces the single-pass per-key sort (only sensible when key
+    cardinality already exceeds the cluster's task slots).
     """
     conf = SequilaConf.from_spark(df.sparkSession)
     check = conf.check_int32_bounds if check_bounds is None else check_bounds
@@ -45,25 +101,19 @@ def merge_intervals(
 
     b = _with_bounds(df.select(*dict.fromkeys([*keys, start, end])), start, end,
                      _LS, _LE, False, check)
-    w_order = Window.partitionBy(*keys).orderBy(F.col(_LS).asc(), F.col(_LE).asc())
-    prev_max = F.max(F.col(_LE)).over(
-        w_order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_run = F.when(
-        prev_max.isNull() | (F.col(_LS) > prev_max + 1 + max_gap), 1
-    ).otherwise(0)
-    runs = b.withColumn(
-        "__sq_run",
-        F.sum(new_run).over(
-            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        runs.groupBy(*keys, "__sq_run")
-        .agg(
-            F.min(_LS).cast("int").alias(start),
-            F.max(_LE).cast("int").alias(end),
-            F.count(F.lit(1)).alias("n_merged"),
+    if chunk_width is not None:
+        if chunk_width <= 0:
+            raise ValueError(f"chunk_width must be positive, got {chunk_width}")
+        local = b.withColumn(
+            _CHUNK, F.floor(F.col(_LS).cast("double") / F.lit(float(chunk_width)))
         )
-        .drop("__sq_run")
+        b = _runs(local, keys, [_CHUNK], F.lit(1), max_gap)
+        merged = _runs(b, keys, [], F.col(_N), max_gap)
+    else:
+        merged = _runs(b, keys, [], F.lit(1), max_gap)
+    return merged.select(
+        *keys,
+        F.col(_LS).cast("int").alias(start),
+        F.col(_LE).cast("int").alias(end),
+        F.col(_N).alias("n_merged"),
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from sequila_native_spark import merge_intervals
 
 
@@ -62,3 +64,33 @@ def test_merge_union_coverage_consistency(spark, reads, targets):
     a = {(r["contig"], r["pos_start"]): r["bases_union"] for r in uc.collect()}
     b = {(r["contig"], r["pos_start"]): r["bases_union"] for r in uc2.collect()}
     assert a == b  # merging the build side never changes union coverage
+
+
+@pytest.mark.parametrize("chunk_width", [1, 7, 100, None])
+def test_chunked_merge_equals_single_pass(spark, reads, chunk_width):
+    # tiny chunk widths force many boundary crossings (every run spans
+    # chunks); results must be identical to the one-pass sweep
+    base = merge_intervals(reads, on="contig", chunk_width=None)
+    got = merge_intervals(reads, on="contig", chunk_width=chunk_width)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_chunked_merge_long_interval_swallows_later_chunks(spark):
+    # [0, 1000] spans every chunk; locally-unmergeable later rows must still
+    # be absorbed by the phase-2 sweep
+    df = spark.createDataFrame(
+        [("c", 0, 1000), ("c", 50, 60), ("c", 500, 510), ("c", 2000, 2010)],
+        "contig string, s int, e int",
+    )
+    out = merge_intervals(df, on="contig", start="s", end="e", chunk_width=100)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("c", 0, 1000, 3), ("c", 2000, 2010, 1)]
+
+
+def test_chunked_merge_parallelism_exceeds_key_cardinality(spark, reads):
+    # the phase-1 exchange hashes on (keys, chunk), not keys alone — the
+    # one-task-per-contig sort cap is gone
+    plan = merge_intervals(
+        reads, on="contig", chunk_width=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__sq_chunk" in plan.split("Exchange")[1]
