@@ -32,6 +32,10 @@ from sequila_native_spark.functions.similarity import (
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
     decode_media_meta,
+    encode_fake_image,
+    fake_image_decoder,
+    register_decoder,
+    unregister_decoder,
     sample_chunks,
 )
 
@@ -41,4 +45,5 @@ __all__ = [
     "minhash_pairs", "simhash64", "simhash_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",
+    "register_decoder", "unregister_decoder", "encode_fake_image", "fake_image_decoder",
 ]

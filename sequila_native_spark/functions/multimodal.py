@@ -41,45 +41,123 @@ def attach_binary(
     )
 
 
-def _try_decoder(media_type: str):
-    """Return a real decoder callable if its library exists, else None."""
-    if media_type.startswith("image/"):
-        try:  # not present in this container — plumbing only
-            from PIL import Image  # noqa: F401
+# ---------------------------------------------------------------------------
+# Pluggable codec registry
+# ---------------------------------------------------------------------------
+#
+# A decoder is ``bytes -> dict`` with any of the keys ``format`` (str),
+# ``width``/``height``/``duration_ms`` (int); raising means "payload is not
+# valid for this media type". Registered callables are captured into the UDF
+# closure (cloudpickle), so plain functions and lambdas both ship to
+# executors. Lookup order: exact media type, then ``family/*`` wildcard.
 
-            return lambda raw: Image.open(raw)
-        except ImportError:
-            return None
-    return None
+from typing import Callable
+
+_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+META_FIELDS = ("format", "width", "height", "duration_ms")
+
+FAKE_IMAGE_TYPE = "application/x-fake-image"
+FAKE_IMAGE_MAGIC = b"FKIM"
+
+
+def register_decoder(media_type: str, decoder: Callable[[bytes], dict]) -> None:
+    """Register/replace the decoder for ``media_type`` (or ``family/*``)."""
+    _DECODERS[media_type] = decoder
+
+
+def unregister_decoder(media_type: str) -> None:
+    _DECODERS.pop(media_type, None)
+
+
+def _lookup_decoder(decoders, media_type):
+    if media_type is None:
+        return None
+    dec = decoders.get(media_type)
+    if dec is None and "/" in media_type:
+        dec = decoders.get(media_type.split("/", 1)[0] + "/*")
+    return dec
+
+
+def fake_image_decoder(raw: bytes) -> dict:
+    """Deterministic test codec: ``FKIM`` magic + 2-byte BE width + 2-byte BE
+    height, arbitrary body. Exercises the full decode path (dispatch, field
+    extraction, error signaling) without any native media library."""
+    raw = bytes(raw)
+    if len(raw) < 8 or raw[:4] != FAKE_IMAGE_MAGIC:
+        raise ValueError("not a fake image payload")
+    return {
+        "format": "fake-image",
+        "width": int.from_bytes(raw[4:6], "big"),
+        "height": int.from_bytes(raw[6:8], "big"),
+    }
+
+
+def encode_fake_image(width: int, height: int, body: bytes = b"") -> bytes:
+    """Build a payload :func:`fake_image_decoder` accepts (test helper)."""
+    return (
+        FAKE_IMAGE_MAGIC
+        + int(width).to_bytes(2, "big")
+        + int(height).to_bytes(2, "big")
+        + body
+    )
+
+
+def _register_builtin_decoders() -> None:
+    register_decoder(FAKE_IMAGE_TYPE, fake_image_decoder)
+    try:  # real image codec when the library exists (not in this container)
+        import io
+
+        from PIL import Image
+
+        def _pil(raw: bytes) -> dict:
+            img = Image.open(io.BytesIO(bytes(raw)))
+            return {
+                "format": (img.format or "unknown").lower(),
+                "width": img.width,
+                "height": img.height,
+            }
+
+        register_decoder("image/*", _pil)
+    except ImportError:
+        pass
+
+
+_register_builtin_decoders()
 
 
 def decode_media_meta(
     df: DataFrame,
     payload_col: str = "payload",
+    media_type_col: str = "media_type",
     *,
     strict_decode: bool = False,
 ) -> DataFrame:
     """Per-payload metadata via Arrow-batched ``mapInPandas``.
 
-    Deterministic fields computable from raw bytes: ``n_bytes`` and
-    ``header_hex`` (first 4 bytes, uppercase hex — matching SQL ``hex()``).
-    With ``strict_decode=True`` a real codec is required and its absence
-    raises ``NotImplementedError`` (the documented stub boundary).
+    Always-computable fields from raw bytes: ``n_bytes`` and ``header_hex``
+    (first 4 bytes, uppercase hex — matching SQL ``hex()``). When a decoder
+    is registered for the row's media type (see :func:`register_decoder`),
+    the typed fields ``media_format``/``width``/``height``/``duration_ms``
+    are filled; otherwise they are null. ``strict_decode=True`` turns a
+    missing decoder or a failed decode into an error instead of nulls
+    (``NotImplementedError`` / ``ValueError`` surfaced from the executor).
     """
+    has_type = media_type_col in df.columns
     out_schema = StructType(
         list(df.schema.fields)
         + [
             StructField("n_bytes", LongType(), False),
             StructField("header_hex", StringType(), True),
+            StructField("media_format", StringType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
         ]
     )
+    decoders = dict(_DECODERS)  # snapshot into the closure at plan time
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict_decode and _try_decoder("image/any") is None:
-            raise NotImplementedError(
-                "no media decoder available in this environment; "
-                "install a codec or call with strict_decode=False"
-            )
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -87,6 +165,32 @@ def decode_media_meta(
             payloads = pdf[payload_col]
             pdf["n_bytes"] = payloads.map(len).astype("int64")
             pdf["header_hex"] = payloads.map(lambda b: bytes(b[:4]).hex().upper())
+            types = pdf[media_type_col] if has_type else pd.Series(
+                [None] * len(pdf), index=pdf.index
+            )
+            meta = {k: [] for k in META_FIELDS}
+            for raw, mt in zip(payloads, types):
+                dec = _lookup_decoder(decoders, mt)
+                if dec is None:
+                    if strict_decode:
+                        raise NotImplementedError(
+                            f"no decoder registered for media type {mt!r}; "
+                            f"register_decoder() one or call with "
+                            f"strict_decode=False"
+                        )
+                    d = {}
+                else:
+                    try:
+                        d = dec(bytes(raw))
+                    except Exception:
+                        if strict_decode:
+                            raise
+                        d = {}
+                for k in META_FIELDS:
+                    meta[k].append(d.get(k))
+            pdf["media_format"] = pd.Series(meta["format"], index=pdf.index, dtype=object)
+            for k in ("width", "height", "duration_ms"):
+                pdf[k] = pd.Series(meta[k], index=pdf.index, dtype="object")
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -78,7 +78,63 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_strict_decode_raises(spark):
+    # image/png has no registered decoder in this container (PIL absent)
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(2)
     with_bin = attach_binary(docs, media_type="image/png")
-    with pytest.raises(Exception, match="no media decoder available"):
+    with pytest.raises(Exception, match="no decoder registered"):
         decode_media_meta(with_bin, strict_decode=True).collect()
+    # non-strict: rows flow through with null typed fields
+    rows = decode_media_meta(with_bin).collect()
+    assert len(rows) == 2
+    assert all(r["media_format"] is None and r["width"] is None for r in rows)
+
+
+def test_fake_image_codec_strict_decode(spark):
+    from sequila_native_spark.functions import encode_fake_image
+    from sequila_native_spark.functions.multimodal import FAKE_IMAGE_TYPE
+
+    rows = [
+        (1, encode_fake_image(640, 480, b"pixels")),
+        (2, encode_fake_image(32, 1024)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary").withColumn(
+        "media_type", F.lit(FAKE_IMAGE_TYPE)
+    )
+    got = {
+        r["doc_id"]: (r["media_format"], r["width"], r["height"], r["duration_ms"])
+        for r in decode_media_meta(df, strict_decode=True).collect()
+    }
+    assert got == {
+        1: ("fake-image", 640, 480, None),
+        2: ("fake-image", 32, 1024, None),
+    }
+
+
+def test_fake_image_codec_bad_payload(spark):
+    from sequila_native_spark.functions.multimodal import FAKE_IMAGE_TYPE
+
+    df = spark.createDataFrame(
+        [(1, b"not an image")], "doc_id int, payload binary"
+    ).withColumn("media_type", F.lit(FAKE_IMAGE_TYPE))
+    # strict: decode failure surfaces; lax: null typed fields
+    with pytest.raises(Exception, match="not a fake image"):
+        decode_media_meta(df, strict_decode=True).collect()
+    r = decode_media_meta(df).collect()[0]
+    assert r["media_format"] is None and r["n_bytes"] == 12
+
+
+def test_custom_registered_decoder_roundtrip(spark):
+    from sequila_native_spark.functions import register_decoder, unregister_decoder
+
+    def wav_decoder(raw: bytes) -> dict:
+        return {"format": "wav", "duration_ms": len(raw) * 10}
+
+    register_decoder("audio/wav", wav_decoder)
+    try:
+        df = spark.createDataFrame(
+            [(1, b"abcd")], "doc_id int, payload binary"
+        ).withColumn("media_type", F.lit("audio/wav"))
+        r = decode_media_meta(df, strict_decode=True).collect()[0]
+        assert (r["media_format"], r["duration_ms"], r["width"]) == ("wav", 40, None)
+    finally:
+        unregister_decoder("audio/wav")
