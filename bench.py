@@ -29,14 +29,18 @@ HEADLINE = [
     "range_only_count",           # keyless interval join
     "count_overlaps_per_target",  # per-probe overlap counts
     "coverage_per_target",        # overlap count + clipped-base coverage
-    "nearest_target_read",        # nearest-interval join
+    "nearest_target_read",        # nearest-interval join (broadcast index)
+    "nearest_partitioned",        # nearest-interval join (cogroup, no collect)
+    "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
+    "merged_read_runs",           # bedtools merge (two-phase chunked sweep)
     "reads_outside_targets",      # anti overlap filter (blacklist subtract)
     "pricing_summary",            # relational aggregation
     "top_orders",                 # 3-way join + top-k
     "brand_volume",               # broadcast join + agg
     "events_hourly",              # time-bucketed aggregation
     "exact_dup_clusters",         # exact dedup (hash groupBy)
-    "minhash_near_dups",          # MinHash-LSH near-dup candidates + verify
+    "minhash_near_dups",          # MinHash-LSH near-dups (md5 oracle family)
+    "minhash_near_dups_fast",     # MinHash-LSH near-dups (vectorized family)
     "embedding_topk",             # brute-force cosine top-k
     "lsh_ann_topk",               # LSH-bucketed approximate top-k
     "ivf_ann_topk",               # IVF (k-means cells) approximate top-k

@@ -44,7 +44,9 @@ from sequila_native_spark.operators.interval_join import (
     _probe_spans,
     _with_bounds,
     guarded_build_pandas,
+    resolve_bin_width,
 )
+from sequila_native_spark.util import stamp_row_id
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
 
@@ -83,6 +85,10 @@ def count_overlaps(
     left = left.select(*dict.fromkeys([*l_keys, left_start, left_end]))
     right_out_cols = list(right.columns)
     right_orig = right
+    if algo in ("binning", "partitioned"):
+        width = resolve_bin_width(
+            width, left, left_start, left_end, right, right_start, right_end
+        )
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
 
@@ -96,7 +102,7 @@ def count_overlaps(
             algo = "binning"  # accounted-memory fallback, never a blind collect
 
     if algo in ("naive", "binning", "partitioned"):
-        right = right.withColumn(_PID, F.monotonically_increasing_id())
+        right = stamp_row_id(right, _PID)
         rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
         if algo == "naive":
             cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])

@@ -27,7 +27,9 @@ from sequila_native_spark.operators.interval_join import (
     _RS,
     _binned_pairs,
     _with_bounds,
+    resolve_bin_width,
 )
+from sequila_native_spark.util import stamp_row_id
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
 
@@ -70,9 +72,13 @@ def filter_by_overlap(
         *dict.fromkeys([*l_keys, regions_start, regions_end])
     )
     out_cols = list(df.columns)
+    if algo != "naive":
+        width = resolve_bin_width(
+            width, regions, regions_start, regions_end, df, df_start, df_end
+        )
 
     lb = _with_bounds(regions, regions_start, regions_end, _LS, _LE, strict, check)
-    probe = df.withColumn(_PID, F.monotonically_increasing_id())
+    probe = stamp_row_id(df, _PID)
     rb = _with_bounds(probe, df_start, df_end, _RS, _RE, strict, check)
 
     if algo == "naive":

@@ -37,7 +37,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .session import DEFAULT_BIN_WIDTH, SequilaConf
+from .session import DEFAULT_FIXED_BIN_WIDTH, SequilaConf
 
 _BIN = "__sq_bin"
 
@@ -206,8 +206,8 @@ def rewrite_interval_sql(
     width = bin_width if bin_width is not None else conf.bin_width
     if not isinstance(width, int):
         # "auto" width needs a data pass over DataFrames; the text-level SQL
-        # path uses the engine default instead (documented in README §SQL)
-        width = DEFAULT_BIN_WIDTH
+        # path uses the fixed engine fallback instead (documented in README)
+        width = DEFAULT_FIXED_BIN_WIDTH
 
     try:  # star expansion + integral-bounds guard need the schemas
         sch1 = dict((f.name, f.dataType.simpleString()) for f in spark.table(rel1).schema)
@@ -278,7 +278,7 @@ _SET_STMT = re.compile(
 )
 _CET_STMT = re.compile(
     r"^CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
-    r"\((?P<cols>.*?)\)\s*"
+    r"(?:\((?P<cols>.*?)\)\s*)?"  # optional — self-describing formats
     r"STORED\s+AS\s+(?P<fmt>\w+)\s+"
     r"LOCATION\s+'(?P<loc>[^']+)'"
     r"(?:\s*OPTIONS\s*\((?P<opts>.*?)\))?\s*$",
@@ -338,7 +338,7 @@ def _create_external_table(spark: SparkSession, m: re.Match, base_dir: str | Non
 
     name = m.group(1)
     fields = []
-    for coldef in _split_top_commas(m.group("cols")):
+    for coldef in _split_top_commas(m.group("cols") or ""):
         parts = coldef.split()
         if len(parts) < 2:
             raise ValueError(f"cannot parse column definition {coldef!r}")
@@ -363,7 +363,9 @@ def _create_external_table(spark: SparkSession, m: re.Match, base_dir: str | Non
             loc,
             sep=opts.get("delimiter", ","),
             header=opts.get("has_header", "false").lower() == "true",
-            schema=schema,
+            # no column list → infer, like datafusion-cli does
+            schema=schema or None,
+            inferSchema=not schema,
         )
     elif fmt == "PARQUET":
         df = spark.read.parquet(loc)

@@ -26,3 +26,23 @@ def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> Dat
             return df.repartition(target, *shuffle_cols)
         return df.repartition(target)
     return df
+
+
+def stamp_row_id(df: DataFrame, col_name: str) -> DataFrame:
+    """Attach a per-row id for operators that join a stamped frame against a
+    derivative of itself (semi/anti filters, count-join-back, outer padding).
+
+    Uses ``monotonically_increasing_id`` (partition ordinal << 33 | row
+    position — no shuffle, no scan). The id must agree between the two plan
+    branches that re-evaluate the stamped subtree; that holds when the
+    upstream lineage is deterministic in partitioning and row order (file
+    scans + narrow ops + hash shuffles — every shape these operators are fed
+    in practice). Callers stamping a frame built on nondeterministic sources
+    (``rand()``, sampling, unordered ``collect``-reinjection) should
+    ``cache()``/``localCheckpoint()`` the input first; the operators
+    themselves cannot afford to materialize a 100 TB probe side on the off
+    chance.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col_name, F.monotonically_increasing_id())

@@ -243,3 +243,48 @@ def test_script_rejects_bad_type(spark, tmp_path):
             spark,
             "CREATE EXTERNAL TABLE t (x BLOB) STORED AS CSV LOCATION '/tmp/x.csv';",
         )
+
+
+def test_external_table_without_column_list(spark, tmp_path, clean_conf):
+    # datafusion-cli allows omitting the column list for self-describing
+    # formats (parquet) and infers it for CSV — so do we
+    import pandas as pd
+
+    pq = tmp_path / "t.parquet"
+    pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]}).to_parquet(pq)
+    out = run_sql_script(
+        spark,
+        f"CREATE EXTERNAL TABLE a STORED AS PARQUET LOCATION '{pq}';\n"
+        "SELECT count(1) AS n, sum(x) AS s FROM a;",
+    )
+    row = out.collect()[0]
+    assert (row["n"], row["s"]) == (3, 6)
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("1\t10\n2\t20\n")
+    out = run_sql_script(
+        spark,
+        f"CREATE EXTERNAL TABLE b STORED AS CSV LOCATION '{csv}' "
+        "OPTIONS ('delimiter' '\\t');\n"
+        "SELECT count(1) AS n FROM b;",
+    )
+    assert out.collect()[0]["n"] == 2
+
+
+def test_cli_main_runs_file_and_execute(tmp_path):
+    # subprocess: main() stops its session, which would tear down the
+    # shared getOrCreate() JVM session the other tests hold
+    import subprocess
+    import sys
+
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT 40 + 2 AS answer;")
+    proc = subprocess.run(
+        [sys.executable, "-m", "sequila_native_spark", "-f", str(p),
+         "-e", "SELECT 'ok' AS tag;", "--master", "local[2]",
+         "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=180,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "42" in proc.stdout and "ok" in proc.stdout
