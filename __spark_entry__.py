@@ -43,8 +43,18 @@ from sequila_native_spark.functions import (
     quality_features,
     simhash64,
 )
-from sequila_native_spark.functions.text import STOPWORDS, lang_id_sql
-from sequila_native_spark.functions.dedup import minhash_signature_sql, shingles_sql
+from sequila_native_spark.functions.text import (
+    STOPWORDS,
+    lang_id_sql,
+    winnow_fingerprints,
+    winnow_fingerprints_oracle_sql,
+)
+from sequila_native_spark.functions.dedup import (
+    minhash_signature_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_sql,
+    shingles_sql,
+)
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 _SHINGLES_SQL = shingles_sql("text", 3)
@@ -420,6 +430,28 @@ def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exhaustive inverted-index n-gram Jaccard — exact recall (a superset of
+    # every LSH family's output at the same threshold)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_milli=200
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowed rolling-hash fingerprints (MOSS), summarized per doc
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -520,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
@@ -859,6 +893,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(sa.sh, sb.sh)) * 1000
                   >= 200 * len(list_distinct(sa.sh || sb.sh))
         """,
+        "ngram_jaccard_dups": ngram_jaccard_pairs_sql(
+            "documents", threshold_milli=200
+        ),
+        "doc_fingerprints": winnow_fingerprints_oracle_sql(
+            "documents", "doc_id", "text", k=8, w=4
+        ),
         "embedding_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

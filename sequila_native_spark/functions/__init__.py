@@ -13,12 +13,14 @@ from sequila_native_spark.functions.text import (
     quality_features,
     token_count,
     tokens,
+    winnow_fingerprints,
 )
 from sequila_native_spark.functions.dedup import (
     dedup_keep_canonical,
     exact_dedup_clusters,
     minhash_pairs,
     minhash_signature,
+    ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
 )
@@ -42,7 +44,8 @@ from sequila_native_spark.functions.multimodal import (
 __all__ = [
     "tokens", "token_count", "quality_features", "lang_id", "fingerprint",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
-    "minhash_pairs", "simhash64", "simhash_pairs",
+    "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",
+    "winnow_fingerprints",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "register_decoder", "unregister_decoder", "encode_fake_image", "fake_image_decoder",

@@ -323,6 +323,102 @@ def minhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard (exhaustive inverted-index — exact-recall near-dup)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold_milli: int = 200,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ALL pairs with n-gram Jaccard ≥ ``threshold_milli``/1000 — exhaustive
+    recall, unlike :func:`minhash_pairs` (whose LSH probabilistically misses).
+
+    Inverted-index shape: explode each document's distinct shingles, shuffle
+    self-join on the shingle (a plain equi-join — never all-pairs), count
+    common shingles per ``(id_a, id_b)``, then the integer-cross-multiplied
+    threshold test with ``|A∪B| = |A| + |B| − |A∩B|``.
+
+    100 TB design: cost is Σ df(s)² over shingle document-frequencies, so a
+    handful of stop-shingles can dominate. ``max_df`` prunes shingles
+    appearing in more than that many documents *before* the join (standard
+    stop-shingle pruning). With ``max_df`` set, recall drops only for pairs
+    whose every common shingle is that frequent; ``None`` (default) is exact.
+
+    Output: ``id_a < id_b, n_common, n_union`` (integers only, same shape as
+    :func:`minhash_pairs`).
+    """
+    src = ensure_parallel(df.select(id_col, text_col))
+    sh = src.select(
+        F.col(id_col).alias("__sq_id"),
+        F.explode(shingles_fast(F.col(text_col), n)).alias("__sq_s"),
+    )
+    counts = sh.groupBy("__sq_id").agg(F.count(F.lit(1)).alias("__sq_n"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("__sq_s")
+            .agg(F.count(F.lit(1)).alias("__sq_df"))
+            .where(F.col("__sq_df") <= max_df)
+            .select("__sq_s")
+        )
+        sh = sh.join(keep, "__sq_s")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__sq_s") == F.col("b.__sq_s"))
+            & (F.col("a.__sq_id") < F.col("b.__sq_id")),
+        )
+        .groupBy(
+            F.col("a.__sq_id").alias("id_a"), F.col("b.__sq_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("__sq_id").alias("id_a"), F.col("__sq_n").alias("__sq_na"))
+    cb = counts.select(F.col("__sq_id").alias("id_b"), F.col("__sq_n").alias("__sq_nb"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("n_union", (F.col("__sq_na") + F.col("__sq_nb") - F.col("n_common")).cast("bigint"))
+        .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
+        .select("id_a", "id_b", F.col("n_common").cast("bigint").alias("n_common"), "n_union")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold_milli: int = 200,
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (``max_df=None``)."""
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({shingles_sql(text_expr, n)}) AS s
+  FROM {table}
+), counts AS (
+  SELECT id, count(*) AS nsh FROM sh GROUP BY id
+), common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(ca.nsh + cb.nsh - n_common AS BIGINT) AS n_union
+FROM common
+JOIN counts ca ON ca.id = id_a
+JOIN counts cb ON cb.id = id_b
+WHERE n_common * 1000 >= {threshold_milli} * (ca.nsh + cb.nsh - n_common)
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (pandas UDF — bit-vote aggregation isn't expressible in Catalyst)
 # ---------------------------------------------------------------------------
 

@@ -191,3 +191,71 @@ def test_minhash_fast_family_agrees_with_md5_family(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hash_family"):
         minhash_pairs(docs, hash_family="sha9000")
+
+
+def test_ngram_jaccard_exhaustive_vs_brute_force(spark, docs):
+    from sequila_native_spark.functions import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, threshold_milli=200).collect()
+    }
+    # brute force: every pair, shingle sets in plain Python
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def sh(t, n=3):
+        toks = t.lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh(rows[a]), sh(rows[b])
+            c, u = len(sa & sb), len(sa | sb)
+            if u and c * 1000 >= 200 * u:
+                expected[(a, b)] = (c, u)
+    assert got == expected
+    assert got  # fixture has near-dups — the test must not pass vacuously
+
+    # stop-shingle pruning only ever removes pairs, never fabricates them
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold_milli=200, max_df=2).collect()
+    }
+    assert pruned <= set(got)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Any substring match of length >= k + w - 1 shares a fingerprint."""
+    from sequila_native_spark.functions import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "zqxjkwvy unique shared passage marker"  # >> k+w-1 chars
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"totally different prefix text {shared} and suffix"),
+        (3, "nothing in common with the others at all here"),
+        (4, "ab"),        # shorter than k -> no fingerprints
+        (5, None),        # null text -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "documents sharing a long substring must collide"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set() and fps[5] == set()
+    # selection is deterministic and sorted-distinct
+    again = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("f")
+        ).collect()
+    }
+    for i, f in again.items():
+        assert f == sorted(set(f))
+        assert set(f) == fps[i]
