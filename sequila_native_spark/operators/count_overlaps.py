@@ -43,6 +43,7 @@ from sequila_native_spark.operators.interval_join import (
     _binned_pairs,
     _probe_spans,
     _with_bounds,
+    compact_index_arrays,
     guarded_build_pandas,
     resolve_bin_width,
 )
@@ -148,7 +149,9 @@ def _index_count(
             ends = grp[_LE].to_numpy(np.int64)
             order = np.argsort(starts, kind="stable")
             starts, ends = starts[order], ends[order]
-            index[key] = (starts, ends, np.maximum.accumulate(ends))
+            index[key] = compact_index_arrays(
+                starts, ends, np.maximum.accumulate(ends)
+            )
 
     bc = lb.sparkSession.sparkContext.broadcast(index)
     out_schema = StructType(

@@ -77,6 +77,47 @@ class BuildSideTooLargeError(RuntimeError):
     surfaces with the knob to raise."""
 
 
+def compact_build_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Shrink a collected build-side frame before broadcasting it.
+
+    Object (string) columns become pandas categoricals — genomic keys have
+    tiny cardinality (~25 contigs), so 600k pickled Python strings collapse
+    to 2-byte codes + one category table. This cuts broadcast pickle size
+    ~5×, which is what the per-task unpickle in every probe worker pays.
+    Callers must re-expand with :func:`expand_taken` after row selection
+    (Arrow output conversion wants plain dtypes, not dictionaries).
+    """
+    out = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        out[c] = s.astype("category") if s.dtype == object else s
+    return pd.DataFrame(out, index=pdf.index)
+
+
+def expand_taken(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Undo :func:`compact_build_pandas` on an output batch (post-``take``,
+    so only emitted rows pay the expansion)."""
+    for c in pdf.columns:
+        if isinstance(pdf[c].dtype, pd.CategoricalDtype):
+            pdf[c] = pdf[c].astype(object)
+    return pdf
+
+
+def compact_index_arrays(*arrays: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Downcast int64 index arrays to int32 when values fit (bounds are
+    checked-i32 by contract; positions are capped by the broadcast guard).
+    numpy promotes back to int64 in mixed arithmetic, so kernels keep their
+    int64 sentinel semantics."""
+    out = []
+    for a in arrays:
+        if a.dtype == np.int64 and a.size and (
+            a.min() >= np.iinfo(np.int32).min and a.max() <= np.iinfo(np.int32).max
+        ):
+            a = a.astype(np.int32)
+        out.append(a)
+    return tuple(out)
+
+
 def guarded_build_pandas(df: DataFrame, max_rows: int | None = None) -> pd.DataFrame:
     """``df.toPandas()`` with a row-count guard.
 
@@ -586,9 +627,11 @@ def _broadcast_index_join(
             starts, ends, runmax, order = _sorted_build_arrays(
                 grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
             )
-            index[key] = (starts, ends, runmax, grp.index.to_numpy()[order])
+            index[key] = compact_index_arrays(
+                starts, ends, runmax, grp.index.to_numpy()[order]
+            )
 
-    left_out = left_pdf[left_cols]
+    left_out = compact_build_pandas(left_pdf[left_cols])
     bc = spark.sparkContext.broadcast((index, left_out))
 
     from pyspark.sql.types import StructType
@@ -649,7 +692,9 @@ def _broadcast_index_join(
             # counts don't balloon Arrow buffers (interval_join.rs:550-555,
             # default 100k rows; :1439-1540 1M full-mode cap)
             for s in range(0, len(b_idx), max_batch):
-                l_part = build_pdf.take(b_idx[s : s + max_batch]).reset_index(drop=True)
+                l_part = expand_taken(
+                    build_pdf.take(b_idx[s : s + max_batch]).reset_index(drop=True)
+                )
                 r_part = pdf[right_cols].iloc[p_idx[s : s + max_batch]].reset_index(drop=True)
                 yield pd.concat([l_part, r_part], axis=1)
 

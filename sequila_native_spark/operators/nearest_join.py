@@ -67,10 +67,14 @@ from sequila_native_spark.operators.interval_join import (
     _disambiguate,
     _probe_spans,
     _with_bounds,
+    compact_build_pandas,
+    compact_index_arrays,
+    expand_taken,
     guarded_build_pandas,
 )
 from sequila_native_spark.operators.intervals import validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
+from sequila_native_spark.util import ensure_parallel
 
 _PID = "__sq_probe_id"
 _I64_MIN = np.iinfo(np.int64).min
@@ -314,10 +318,11 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
             starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
                 grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
             )
-            index[key] = (starts, ends, runmax, argmax_first,
-                          grp.index.to_numpy()[order])
+            index[key] = compact_index_arrays(
+                starts, ends, runmax, argmax_first, grp.index.to_numpy()[order]
+            )
 
-    left_out = left_pdf[left_cols]
+    left_out = compact_build_pandas(left_pdf[left_cols])
     bc = spark.sparkContext.broadcast((index, left_out))
     out_schema = _nearest_out_schema(lb, rb, left_cols, right_cols)
     rk_list = list(r_keys)
@@ -354,9 +359,11 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
             # all-null row: the reference's null-left padding for probe rows
             # whose key group has no build rows (integration_test.rs:385-394).
             l_part = _null_object_cols(
-                build_pdf.reindex(build_take).reset_index(drop=True)
+                expand_taken(build_pdf.reindex(build_take).reset_index(drop=True))
             )
             r_part = pdf[right_cols].reset_index(drop=True)
             yield pd.concat([l_part, r_part], axis=1)
 
-    return rb.mapInPandas(probe, schema=out_schema).select(*out_cols)
+    # round-robin split of a single-partition probe scan: mapInPandas gets
+    # real parallelism; every task shares the one broadcast build
+    return ensure_parallel(rb, []).mapInPandas(probe, schema=out_schema).select(*out_cols)
