@@ -218,6 +218,27 @@ def minhash_signature_vectorized(col: Column, k: int = 8, n: int = 3) -> Column:
     return sig(col)
 
 
+def _jaccard_counts(a: Column, b: Column, n: int) -> Column:
+    """Exact word-shingle Jaccard counts for a text pair, one Arrow batch at
+    a time: ``struct(n_common, n_union)``. Set sizes are order-insensitive,
+    so this matches the Catalyst ``array_intersect``/``array_union`` spec
+    (and the DuckDB oracle) exactly."""
+
+    @F.pandas_udf("n_common long, n_union long")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        common, union = [], []
+        for x, y in zip(ta, tb):
+            tx = x.lower().split(" ")
+            ty = y.lower().split(" ")
+            sx = {" ".join(tx[i : i + n]) for i in range(len(tx) - n + 1)}
+            sy = {" ".join(ty[i : i + n]) for i in range(len(ty) - n + 1)}
+            common.append(len(sx & sy))
+            union.append(len(sx | sy))
+        return pd.DataFrame({"n_common": common, "n_union": union})
+
+    return jac(a, b)
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -232,10 +253,11 @@ def minhash_pairs(
     """Near-duplicate candidate pairs via banded MinHash-LSH, then exact
     n-gram Jaccard verification on the candidates only.
 
-    Pipeline: signature → explode ``bands`` band-hashes → self-equi-join on
-    ``(band_idx, band_hash)`` (the LSH bucket join — a plain shuffle join,
-    never all-pairs) → distinct candidate pairs → exact
-    ``|A∩B|*1000 >= t*|A∪B|`` verification on the shingle sets.
+    Pipeline: signature → explode ``bands`` band-hashes → group by
+    ``(band_idx, band_hash)`` bucket and explode intra-bucket pair
+    combinations (one shuffle, never all-pairs) → distinct candidate pairs →
+    exact ``|A∩B|*1000 >= t*|A∪B|`` verification on the candidate pairs'
+    shingle sets.
 
     ``hash_family``: ``"fast"`` (default — vectorized numeric family,
     :func:`minhash_signature_vectorized`, band-hashed with JVM ``xxhash64``)
@@ -253,8 +275,8 @@ def minhash_pairs(
     r = k // bands
     src = ensure_parallel(df.select(id_col, text_col))
     # signatures (k hash passes over every shingle) are the expensive part —
-    # computed once, on the banding branch only; the verification joins
-    # recompute just the plain shingle arrays
+    # computed once, on the banding branch only; verification re-shingles
+    # only the candidate pairs (see _jaccard_counts below)
     sig_col = (
         minhash_signature_fast(F.col(text_col), k, n)
         if hash_family == "md5"
@@ -264,10 +286,7 @@ def minhash_pairs(
         F.col(id_col).alias("__sq_id"),
         sig_col.alias("__sq_sig"),
     ).where(F.size("__sq_sig") > 0)
-    sh_base = src.select(
-        F.col(id_col).alias("__sq_id"),
-        shingles_fast(F.col(text_col), n).alias("__sq_sh"),
-    )
+
     def band_hash(b):
         band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
         if hash_family == "md5":
@@ -290,33 +309,47 @@ def minhash_pairs(
         ).alias("__sq_band"),
     ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket aggregation instead of a self-join: ONE shuffle of the banded
+    # rows and ONE evaluation of the signature UDF (a self-join would carry
+    # the UDF on both branches — Catalyst does not reuse the exchange).
+    # Pair explosion per bucket is quadratic by construction (that's LSH);
+    # buckets are small because band hashes are wide.
+    ids = F.sort_array(F.collect_list("__sq_id"))
+    m = F.size(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), m - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, m - 1),
+                lambda j: F.struct(
+                    F.element_at("ids", (i + 1).cast("int")).alias("id_a"),
+                    F.element_at("ids", (j + 1).cast("int")).alias("id_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__sq_id") < F.col("b.__sq_id")),
-        )
-        .select(
-            F.col("a.__sq_id").alias("id_a"), F.col("b.__sq_id").alias("id_b")
-        )
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(combos).alias("__sq_p"))
+        .select(F.col("__sq_p.id_a"), F.col("__sq_p.id_b"))
         .distinct()
     )
 
-    sh_a = sh_base.select(F.col("__sq_id").alias("id_a"), F.col("__sq_sh").alias("__sq_sh_a"))
-    sh_b = sh_base.select(F.col("__sq_id").alias("id_b"), F.col("__sq_sh").alias("__sq_sh_b"))
+    # Verification joins the CANDIDATE PAIRS back to raw text (pure-JVM
+    # equi-joins on the pruned source scan) and computes exact Jaccard in one
+    # pair-level Arrow UDF. Shingling runs only on candidate docs — at corpus
+    # scale candidates ≪ corpus, while the old per-doc shingle frame was
+    # re-evaluated once per join branch (two full-corpus UDF passes).
+    txt_a = src.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__sq_ta"))
+    txt_b = src.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__sq_tb"))
     verified = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect("__sq_sh_a", "__sq_sh_b")).cast("bigint"),
-        )
-        .withColumn(
-            "n_union", F.size(F.array_union("__sq_sh_a", "__sq_sh_b")).cast("bigint")
-        )
+        cand.join(txt_a, "id_a")
+        .join(txt_b, "id_b")
+        .withColumn("__sq_j", _jaccard_counts(F.col("__sq_ta"), F.col("__sq_tb"), n))
+        .select("id_a", "id_b", F.col("__sq_j.n_common").alias("n_common"),
+                F.col("__sq_j.n_union").alias("n_union"))
         .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
     )
     return verified.select("id_a", "id_b", "n_common", "n_union")
