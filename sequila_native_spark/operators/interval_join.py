@@ -254,13 +254,23 @@ def _auto_bin_width(lb: DataFrame, rb: DataFrame) -> int:
     relative to the join itself, and the scan prunes to two ints per row.
     """
     p = 0.95
-    widths = []
-    for df, s, e in ((lb, _LS, _LE), (rb, _RS, _RE)):
-        row = df.select(
-            F.percentile_approx(F.col(e) - F.col(s) + 1, p).alias("w")
-        ).first()
-        if row is not None and row["w"] is not None:
-            widths.append(max(1, int(row["w"])))
+    # one job for both sides: union the pruned length columns with a side
+    # tag and aggregate per side
+    lens = lb.select(
+        F.lit(0).alias("__sq_side"), (F.col(_LE) - F.col(_LS) + 1).alias("__sq_len")
+    ).unionAll(
+        rb.select(
+            F.lit(1).alias("__sq_side"), (F.col(_RE) - F.col(_RS) + 1).alias("__sq_len")
+        )
+    )
+    rows = (
+        lens.groupBy("__sq_side")
+        .agg(F.percentile_approx("__sq_len", p).alias("w"))
+        .collect()
+    )
+    widths = sorted(
+        max(1, int(r["w"])) for r in rows if r["w"] is not None
+    )
     if not widths:
         return 1 << 12
     top = max(widths)
@@ -284,6 +294,13 @@ def resolve_bin_width(
     error surfaces — that belongs to the join's own execution, lazily — and
     a dropped value can only mis-tune the width of a plan that will error
     before emitting rows anyway.
+
+    Resolved widths memoize per session, keyed by the semantic hash of the
+    two pruned bound plans — a statistics cache, like table stats: repeated
+    joins over the same (or structurally identical) inputs skip the probe
+    job. Data rewritten *under* an unchanged plan can serve a stale width —
+    that only mis-tunes performance, never correctness; clear with
+    :func:`clear_bin_width_cache`.
     """
     if width is not None and width != "auto":
         return int(width)
@@ -293,7 +310,37 @@ def resolve_bin_width(
     rb0 = right.select(
         F.col(rs).try_cast("int").alias(_RS), F.col(re_).try_cast("int").alias(_RE)
     )
-    return _auto_bin_width(lb0, rb0)
+    cache = key = None
+    try:
+        key = (
+            lb0._jdf.queryExecution().analyzed().semanticHash(),
+            rb0._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        cache = _width_cache(left.sparkSession)
+    except Exception:  # Connect or API drift: just skip memoization
+        pass
+    if cache is not None and key in cache:
+        return cache[key]
+    w = _auto_bin_width(lb0, rb0)
+    if cache is not None:
+        cache[key] = w
+    return w
+
+
+def _width_cache(spark) -> dict:
+    caches = _WIDTH_CACHES.setdefault(id(spark), {})
+    return caches
+
+
+_WIDTH_CACHES: dict[int, dict] = {}
+
+
+def clear_bin_width_cache(spark=None) -> None:
+    """Drop memoized auto bin widths (all sessions, or one)."""
+    if spark is None:
+        _WIDTH_CACHES.clear()
+    else:
+        _WIDTH_CACHES.pop(id(spark), None)
 
 
 def overlap_join(
