@@ -380,6 +380,18 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="30 minutes")
 
 
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of the applyInPandasWithState running-state operator
+    # (streaming.stateful.running_user_totals); stream == batch pinned in
+    # tests/test_sources_streaming.py
+    from sequila_native_spark.streaming import running_user_totals
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 50 == 0)
+    return running_user_totals(ev).select(
+        "event_id", "user_id", "ordinal", "run_cents"
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
@@ -546,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume": q_brand_volume,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        "events_running_totals": q_events_running_totals,
         "events_json": q_events_json,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_dist": q_doc_lang_dist,
@@ -808,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_running_totals": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS ordinal,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS run_cents
+            FROM events
+            WHERE user_id % 50 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "user_sessions": """
             WITH e AS (

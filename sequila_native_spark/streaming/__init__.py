@@ -5,5 +5,11 @@ from sequila_native_spark.streaming.events import (
     read_event_stream,
     sessionize,
 )
+from sequila_native_spark.streaming.stateful import running_user_totals
 
-__all__ = ["hourly_event_aggregates", "read_event_stream", "sessionize"]
+__all__ = [
+    "hourly_event_aggregates",
+    "read_event_stream",
+    "running_user_totals",
+    "sessionize",
+]

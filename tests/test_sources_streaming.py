@@ -137,3 +137,43 @@ def test_sessionize_batch_sanity(spark, events_batch):
     assert n_events_total == ev_total  # every event lands in exactly one session
     for r in out:
         assert r["session_start"] <= r["session_end"]
+
+
+def test_running_user_totals_stream_equals_batch(spark, events_batch, tmp_path):
+    """applyInPandasWithState per-event state machine == batch window twin.
+
+    Single micro-batch (one source file) so arrival order == event-time
+    order and the streaming ordinals match the batch window exactly."""
+    from sequila_native_spark.streaming import running_user_totals
+
+    keep = ["event_id", "user_id", "ordinal", "run_cents"]
+    batch_out = running_user_totals(events_batch).select(*keep)
+
+    src = str(tmp_path / "ev_state_src")
+    events_batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=10)
+    out = running_user_totals(stream)
+    assert out.isStreaming
+    q = (
+        out.select(*keep)
+        .writeStream.format("memory")
+        .queryName("stream_state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rows_set(spark.table("stream_state_out"))
+    want = rows_set(batch_out)
+    assert got == want and sum(want.values()) > 0
+    # per-user invariants: ordinals dense from 1, run_cents non-decreasing
+    import collections
+    per_user = collections.defaultdict(list)
+    for (eid, uid, ordinal, rc), n in want.items():
+        per_user[uid].append((ordinal, rc))
+    some_multi = 0
+    for uid, rows in per_user.items():
+        rows.sort()
+        assert [o for o, _ in rows] == list(range(1, len(rows) + 1))
+        some_multi += len(rows) > 1
+    assert some_multi > 0
