@@ -291,6 +291,27 @@ def q_overlap_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlap_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full-outer emission: every row of BOTH sides appears; unmatched rows
+    # null-padded on the other side (completes the declared join-type enum,
+    # joins/utils.rs:496-521)
+    oj = overlap_join(
+        _targets(spark, sf_dir).where(F.col("t_id") % 13 == 0),
+        _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 31 + F.col("r_end")) % 17 == 0
+        ),
+        on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end",
+        how="full", algorithm="binning",
+    )
+    return oj.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("r_start").isNull(), 1).otherwise(0)).alias("n_no_read"),
+        F.sum(F.when(F.col("t_start").isNull(), 1).otherwise(0)).alias("n_no_target"),
+    )
+
+
 def q_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5 scale path: cogroup-per-key nearest — one shuffle per side, no
     # driver-side build collect, per-task memory bounded by the key group
@@ -553,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_target_read": q_nearest_target_read,
         "nearest_partitioned": q_nearest_partitioned,
         "overlap_left_outer": q_overlap_left_outer,
+        "overlap_full_outer": q_overlap_full_outer,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "brand_volume": q_brand_volume,
@@ -763,6 +785,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN r.r_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
             FROM (SELECT * FROM targets WHERE t_id % 11 = 0) t
             LEFT JOIN reads r
+            ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
+            GROUP BY t.contig
+        """,
+        "overlap_full_outer": f"""
+            WITH {reads}, {targets}
+            SELECT t.contig AS contig, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN r.r_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_read,
+                   CAST(sum(CASE WHEN t.t_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_target
+            FROM (SELECT * FROM targets WHERE t_id % 13 = 0) t
+            FULL JOIN (SELECT * FROM reads WHERE (r_start * 31 + r_end) % 17 = 0) r
             ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
             GROUP BY t.contig
         """,

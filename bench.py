@@ -32,6 +32,7 @@ HEADLINE = [
     "nearest_target_read",        # nearest-interval join (broadcast index)
     "nearest_partitioned",        # nearest-interval join (cogroup, no collect)
     "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
+    "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)
     "reads_outside_targets",      # anti overlap filter (blacklist subtract)
     "pricing_summary",            # relational aggregation
@@ -41,6 +42,9 @@ HEADLINE = [
     "exact_dup_clusters",         # exact dedup (hash groupBy)
     "minhash_near_dups",          # MinHash-LSH near-dups (md5 oracle family)
     "minhash_near_dups_fast",     # MinHash-LSH near-dups (vectorized family)
+    "ngram_jaccard_dups",         # exhaustive inverted-index n-gram Jaccard
+    "doc_fingerprints",           # MOSS winnowing fingerprints
+    "events_running_totals",      # stateful running totals (batch twin)
     "embedding_topk",             # brute-force cosine top-k
     "lsh_ann_topk",               # LSH-bucketed approximate top-k
     "ivf_ann_topk",               # IVF (k-means cells) approximate top-k

@@ -371,18 +371,19 @@ def overlap_join(
     (normalized to inclusive via ``bound - 1``, ``intervals.rs:67-69``).
 
     ``how``: ``"inner"`` (the reference's only *implemented* type —
-    ``interval_join.rs:1774``), plus ``"left"`` / ``"right"`` outer emission
-    (bedtools ``-loj`` shape) supplying the semantics the reference's
-    join-type enum declares but never implements (``joins/utils.rs:496-521``):
-    unmatched preserved-side rows appear once, other side null-padded.
+    ``interval_join.rs:1774``), plus ``"left"`` / ``"right"`` / ``"full"``
+    outer emission (bedtools ``-loj`` shape) supplying the semantics the
+    reference's join-type enum declares but never implements
+    (``joins/utils.rs:496-521``): unmatched preserved-side rows appear once,
+    other side null-padded.
 
     The right side retains its column names except collisions with the left,
     which get ``rsuffix`` appended.
     """
-    if how not in ("inner", "left", "right"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(
-            f"overlap_join supports how='inner'|'left'|'right', got {how!r} "
-            "(semi/anti shapes: use filter_by_overlap)"
+            f"overlap_join supports how='inner'|'left'|'right'|'full', got "
+            f"{how!r} (semi/anti shapes: use filter_by_overlap)"
         )
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
@@ -499,7 +500,8 @@ def _binned_pairs(
     return joined.where(exact & first_common_bin)
 
 
-_OID = "__sq_outer_id"
+_OIDL = "__sq_outer_id_l"
+_OIDR = "__sq_outer_id_r"
 
 
 def _outer_overlap(
@@ -513,7 +515,7 @@ def _outer_overlap(
     width,
     metrics=None,
 ) -> DataFrame:
-    """Left/right-outer emission over any accelerated inner algorithm.
+    """Left/right/full-outer emission over any accelerated inner algorithm.
 
     A left-outer on the binned *candidate* join would be wrong (a preserved
     row explodes into several bins; unmatched bins would null-pad rows that
@@ -522,11 +524,13 @@ def _outer_overlap(
     shuffles only (id) + the preserved side, so it scales like the semi/anti
     filter. Rows with null keys/bounds never match and surface null-padded.
     """
-    preserved_left = how == "left"
-    preserved = stamp_row_id(lb if preserved_left else rb, _OID)
-    lb2, rb2 = (preserved, rb) if preserved_left else (lb, preserved)
+    stamp_l = how in ("left", "full")
+    stamp_r = how in ("right", "full")
+    lb2 = stamp_row_id(lb, _OIDL) if stamp_l else lb
+    rb2 = stamp_row_id(rb, _OIDR) if stamp_r else rb
+    id_cols = ([_OIDL] if stamp_l else []) + ([_OIDR] if stamp_r else [])
 
-    inner_cols = [*out_cols, _OID]
+    inner_cols = [*out_cols, *id_cols]
     if algo == "index":
         try:
             pairs = _broadcast_index_join(lb2, rb2, l_keys, r_keys, inner_cols, metrics)
@@ -537,17 +541,24 @@ def _outer_overlap(
     elif algo == "partitioned":
         pairs = _cogroup_index_join(lb2, rb2, l_keys, r_keys, inner_cols)
 
-    matched = pairs.select(_OID).distinct()
-    unmatched = preserved.join(matched, _OID, "left_anti")
-    other = rb if preserved_left else lb
-    pad = unmatched.select(
-        *[
-            F.col(c) if c in preserved.columns
-            else F.lit(None).cast(other.schema[c].dataType).alias(c)
-            for c in out_cols
-        ]
-    )
-    return pairs.select(*out_cols).unionByName(pad)
+    out = pairs.select(*out_cols)
+
+    def pad_unmatched(preserved: DataFrame, oid: str, other: DataFrame) -> DataFrame:
+        matched = pairs.select(oid).distinct()
+        unmatched = preserved.join(matched, oid, "left_anti")
+        return unmatched.select(
+            *[
+                F.col(c) if c in preserved.columns
+                else F.lit(None).cast(other.schema[c].dataType).alias(c)
+                for c in out_cols
+            ]
+        )
+
+    if stamp_l:
+        out = out.unionByName(pad_unmatched(lb2, _OIDL, rb))
+    if stamp_r:
+        out = out.unionByName(pad_unmatched(rb2, _OIDR, lb))
+    return out
 
 
 def _binning_join(

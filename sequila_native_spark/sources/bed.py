@@ -61,3 +61,33 @@ def read_interval_csv(
 ) -> DataFrame:
     """Read a reads/targets-style interval CSV (FIXTURES.md F1 schema)."""
     return spark.read.csv(path, sep=",", header=header, schema=INTERVAL_CSV_SCHEMA)
+
+
+def write_bed(
+    df: DataFrame,
+    path: str,
+    *,
+    contig: str = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    extra: list[str] | None = None,
+    mode: str = "error",
+    single_file: bool = False,
+) -> None:
+    """Write intervals as BED (tab-separated, headerless, column-ordered).
+
+    The sink twin of :func:`read_bed` — round-trips through the same schema.
+    Columns are emitted in BED order (``contig, start, end, extra...``)
+    regardless of the frame's layout. ``single_file=True`` coalesces to one
+    part file (the bedtools-interop shape; skip it for large outputs — one
+    writer task is the bottleneck, and every downstream genomics tool
+    accepts a directory of parts concatenated anyway).
+    """
+    cols = [contig, start, end, *(extra or [])]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_bed: missing columns {missing}")
+    out = df.select(*cols)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).csv(path, sep="\t", header=False)

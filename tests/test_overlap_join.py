@@ -172,7 +172,7 @@ def test_join_order_invariance(spark, reads, targets):
 
 
 @pytest.mark.parametrize("algorithm", ALGORITHMS)
-@pytest.mark.parametrize("how", ["left", "right"])
+@pytest.mark.parametrize("how", ["left", "right", "full"])
 def test_outer_overlap_agrees_with_naive_sql(spark, reads, targets, how, algorithm):
     # joins/utils.rs:496-521 declares Left/Right; naive Catalyst outer join
     # is the oracle for every accelerated algorithm
@@ -235,4 +235,30 @@ def test_right_outer_pads_unmatched_and_keeps_duplicates(spark, algorithm):
 
 def test_outer_rejects_bad_how(spark, reads, targets):
     with pytest.raises(ValueError, match="how="):
-        overlap_join(reads, targets, on="contig", how="full")
+        overlap_join(reads, targets, on="contig", how="cross")
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_full_outer_pads_both_sides(spark, algorithm):
+    build = spark.createDataFrame(
+        [("c1", 1, 5), ("c1", 100, 200), ("cZ", 1, 5)],
+        "contig string, start int, end int",
+    )
+    probe = spark.createDataFrame(
+        [("c1", 3, 4), ("c1", 50, 60), ("cX", 1, 2)],
+        "contig string, start int, end int",
+    )
+    out = overlap_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        how="full", algorithm=algorithm, bin_width=10,
+    )
+    got = rows_set(out)
+    assert got == {
+        ("c1", 1, 5, "c1", 3, 4): 1,
+        ("c1", 100, 200, None, None, None): 1,
+        ("cZ", 1, 5, None, None, None): 1,
+        (None, None, None, "c1", 50, 60): 1,
+        (None, None, None, "cX", 1, 2): 1,
+    }

@@ -177,3 +177,19 @@ def test_running_user_totals_stream_equals_batch(spark, events_batch, tmp_path):
         assert [o for o, _ in rows] == list(range(1, len(rows) + 1))
         some_multi += len(rows) > 1
     assert some_multi > 0
+
+
+def test_write_bed_round_trip(spark, tmp_path):
+    from sequila_native_spark.sources import write_bed
+
+    df = spark.createDataFrame(
+        [("chr2", 1, 5, "x"), ("chr1", 100, 190, "y")],
+        "contig string, pos_start long, pos_end long, name string",
+    )
+    p = str(tmp_path / "out_bed")
+    write_bed(df, p, extra=["name"], single_file=True)
+    back = read_bed(spark, p, columns=4)
+    assert rows_set(back) == rows_set(df)
+
+    with pytest.raises(ValueError, match="missing columns"):
+        write_bed(df.drop("pos_end"), str(tmp_path / "nope"))
