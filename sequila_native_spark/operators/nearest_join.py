@@ -45,6 +45,17 @@ Algorithms:
     Probe groups whose key has no build rows still flow through the cogroup
     (cogroup is full-outer on group keys) and get null-left padding —
     no driver-side collect anywhere.
+
+``broadcast_probe`` (big build × small probe)
+    The transpose of ``index``: broadcast the (small) PROBE side, scan the
+    build side with ``mapInPandas`` computing each batch's per-probe best
+    candidate (same overlap-first kernel), then reduce the candidates with a
+    global ``(distance, start, end)`` argmin. The build side is never
+    collected, broadcast, or shuffled — on a cluster this is a pure parquet
+    scan plus a shuffle of ``|probe| × n_batches`` candidate rows. The
+    per-batch argmin is associative with the global one, so the two-level
+    reduce is exact, ties included. Guarded by
+    ``spark.sequila.maxBroadcastBuildRows`` on the probe side.
 """
 
 from __future__ import annotations
@@ -56,7 +67,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from sequila_native_spark.operators.interval_join import (
     _LE,
@@ -74,7 +85,7 @@ from sequila_native_spark.operators.interval_join import (
 )
 from sequila_native_spark.operators.intervals import validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
-from sequila_native_spark.util import ensure_parallel
+from sequila_native_spark.util import ensure_parallel, stamp_row_id
 
 _PID = "__sq_probe_id"
 _I64_MIN = np.iinfo(np.int64).min
@@ -103,7 +114,11 @@ def nearest_join(
     """
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
-    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    raw = algorithm.strip().lower() if algorithm else None
+    if raw in ("broadcast_probe", "probe_broadcast"):
+        algo = "broadcast_probe"
+    else:
+        algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
     if algo == "binning":
         # binning has no nearest analogue; partitioned is the distributed
         # equivalent (same shuffle-by-key distribution requirement)
@@ -125,12 +140,19 @@ def nearest_join(
         return _naive_nearest(lb, rb, l_keys, r_keys, out_cols)
     if algo == "partitioned":
         return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+    if algo == "broadcast_probe":
+        return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols)
     try:
         return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
     except BuildSideTooLargeError:
-        if l_keys:
-            return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
-        raise
+        # build too big to broadcast: transpose (broadcast the probe) if the
+        # probe side fits, else shuffle both sides by key
+        try:
+            return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols)
+        except BuildSideTooLargeError:
+            if l_keys:
+                return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+            raise
 
 
 def _distance_col(ls, le, rs, re):
@@ -297,6 +319,103 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
         .applyInPandas(nearest_group, schema=out_schema)
         .select(*out_cols)
     )
+
+
+_DIST = "__sq_dist"
+
+
+def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
+    """Broadcast-probe nearest: scan the build side, reduce tiny candidates.
+
+    Exactness of the two-level reduce: within one build batch the kernel
+    returns the argmin of ``(distance, start, end)`` over that batch's rows
+    (overlap-first is equivalent — overlaps have distance 0 and the sorted
+    scan picks the lex-min one). Argmin is associative, so the global
+    ``row_number`` over per-batch winners is the argmin over ALL build rows.
+    """
+    spark = lb.sparkSession
+    left_cols = [c for c in out_cols if c in lb.columns]
+    right_cols = [c for c in out_cols if c not in lb.columns]
+
+    # the collected copy and the final join branch re-evaluate the stamped
+    # frame; ids agree under stamp_row_id's deterministic-lineage contract
+    rbid = stamp_row_id(rb, _PID)
+    probe_pdf = guarded_build_pandas(rbid.select(*r_keys, _RS, _RE, _PID))
+    valid = probe_pdf[_RS].notna() & probe_pdf[_RE].notna()
+    for k in r_keys:
+        valid &= probe_pdf[k].notna()
+    probes = probe_pdf[valid]
+    probe_map: dict[tuple, tuple] = {}
+    if len(probes):
+        giter = probes.groupby(list(r_keys), sort=False) if r_keys else [((), probes)]
+        for key, grp in giter:
+            if r_keys and not isinstance(key, tuple):
+                key = (key,)
+            probe_map[key] = compact_index_arrays(
+                grp[_RS].to_numpy(np.int64),
+                grp[_RE].to_numpy(np.int64),
+                grp[_PID].to_numpy(np.int64),
+            )
+    bc = spark.sparkContext.broadcast(probe_map)
+
+    cand_cols = [*left_cols, _LS, _LE]
+    cand_schema = StructType(
+        [StructField(f.name, f.dataType, True)
+         for f in lb.select(*cand_cols).schema.fields]
+        + [StructField(_PID, LongType(), True),
+           StructField(_DIST, LongType(), True)]
+    )
+    lk_list = list(l_keys)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pmap = bc.value
+        for pdf in batches:
+            if pdf.empty or not pmap:
+                continue
+            ok = pdf[_LS].notna() & pdf[_LE].notna()
+            for k in lk_list:
+                ok &= pdf[k].notna()
+            bdf = pdf[ok]
+            if not len(bdf):
+                continue
+            outs = []
+            groups = bdf.groupby(lk_list, sort=False) if lk_list else [((), bdf)]
+            for key, grp in groups:
+                if lk_list and not isinstance(key, tuple):
+                    key = (key,)
+                entry = pmap.get(key)
+                if entry is None:
+                    continue
+                qs, qe, pids = entry
+                starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
+                    grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
+                )
+                take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+                good = take >= 0
+                if not good.any():
+                    continue
+                tk = take[good]
+                ls, le = starts[tk], ends[tk]
+                tqs, tqe = qs[good], qe[good]
+                dist = np.where(ls > tqe, ls - tqe, np.where(le < tqs, tqs - le, 0))
+                rows = grp[cand_cols].iloc[order[tk]].reset_index(drop=True)
+                rows[_PID] = pids[good]
+                rows[_DIST] = dist
+                outs.append(rows)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cands = ensure_parallel(lb, []).mapInPandas(scan, schema=cand_schema)
+    w = Window.partitionBy(_PID).orderBy(
+        F.col(_DIST).asc(), F.col(_LS).asc(), F.col(_LE).asc()
+    )
+    winners = (
+        cands.withColumn("__sq_rn", F.row_number().over(w))
+        .where(F.col("__sq_rn") == 1)
+        .select(*left_cols, _PID)
+    )
+    # winners ≤ |probe| rows — broadcast the join back onto the probe side
+    return rbid.join(F.broadcast(winners), _PID, "left").select(*out_cols)
 
 
 def _index_nearest(lb, rb, l_keys, r_keys, out_cols):

@@ -9,7 +9,7 @@ from sequila_native_spark import count_overlaps, nearest_join, overlap_join
 from tests.conftest import rows_set
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
 def test_nearest_golden(spark, nearest_a, nearest_b, algorithm):
     # integration_test.rs:352-399 (strict-inequality query, CoitreesNearest):
     # every probe (b) row emits exactly one row; rows whose (contig, strand)
@@ -30,7 +30,7 @@ def test_nearest_golden(spark, nearest_a, nearest_b, algorithm):
     assert dict(got) == expected
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
 def test_nearest_overlap_first(spark, algorithm):
     # overlap wins over a closer-by-distance... overlap distance is 0;
     # deterministic tie-break picks min (start, end) among overlapping.
@@ -49,7 +49,7 @@ def test_nearest_overlap_first(spark, algorithm):
     assert (row["start"], row["end"]) == (1, 100)
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
 def test_nearest_true_minimum_not_reference_heuristic(spark, algorithm):
     # The reference's binary-search heuristic (interval_join.rs:926-951) would
     # return (50,60) here; the true nearest is (0,100) (distance 50 vs 90).

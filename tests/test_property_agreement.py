@@ -9,7 +9,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from sequila_native_spark import overlap_join
+from sequila_native_spark import nearest_join, overlap_join
 from tests.conftest import rows_set
 
 # small coordinate domain → lots of overlaps, touching bounds, point
@@ -54,3 +54,35 @@ def test_all_algorithms_agree_with_naive(spark, tabs):
     assert run("binning", bin_width=1) == truth  # bin width must not matter
     assert run("index") == truth
     assert run("partitioned") == truth
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables)
+def test_nearest_algorithms_agree_with_naive(spark, tabs):
+    # nearest is deterministic ((distance, start, end) tie-break), so exact
+    # row-multiset equality must hold across every algorithm — including the
+    # batch-partial + global-reduce path (broadcast_probe), whose correctness
+    # rests on the argmin being associative across build batches
+    lrows = [(c, s, s + ln) for c, s, ln in tabs[0]]
+    rrows = [(c, s, s + ln) for c, s, ln in tabs[1]]
+    left = spark.createDataFrame(lrows, "contig string, start int, end int")
+    right = spark.createDataFrame(rrows, "contig string, start int, end int")
+
+    def run(algo):
+        return rows_set(
+            nearest_join(
+                left, right, on="contig",
+                left_start="start", left_end="end",
+                right_start="start", right_end="end",
+                algorithm=algo,
+            )
+        )
+
+    truth = run("naive")
+    assert run("index") == truth
+    assert run("partitioned") == truth
+    assert run("broadcast_probe") == truth
