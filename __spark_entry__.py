@@ -26,6 +26,7 @@ from sequila_native_spark import (
     count_overlaps,
     coverage,
     filter_by_overlap,
+    mark_by_overlap,
     merge_intervals,
     nearest_join,
     overlap_join,
@@ -240,6 +241,21 @@ def q_reads_inside_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         regions_start="t_start", regions_end="t_end",
     )
     return kept.groupBy("contig").agg(F.count(F.lit(1)).alias("n_reads"))
+
+
+def q_reads_marked_by_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mark join (the LeftMark member of the reference's declared join-type
+    # enum, joins/utils.rs:496-521): every read kept, boolean overlap mark;
+    # aggregated per contig x mark
+    regions = _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0)
+    marked = mark_by_overlap(
+        _reads(spark, sf_dir), regions, on="contig",
+        df_start="r_start", df_end="r_end",
+        regions_start="t_start", regions_end="t_end",
+    )
+    return marked.groupBy("contig", "has_overlap").agg(
+        F.count(F.lit(1)).alias("n_reads")
+    )
 
 
 def q_merged_read_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reads_outside_targets": q_reads_outside_targets,
         "merged_read_runs": q_merged_read_runs,
         "reads_inside_targets": q_reads_inside_targets,
+        "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
         "nearest_partitioned": q_nearest_partitioned,
         "overlap_left_outer": q_overlap_left_outer,
@@ -760,6 +777,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE t.t_id % 11 = 0 AND {overlap}
             )
             GROUP BY r.contig
+        """,
+        "reads_marked_by_target": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig,
+                   EXISTS (
+                       SELECT 1 FROM targets t
+                       WHERE t.t_id % 11 = 0 AND {overlap}
+                   ) AS has_overlap,
+                   count(*) AS n_reads
+            FROM reads r
+            GROUP BY 1, 2
         """,
         "nearest_target_read": f"""
             WITH {reads}, {targets},

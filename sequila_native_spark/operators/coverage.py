@@ -33,6 +33,7 @@ from sequila_native_spark.operators.interval_join import (
 )
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
+from sequila_native_spark.util import stamp_row_id
 
 _PID = "__sq_probe_id"
 
@@ -71,7 +72,7 @@ def coverage(
     right_out_cols = list(right.columns)
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
-    right = right.withColumn(_PID, F.monotonically_increasing_id())
+    right = stamp_row_id(right, _PID)
     rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
 
     if algo in ("naive",):
@@ -134,7 +135,7 @@ def union_coverage(
     right_out_cols = list(right.columns)
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
-    right = right.withColumn(_PID, F.monotonically_increasing_id())
+    right = stamp_row_id(right, _PID)
     rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
 
     pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)

@@ -8,7 +8,9 @@ declaration promises, as the two most common interval-filter shapes:
 - ``filter_by_overlap(df, regions)`` — keep rows of ``df`` whose interval
   overlaps at least one region (semi join);
 - ``negate=True`` — keep rows overlapping NO region (anti join; blacklist
-  subtraction).
+  subtraction);
+- ``mark_by_overlap(df, regions)`` — keep ALL rows, adding a boolean mark
+  column (the enum's LeftMark / ``EXISTS``-subquery shape).
 
 Scale shape: binned candidate join → distinct probe ids → Catalyst
 left-semi/left-anti join back. The pair set is never materialized wider
@@ -56,6 +58,71 @@ def filter_by_overlap(
 
     Returns ``df``'s rows unchanged (schema preserved, duplicates kept).
     """
+    probe, matched_ids, out_cols = _probe_and_matched(
+        df, regions, on, df_start, df_end, regions_start, regions_end,
+        strict=strict, algorithm=algorithm, bin_width=bin_width,
+        check_bounds=check_bounds,
+    )
+    how = "left_anti" if negate else "left_semi"
+    return probe.join(matched_ids, _PID, how).select(*out_cols)
+
+
+def mark_by_overlap(
+    df: DataFrame,
+    regions: DataFrame,
+    on: list[str] | str | None = None,
+    df_start: str = "pos_start",
+    df_end: str = "pos_end",
+    regions_start: str = "pos_start",
+    regions_end: str = "pos_end",
+    *,
+    mark_col: str = "has_overlap",
+    strict: bool = False,
+    algorithm: str | None = None,
+    bin_width: int | str | None = None,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Keep ALL rows of ``df``, adding boolean ``mark_col`` = "this row
+    overlaps ≥1 ``regions`` interval in its equi-key group".
+
+    The reference's join-type enum declares a Mark join
+    (``joins/utils.rs:496-521``, DataFusion's ``EXISTS``-subquery
+    decorrelation shape) that its probe loop never emits; this supplies it.
+    Same scale shape as the semi/anti filters: the wide pair set is never
+    materialized — only (id) survives the candidate join, and the mark is a
+    left join against the distinct matched ids.
+    """
+    if mark_col in df.columns:
+        raise ValueError(f"output column {mark_col!r} already exists on df")
+    probe, matched_ids, out_cols = _probe_and_matched(
+        df, regions, on, df_start, df_end, regions_start, regions_end,
+        strict=strict, algorithm=algorithm, bin_width=bin_width,
+        check_bounds=check_bounds,
+    )
+    marked = probe.join(
+        matched_ids.withColumn(mark_col, F.lit(True)), _PID, "left"
+    )
+    return marked.select(
+        *out_cols, F.coalesce(F.col(mark_col), F.lit(False)).alias(mark_col)
+    )
+
+
+def _probe_and_matched(
+    df: DataFrame,
+    regions: DataFrame,
+    on,
+    df_start: str,
+    df_end: str,
+    regions_start: str,
+    regions_end: str,
+    *,
+    strict: bool,
+    algorithm: str | None,
+    bin_width: int | str | None,
+    check_bounds: bool | None,
+):
+    """Shared semi/anti/mark machinery: stamp probe ids, build the binned
+    (or naive) candidate pair set, reduce it to the distinct matched ids."""
     spark = df.sparkSession
     conf = SequilaConf.from_spark(spark)
     algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
@@ -90,5 +157,4 @@ def filter_by_overlap(
         pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
 
     matched_ids = pairs.select(_PID).distinct()
-    how = "left_anti" if negate else "left_semi"
-    return probe.join(matched_ids, _PID, how).select(*out_cols)
+    return probe, matched_ids, out_cols

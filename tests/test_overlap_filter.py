@@ -60,3 +60,42 @@ def test_semi_keeps_duplicates(spark):
     )
     # each duplicate row kept exactly once despite overlapping 2 regions
     assert filter_by_overlap(df, regions, on="contig", bin_width=64).count() == 2
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "binning"])
+def test_mark_join(spark, algorithm):
+    from sequila_native_spark import mark_by_overlap
+
+    df = spark.createDataFrame(
+        [("c", 1, 10), ("c", 100, 110), ("c", 200, 210), ("d", 100, 110)],
+        "contig string, pos_start int, pos_end int",
+    )
+    regions = spark.createDataFrame(
+        [("c", 95, 120)], "contig string, pos_start int, pos_end int"
+    )
+    out = mark_by_overlap(df, regions, on="contig", algorithm=algorithm, bin_width=64)
+    assert out.columns == [*df.columns, "has_overlap"]
+    got = {(r["contig"], r["pos_start"]): r["has_overlap"] for r in out.collect()}
+    # mark join keeps every probe row; only (c,100) overlaps the region —
+    # (d,100) matches by bounds but not by key
+    assert got == {
+        ("c", 1): False, ("c", 100): True, ("c", 200): False, ("d", 100): False,
+    }
+
+
+def test_mark_join_duplicates_and_collision(spark):
+    from sequila_native_spark import mark_by_overlap
+
+    df = spark.createDataFrame(
+        [("c", 5, 9), ("c", 5, 9)], "contig string, pos_start int, pos_end int"
+    )
+    regions = spark.createDataFrame(
+        [("c", 1, 100), ("c", 2, 50)], "contig string, pos_start int, pos_end int"
+    )
+    out = mark_by_overlap(df, regions, on="contig", bin_width=64)
+    # duplicates each marked once (no fan-out from matching 2 regions)
+    assert [r["has_overlap"] for r in out.collect()] == [True, True]
+    with pytest.raises(ValueError, match="already exists"):
+        mark_by_overlap(
+            df.withColumn("has_overlap", F.lit(1)), regions, on="contig"
+        )
