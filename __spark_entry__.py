@@ -243,6 +243,18 @@ def q_reads_inside_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("contig").agg(F.count(F.lit(1)).alias("n_reads"))
 
 
+def q_nearest_broadcast_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 big-build scale path: broadcast the (small) probe side, scan the
+    # build side with a per-batch argmin kernel, reduce per-batch winners
+    # with a global (distance, start, end) argmin — the build side is never
+    # collected or shuffled (nearest_join.py broadcast_probe docstring)
+    return nearest_join(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 10 == 7),
+        on="contig", **_IVL, algorithm="broadcast_probe",
+    )
+
+
 def q_reads_marked_by_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mark join (the LeftMark member of the reference's declared join-type
     # enum, joins/utils.rs:496-521): every read kept, boolean overlap mark;
@@ -590,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
         "nearest_partitioned": q_nearest_partitioned,
+        "nearest_broadcast_probe": q_nearest_broadcast_probe,
         "overlap_left_outer": q_overlap_left_outer,
         "overlap_full_outer": q_overlap_full_outer,
         "pricing_summary": q_pricing_summary,
@@ -825,6 +838,24 @@ def oracle_sql() -> dict[str, str]:
             FULL JOIN (SELECT * FROM reads WHERE (r_start * 31 + r_end) % 17 = 0) r
             ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
             GROUP BY t.contig
+        """,
+        "nearest_broadcast_probe": f"""
+            WITH {reads}, {targets},
+            j AS (
+                SELECT r.contig AS contig, r.r_start, r.r_end,
+                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                            ELSE 0 END AS dist
+                FROM (SELECT * FROM targets WHERE t_id % 10 = 7) t
+                LEFT JOIN reads r ON r.contig = t.contig
+            )
+            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
+            FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY t_id
+                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+            ) = 1
         """,
         "nearest_partitioned": f"""
             WITH {reads}, {targets},
