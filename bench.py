@@ -61,7 +61,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sequila-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        # one wave per shuffle stage: local[N] has N concurrently running
+        # tasks, and the Python-UDF stages (minhash, cogroup nearest) pay a
+        # fixed Arrow+scheduling cost per task — 2N partitions measured ~60%
+        # slower than N across the headline set on this host
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 16)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
