@@ -52,6 +52,7 @@ from sequila_native_spark.functions.text import (
 )
 from sequila_native_spark.functions.dedup import (
     minhash_signature_sql,
+    dedup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
     shingles_sql,
@@ -499,6 +500,15 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over the exact n-gram Jaccard pair graph: every
+    # doc labeled with the min reachable doc_id (iterative min-label
+    # propagation, one equi-join + min-agg per round, localCheckpoint'd)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold_milli=200)
+    return dedup_clusters(pairs, nodes=docs.select("doc_id"))
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowed rolling-hash fingerprints (MOSS), summarized per doc
     docs = _t(spark, sf_dir, "documents")
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1011,6 +1022,20 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": ngram_jaccard_pairs_sql(
             "documents", threshold_milli=200
         ),
+        "near_dup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS ({ngram_jaccard_pairs_sql("documents", threshold_milli=200)}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
         "doc_fingerprints": winnow_fingerprints_oracle_sql(
             "documents", "doc_id", "text", k=8, w=4
         ),

@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_near_dups",          # MinHash-LSH near-dups (md5 oracle family)
     "minhash_near_dups_fast",     # MinHash-LSH near-dups (vectorized family)
     "ngram_jaccard_dups",         # exhaustive inverted-index n-gram Jaccard
+    "near_dup_clusters",          # connected components over the pair graph
     "doc_fingerprints",           # MOSS winnowing fingerprints
     "events_running_totals",      # stateful running totals (batch twin)
     "embedding_topk",             # brute-force cosine top-k

@@ -16,6 +16,7 @@ from sequila_native_spark.functions.text import (
     winnow_fingerprints,
 )
 from sequila_native_spark.functions.dedup import (
+    dedup_clusters,
     dedup_keep_canonical,
     exact_dedup_clusters,
     minhash_pairs,

@@ -563,3 +563,87 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster assignment)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc gets
+    the min id reachable through the pairs (the cluster's canonical id).
+
+    This is the step between pair emission (:func:`minhash_pairs` /
+    :func:`ngram_jaccard_pairs` / ``near_dup_pairs``) and "keep one doc per
+    cluster": near-dup similarity is not transitive, so pair-wise filters
+    alone under-delete; the standard pipeline clusters the pair graph and
+    keeps one representative per component.
+
+    Iterative min-label propagation: labels start at self; each round every
+    node takes the min label among itself and its neighbors, so a label
+    floods one hop per round and the loop converges in ``diameter(G)``
+    rounds. Near-dup components are dense (diameter a few hops), which makes
+    plain propagation the right 100 TB shape — each round is one equi-join
+    of edges against labels plus a min-aggregation, all JVM-side; lineage is
+    truncated per round with ``localCheckpoint`` so the plan stays flat.
+    (For adversarially long chain-shaped graphs the O(log n)-round
+    large-star/small-star variant would replace the loop body; near-dup
+    graphs do not have that shape.) Convergence is detected by comparing a
+    64-bit hash aggregate of the label assignment between rounds — one
+    scalar per round, no driver-side label materialization.
+
+    ``nodes``: optional single-column frame of every doc id, so docs in no
+    pair still emit a singleton cluster row; defaults to ids in ``pairs``.
+
+    Output: one row per node — ``(id_col, cluster_col)``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("__sq_src"), F.col(id_b).alias("__sq_dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("__sq_src"), F.col(id_a).alias("__sq_dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes is None:
+        base = edges.select(F.col("__sq_src").alias(id_col)).distinct()
+    else:
+        base = nodes.select(F.col(nodes.columns[0]).alias(id_col)).distinct()
+    labels = base.withColumn(cluster_col, F.col(id_col)).localCheckpoint()
+
+    def _sig(df: DataFrame) -> int:
+        # bit_xor: order-independent and overflow-free (rows are unique per
+        # id, so xor-cancellation of duplicates cannot occur)
+        row = df.agg(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(cluster_col))).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row["h"], row["n"])
+
+    prev = _sig(labels)
+    for _ in range(max_rounds):
+        via_edges = (
+            edges.join(labels, edges["__sq_src"] == labels[id_col])
+            .select(F.col("__sq_dst").alias(id_col), F.col(cluster_col))
+        )
+        labels = (
+            labels.select(id_col, cluster_col)
+            .unionAll(via_edges)
+            .groupBy(id_col)
+            .agg(F.min(cluster_col).alias(cluster_col))
+            .localCheckpoint()
+        )
+        cur = _sig(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

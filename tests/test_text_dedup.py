@@ -259,3 +259,66 @@ def test_winnow_fingerprints_guarantee(spark):
     for i, f in again.items():
         assert f == sorted(set(f))
         assert set(f) == fps[i]
+
+
+def test_dedup_clusters_basic(spark):
+    from sequila_native_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (transitive closure needed), island 4-5, and a pair
+        # listed in both orders
+        [(1, 2), (2, 3), (5, 4), (2, 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10}
+
+
+def test_dedup_clusters_no_pairs(spark):
+    from sequila_native_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    from sequila_native_spark.functions import dedup_clusters
+
+    # deterministic pseudo-random graph: 40 nodes, 30 edges — long chains
+    # exercise multi-round propagation
+    edges = [((i * 7919) % 40, (i * 104729 + 13) % 40) for i in range(30)]
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member of each component
+    comp = {}
+    for n in range(40):
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in comp.values() for n in members}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == expected
