@@ -442,6 +442,25 @@ def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of the stream-stream watermarked funnel join
+    # (streaming.events.correlate_event_streams); stream == batch pinned in
+    # tests/test_sources_streaming.py. ts truncated to whole seconds so the
+    # window bound and integer lag agree exactly with the nanos-precision
+    # DuckDB oracle.
+    from sequila_native_spark.streaming import correlate_event_streams
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = correlate_event_streams(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        tolerance_seconds=21600,
+    )
+    return out.select("user_id", "a_event_id", "b_event_id", "lag_seconds")
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
@@ -621,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
         "events_running_totals": q_events_running_totals,
+        "view_purchase_funnel": q_view_purchase_funnel,
         "events_json": q_events_json,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_dist": q_doc_lang_dist,
@@ -934,6 +954,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id % 50 = 0
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "view_purchase_funnel": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type,
+                       date_trunc('second', ts) AS ts
+                FROM events
+            )
+            SELECT a.user_id AS user_id,
+                   a.event_id AS a_event_id,
+                   b.event_id AS b_event_id,
+                   CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS lag_seconds
+            FROM ev a JOIN ev b
+            ON a.user_id = b.user_id
+               AND a.event_type = 'view' AND b.event_type = 'purchase'
+               AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND
         """,
         "user_sessions": """
             WITH e AS (

@@ -46,6 +46,7 @@ HEADLINE = [
     "near_dup_clusters",          # connected components over the pair graph
     "doc_fingerprints",           # MOSS winnowing fingerprints
     "events_running_totals",      # stateful running totals (batch twin)
+    "view_purchase_funnel",       # stream-stream funnel join (batch twin)
     "embedding_topk",             # brute-force cosine top-k
     "lsh_ann_topk",               # LSH-bucketed approximate top-k
     "ivf_ann_topk",               # IVF (k-means cells) approximate top-k

@@ -1,6 +1,7 @@
 """Structured Streaming surface."""
 
 from sequila_native_spark.streaming.events import (
+    correlate_event_streams,
     hourly_event_aggregates,
     read_event_stream,
     sessionize,
@@ -8,6 +9,7 @@ from sequila_native_spark.streaming.events import (
 from sequila_native_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "correlate_event_streams",
     "hourly_event_aggregates",
     "read_event_stream",
     "running_user_totals",

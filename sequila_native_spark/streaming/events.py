@@ -103,3 +103,60 @@ def sessionize(
             "sum_value_cents",
         )
     )
+
+
+def correlate_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    tolerance_seconds: int = 600,
+    watermark: str = "30 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-stream inner join: pair events with equal ``key`` where the
+    right event lands within ``[0, tolerance_seconds]`` AFTER the left one —
+    the funnel/attribution shape (view → purchase, request → error).
+
+    This is the event-time analogue of the interval overlap join, expressed
+    as Spark's native watermarked stream-stream join: the condition carries
+    both the key equality and a two-sided event-time range, which is exactly
+    the contract Structured Streaming needs to bound join state (left rows
+    are dropped once the right watermark passes ``ts + tolerance``; right
+    rows once the left watermark passes ``ts``). No custom state store —
+    the state cleanup is derived from the range condition.
+
+    The same body runs on batch frames (``withWatermark`` is a no-op
+    there); batch/stream equivalence is the test strategy, and the batch
+    twin is the driver-oracle query.
+
+    Output: ``key, {a,b}_event_id, {a,b}_ts, lag_seconds`` (integer).
+    """
+    la = left.withWatermark("ts", watermark).alias("__sq_l")
+    rb = right.withWatermark("ts", watermark).alias("__sq_r")
+
+    def lcol(c):
+        return F.col(f"__sq_l.{c}")
+
+    def rcol(c):
+        return F.col(f"__sq_r.{c}")
+
+    cond = (
+        (lcol(key) == rcol(key))
+        & (rcol("ts") >= lcol("ts"))
+        & (
+            rcol("ts")
+            <= lcol("ts") + F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        )
+    )
+    return la.join(rb, cond, "inner").select(
+        lcol(key).alias(key),
+        lcol("event_id").alias(f"{left_prefix}event_id"),
+        rcol("event_id").alias(f"{right_prefix}event_id"),
+        lcol("ts").alias(f"{left_prefix}ts"),
+        rcol("ts").alias(f"{right_prefix}ts"),
+        (F.unix_timestamp(rcol("ts")) - F.unix_timestamp(lcol("ts")))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )

@@ -193,3 +193,33 @@ def test_write_bed_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing columns"):
         write_bed(df.drop("pos_end"), str(tmp_path / "nope"))
+
+
+def test_stream_stream_funnel_join(spark, events_batch, tmp_path):
+    """correlate_event_streams: stream-stream watermarked join equals its
+    batch twin (same function body both ways)."""
+    from sequila_native_spark.streaming import correlate_event_streams
+
+    views = events_batch.where(F.col("event_type") == "view")
+    buys = events_batch.where(F.col("event_type") == "purchase")
+    batch_out = correlate_event_streams(views, buys, tolerance_seconds=21600)
+    expected = rows_set(batch_out)
+    assert len(expected) > 0, "fixture must produce at least one pair"
+
+    src_a = str(tmp_path / "views")
+    src_b = str(tmp_path / "buys")
+    views.write.mode("overwrite").parquet(src_a)
+    buys.write.mode("overwrite").parquet(src_b)
+    sa = read_event_stream(spark, src_a)
+    sb = read_event_stream(spark, src_b)
+    out = correlate_event_streams(sa, sb, tolerance_seconds=21600)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert rows_set(spark.table("funnel_out")) == expected
