@@ -59,7 +59,11 @@ from sequila_native_spark.operators.intervals import (
     overlap_predicate,
     validate_sides,
 )
-from sequila_native_spark.session import SequilaConf, parse_algorithm
+from sequila_native_spark.session import (
+    SequilaConf,
+    parse_algorithm,
+    parse_algorithm_or_mode,
+)
 
 # Internal temp columns (dropped before returning).
 _LS, _LE = "__sq_ls", "__sq_le"
@@ -387,7 +391,38 @@ def overlap_join(
         )
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
-    algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
+    if algorithm:
+        mode, algo = parse_algorithm_or_mode(algorithm)
+    else:
+        mode, algo = conf.join_mode, conf.algorithm
+    if mode == "nearest":
+        # CoitreesNearest: the SAME join query runs with nearest semantics
+        # (integration_test.rs:352-399) — delegate to nearest_join
+        from sequila_native_spark.operators.nearest_join import nearest_join
+
+        if how != "inner":
+            raise ValueError(
+                "nearest mode (CoitreesNearest) emits exactly one row per "
+                "probe row with null padding; outer how= does not apply"
+            )
+        shrink_l = strict if _shrink_left_end is None else _shrink_left_end
+        shrink_r = strict if _shrink_right_end is None else _shrink_right_end
+        if shrink_l != shrink_r:
+            raise ValueError(
+                "nearest mode requires uniform strictness across both range "
+                "conjuncts"
+            )
+        return nearest_join(
+            left, right, on, left_start, left_end, right_start, right_end,
+            strict=shrink_l, algorithm=algo, rsuffix=rsuffix,
+            check_bounds=check_bounds,
+        )
+    if mode == "count_overlaps":
+        raise ValueError(
+            "CoitreesCountOverlaps is broken and untested in the reference "
+            "(desynchronized index arrays, SURVEY §2A A6); use the corrected "
+            "sequila_native_spark.count_overlaps(...) operator instead"
+        )
     width = bin_width if bin_width is not None else conf.bin_width
     check = conf.check_int32_bounds if check_bounds is None else check_bounds
 

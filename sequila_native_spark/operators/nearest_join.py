@@ -117,6 +117,10 @@ def nearest_join(
     raw = algorithm.strip().lower() if algorithm else None
     if raw in ("broadcast_probe", "probe_broadcast"):
         algo = "broadcast_probe"
+    elif raw == "coitreesnearest":
+        # the reference name selects nearest semantics; here we ARE the
+        # nearest join — use its default index structure
+        algo = "index"
     else:
         algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
     if algo == "binning":

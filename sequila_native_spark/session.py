@@ -64,15 +64,40 @@ _ALGORITHM_ALIASES = {
 }
 
 
+# Reference algorithm names that change the JOIN SEMANTICS, not just the
+# index structure (session_context.rs:62-72): CoitreesNearest turns the
+# recognized interval join into a nearest join (integration_test.rs:352-399);
+# CoitreesCountOverlaps is the reference's broken/untested count variant
+# (SURVEY §2A A6) — we reject it with a pointer to the corrected operator.
+_MODE_ALIASES = {
+    "coitreesnearest": "nearest",
+    "coitreescountoverlaps": "count_overlaps",
+}
+
+
 def parse_algorithm(name: str) -> str:
     """Case-insensitive algorithm parse (session_context.rs:85-104)."""
     key = name.strip().lower()
     if key not in _ALGORITHM_ALIASES:
+        expected = sorted(set(_ALGORITHM_ALIASES) | set(_MODE_ALIASES))
         raise ValueError(
             f"Unknown interval join algorithm {name!r}; expected one of "
-            f"{sorted(set(_ALGORITHM_ALIASES))}"
+            f"{expected}"
         )
     return _ALGORITHM_ALIASES[key]
+
+
+def parse_algorithm_or_mode(name: str) -> tuple[str, str]:
+    """Parse a configured algorithm name into ``(join_mode, algorithm)``.
+
+    ``join_mode`` is ``"overlap"`` for plain index names, ``"nearest"`` /
+    ``"count_overlaps"`` for the reference's semantics-changing names (which
+    carry the ``index`` build structure).
+    """
+    key = name.strip().lower()
+    if key in _MODE_ALIASES:
+        return _MODE_ALIASES[key], "index"
+    return "overlap", parse_algorithm(name)
 
 
 @dataclass
@@ -81,6 +106,7 @@ class SequilaConf:
 
     prefer_interval_join: bool = True
     algorithm: str = DEFAULT_ALGORITHM
+    join_mode: str = "overlap"  # "nearest"/"count_overlaps" via CoitreesNearest etc.
     bin_width: int | str = DEFAULT_BIN_WIDTH  # int or "auto" (p95 of lengths)
     low_memory: bool = False
     check_int32_bounds: bool = True
@@ -92,7 +118,9 @@ class SequilaConf:
             return spark.conf.get(key, default)
 
         prefer = _get(PREFER_INTERVAL_JOIN, "true").lower() == "true"
-        algorithm = parse_algorithm(_get(INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM))
+        join_mode, algorithm = parse_algorithm_or_mode(
+            _get(INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM)
+        )
         if not prefer:
             # sequila.prefer_interval_join=false ⇒ vanilla join plan
             # (sequila_physical_planner.rs:36-39).
@@ -109,6 +137,7 @@ class SequilaConf:
         return cls(
             prefer_interval_join=prefer,
             algorithm=algorithm,
+            join_mode=join_mode,
             bin_width=raw_width,
             low_memory=_get(INTERVAL_JOIN_LOW_MEMORY, "false").lower() == "true",
             check_int32_bounds=_get(CHECK_INT32_BOUNDS, "true").lower() == "true",

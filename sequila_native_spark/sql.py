@@ -249,13 +249,107 @@ def rewrite_interval_sql(
     )
 
 
+def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Route a recognized interval-join query to ``nearest_join`` — the
+    ``SET sequila.interval_join_algorithm TO CoitreesNearest`` contract
+    (``integration_test.rs:352-399``: the SAME join SQL runs with nearest
+    semantics).
+
+    Supports the reference query shape: ``SELECT * FROM a JOIN b ON <equi +
+    2-conjunct range>`` with uniform strictness and same-named key columns.
+    Returns None when the text isn't an interval join at all (caller falls
+    back to plain ``spark.sql``); raises for recognized-but-unsupported
+    variants rather than silently running overlap semantics.
+    """
+    from sequila_native_spark.operators.nearest_join import nearest_join
+
+    text = sql.strip().rstrip(";")
+    if not re.match(r"SELECT\b", text, re.IGNORECASE):
+        return None
+    m = _JOIN_FROM.search(text)
+    if not m:
+        m = _COMMA_FROM.search(text)
+    if not m:
+        return None
+    rel1, a, rel2, b = m.groups()
+    a = a or rel1.split(".")[-1]
+    b = b or rel2.split(".")[-1]
+    head = text[: m.start()]
+    rest = text[m.end():]
+    t = _TAIL.search(rest)
+    cond, tail = (rest[: t.start()], rest[t.start():]) if t else (rest, "")
+    parsed = _classify(cond.strip(), a, b)
+    if parsed is None:
+        return None
+    equi, ranges, residual = parsed
+    bounds = _bounds(ranges)
+    if bounds is None:
+        return None
+
+    def unsupported(why: str):
+        return ValueError(
+            f"CoitreesNearest SQL mode: {why}; use "
+            f"sequila_native_spark.nearest_join(...) directly for this query"
+        )
+
+    sel = re.sub(r"^SELECT\s+", "", head.strip(), flags=re.IGNORECASE).strip()
+    if sel != "*":
+        raise unsupported(f"only SELECT * is supported, got {sel!r}")
+    if residual:
+        raise unsupported(f"residual predicates {residual} are not supported")
+    if tail.strip():
+        raise unsupported(f"trailing clause {tail.strip()!r} is not supported")
+    strict_ops = {r[1] for r in ranges}
+    if strict_ops == {"<", ">"}:
+        strict = True
+    elif strict_ops == {"<=", ">="}:
+        strict = False
+    else:
+        raise unsupported("mixed strict/closed range conjuncts")
+    on_keys = []
+    for conj in equi:
+        em = _CMP.match(conj)
+        q1, c1, _, q2, c2 = em.groups()
+        if q1 == b:
+            c1, c2 = c2, c1
+        if c1 != c2:
+            raise unsupported(f"equi-key columns differ: {conj!r}")
+        on_keys.append(c1)
+    a_start, a_end, b_start, b_end = bounds
+    return nearest_join(
+        spark.table(rel1),
+        spark.table(rel2),
+        on=on_keys or None,
+        left_start=a_start,
+        left_end=a_end,
+        right_start=b_start,
+        right_end=b_end,
+        strict=strict,
+    )
+
+
 def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) -> DataFrame:
     """``spark.sql`` with interval-join acceleration (reference CLI parity).
 
     A recognized 2-conjunct range join (``sequila_physical_planner.rs:46-89``
     surface) runs as the binned equi-join; anything else runs verbatim.
+    Under ``SET sequila.interval_join_algorithm TO CoitreesNearest`` a
+    recognized join runs with nearest semantics (right-side columns renamed
+    ``_r`` on collision — Spark frames cannot carry the duplicate names the
+    reference prints).
     """
+    mode = SequilaConf.from_spark(spark).join_mode
+    if mode == "nearest":
+        df = _nearest_from_sql(spark, sql)
+        if df is not None:
+            return df
     rewritten = rewrite_interval_sql(spark, sql, bin_width=bin_width)
+    if mode == "count_overlaps" and rewritten is not None:
+        raise ValueError(
+            "CoitreesCountOverlaps is broken and untested in the reference "
+            "(SURVEY §2A A6); use sequila_native_spark.count_overlaps(...) "
+            "instead"
+        )
     return spark.sql(rewritten if rewritten is not None else sql)
 
 

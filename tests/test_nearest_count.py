@@ -122,3 +122,80 @@ def test_count_matches_join_groupcount(spark, reads, targets):
         if r["count"] > 0
     }
     assert via_join == via_op
+
+
+def test_coitrees_nearest_mode(spark, nearest_a, nearest_b):
+    # SET sequila.interval_join_algorithm TO CoitreesNearest makes the SAME
+    # overlap-join call run with nearest semantics (integration_test.rs:
+    # 352-399) — through the session conf, the explicit algorithm= name,
+    # the Column-condition route, and the SQL text route.
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark import overlap_join
+    from sequila_native_spark.operators.condition import overlap_join_on
+    from sequila_native_spark.sql import sequila_sql
+
+    expected = rows_set(
+        nearest_join(
+            nearest_a, nearest_b, on=["contig", "strand"],
+            left_start="start", left_end="end",
+            right_start="start", right_end="end", strict=True,
+        )
+    )
+    assert sum(expected.values()) == 4  # golden: one row per probe row
+
+    # explicit algorithm= name
+    got = overlap_join(
+        nearest_a, nearest_b, on=["contig", "strand"],
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+        strict=True, algorithm="CoitreesNearest",
+    )
+    assert rows_set(got) == expected
+
+    spark.conf.set("spark.sequila.intervalJoinAlgorithm", "CoitreesNearest")
+    try:
+        # session conf route (no explicit algorithm)
+        got = overlap_join(
+            nearest_a, nearest_b, on=["contig", "strand"],
+            left_start="start", left_end="end",
+            right_start="start", right_end="end", strict=True,
+        )
+        assert rows_set(got) == expected
+
+        # Column-condition route (the optimizer-rule analogue)
+        cond = (
+            (nearest_a["contig"] == nearest_b["contig"])
+            & (nearest_a["strand"] == nearest_b["strand"])
+            & (nearest_a["start"] < nearest_b["end"])
+            & (nearest_a["end"] > nearest_b["start"])
+        )
+        got = overlap_join_on(nearest_a, nearest_b, cond)
+        assert rows_set(got) == expected
+
+        # SQL text route (the reference integration test verbatim)
+        nearest_a.createOrReplaceTempView("na")
+        nearest_b.createOrReplaceTempView("nb")
+        got = sequila_sql(spark, """
+            SELECT * FROM na JOIN nb
+            ON na.contig = nb.contig AND na.strand = nb.strand
+                AND na.start < nb.end AND na.end > nb.start
+        """)
+        assert rows_set(got) == expected
+
+        # non-interval SQL still falls through to plain spark.sql
+        assert sequila_sql(spark, "SELECT 1 AS one").first()["one"] == 1
+    finally:
+        spark.conf.unset("spark.sequila.intervalJoinAlgorithm")
+
+
+def test_coitrees_count_overlaps_rejected(spark, nearest_a, nearest_b):
+    from sequila_native_spark import overlap_join
+
+    with pytest.raises(ValueError, match="count_overlaps"):
+        overlap_join(
+            nearest_a, nearest_b, on=["contig", "strand"],
+            left_start="start", left_end="end",
+            right_start="start", right_end="end",
+            algorithm="CoitreesCountOverlaps",
+        )
