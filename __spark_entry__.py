@@ -582,6 +582,26 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference nearest contract through SQL text: SET the CoitreesNearest
+    algorithm, then the ordinary overlap-join query returns nearest rows
+    (integration_test.rs:352-399)."""
+    from sequila_native_spark.sql import sequila_sql
+
+    _reads(spark, sf_dir, with_id=False).createOrReplaceTempView("sq_nsql_reads")
+    _targets(spark, sf_dir).where(F.col("t_id") % 10 == 2).createOrReplaceTempView(
+        "sq_nsql_targets"
+    )
+    spark.conf.set("spark.sequila.intervalJoinAlgorithm", "CoitreesNearest")
+    try:
+        return sequila_sql(spark, """
+            SELECT * FROM sq_nsql_reads a JOIN sq_nsql_targets b
+            ON a.contig = b.contig AND a.r_start <= b.t_end AND a.r_end >= b.t_start
+        """)
+    finally:
+        spark.conf.unset("spark.sequila.intervalJoinAlgorithm")
+
+
 def q_overlap_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference SQL text run verbatim through the ``sequila_sql`` front-end.
 
@@ -632,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_target_read": q_nearest_target_read,
         "nearest_partitioned": q_nearest_partitioned,
         "nearest_broadcast_probe": q_nearest_broadcast_probe,
+        "nearest_sql": q_nearest_sql,
         "overlap_left_outer": q_overlap_left_outer,
         "overlap_full_outer": q_overlap_full_outer,
         "pricing_summary": q_pricing_summary,
@@ -879,6 +900,24 @@ def oracle_sql() -> dict[str, str]:
                             WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
                             ELSE 0 END AS dist
                 FROM (SELECT * FROM targets WHERE t_id % 10 = 7) t
+                LEFT JOIN reads r ON r.contig = t.contig
+            )
+            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
+            FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY t_id
+                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+            ) = 1
+        """,
+        "nearest_sql": f"""
+            WITH {reads}, {targets},
+            j AS (
+                SELECT r.contig AS contig, r.r_start, r.r_end,
+                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                            ELSE 0 END AS dist
+                FROM (SELECT * FROM targets WHERE t_id % 10 = 2) t
                 LEFT JOIN reads r ON r.contig = t.contig
             )
             SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
