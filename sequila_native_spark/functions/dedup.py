@@ -386,11 +386,20 @@ def ngram_jaccard_pairs(
     :func:`minhash_pairs`).
     """
     src = ensure_parallel(df.select(id_col, text_col))
-    sh = src.select(
+    # One shingle-UDF pass, materialized: the frame feeds four plan branches
+    # (self-join a/b + both per-doc counts); without the checkpoint Catalyst
+    # re-evaluates the full-corpus UDF on every branch (8 ArrowEvalPython
+    # nodes observed). The materialized per-doc arrays are smaller than the
+    # exploded inverted index the operator shuffles anyway.
+    docs_sh = src.select(
         F.col(id_col).alias("__sq_id"),
-        F.explode(shingles_fast(F.col(text_col), n)).alias("__sq_s"),
+        shingles_fast(F.col(text_col), n).alias("__sq_arr"),
+    ).localCheckpoint()
+    sh = docs_sh.select("__sq_id", F.explode("__sq_arr").alias("__sq_s"))
+    # distinct-shingle count = array length: no aggregation shuffle needed
+    counts = docs_sh.select(
+        "__sq_id", F.size("__sq_arr").cast("long").alias("__sq_n")
     )
-    counts = sh.groupBy("__sq_id").agg(F.count(F.lit(1)).alias("__sq_n"))
     if max_df is not None:
         keep = (
             sh.groupBy("__sq_s")
