@@ -328,6 +328,11 @@ def minhash_pairs(
             ),
         )
     )
+    # localCheckpoint: the candidate set feeds the two verification joins;
+    # without it each join branch re-evaluates the whole signature pipeline
+    # (8 ArrowEvalPython nodes observed). Candidates ≪ corpus by LSH's
+    # design, so materializing them is cheap at any scale — and it makes the
+    # signature pass run exactly once, which is the operator's cost model.
     cand = (
         banded.groupBy("band_idx", "band_hash")
         .agg(ids.alias("ids"))
@@ -335,6 +340,7 @@ def minhash_pairs(
         .select(F.explode(combos).alias("__sq_p"))
         .select(F.col("__sq_p.id_a"), F.col("__sq_p.id_b"))
         .distinct()
+        .localCheckpoint()
     )
 
     # Verification joins the CANDIDATE PAIRS back to raw text (pure-JVM
