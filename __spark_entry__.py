@@ -51,7 +51,7 @@ from sequila_native_spark.functions.text import (
     winnow_fingerprints_oracle_sql,
 )
 from sequila_native_spark.functions.dedup import (
-    minhash_signature_sql,
+    minhash_signature_draws_sql,
     dedup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
@@ -60,7 +60,7 @@ from sequila_native_spark.functions.dedup import (
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 _SHINGLES_SQL = shingles_sql("text", 3)
-_MINHASH_SQL = minhash_signature_sql("text", 8, 3)
+_MINHASH_SQL = minhash_signature_draws_sql("text", 8, 3)
 
 # ---------------------------------------------------------------------------
 # Derived interval views (FIXTURES.md F7): reads from lineitem, targets from
@@ -1075,13 +1075,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             banded AS (
                 SELECT doc_id, b.band_idx,
-                       md5(array_to_string(sig[b.band_idx*2+1 : b.band_idx*2+2], '|')) AS band_hash
+                       sig[b.band_idx*2+1 : b.band_idx*2+2] AS band_key
                 FROM base, (SELECT unnest(range(0, 4)) AS band_idx) b
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b
-                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                    AND a.doc_id < b.doc_id
             )
             SELECT c.id_a, c.id_b,

@@ -85,16 +85,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        # two runs, keep the min: robust against transient host CPU bursts
-        for _ in range(2):
+        # keep the min over repeated runs: robust against transient host CPU
+        # bursts. Two runs normally; when they disagree by >30% the host is
+        # noisy (hypervisor contention observed on this box), so buy a third
+        # sample for the queries where it matters.
+        times = []
+        for attempt in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: materializes every row/column without collecting,
             # and (unlike count) cannot be optimized into join elimination
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.time() - t0)
+            if attempt == 1 and max(times) <= 1.3 * min(times):
+                break
+        timings[name] = round(min(times), 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -21,6 +21,8 @@ from sequila_native_spark.functions.dedup import (
     exact_dedup_clusters,
     minhash_pairs,
     minhash_signature,
+    minhash_signature_draws,
+    minhash_signature_draws_sql,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
@@ -45,6 +47,7 @@ from sequila_native_spark.functions.multimodal import (
 __all__ = [
     "tokens", "token_count", "quality_features", "lang_id", "fingerprint",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
+    "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",
     "winnow_fingerprints",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",

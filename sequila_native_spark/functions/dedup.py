@@ -5,10 +5,10 @@ fingerprints, LSH band hashes, SimHash chunks — never an all-pairs compare.
 Candidate generation is equi-join-shaped so AQE/skew handling applies; exact
 verification runs only on candidate pairs.
 
-Determinism for oracle comparison: hashes are md5 (identical in DuckDB), and
-the MinHash signature is the lexicographic *minimum hex digest* per seeded
-hash family — a valid min-hash that both engines compute bit-identically
-(no platform-dependent integer hashing). Jaccard thresholds compare with
+Determinism for oracle comparison: hashes are md5 (identical in DuckDB); the
+oracle MinHash family is one md5 base digest per shingle plus k modular
+universal-hash draws — integer arithmetic both engines compute
+bit-identically (no platform-dependent hashing). Jaccard thresholds compare with
 integer cross-multiplication (``n_common * 1000 >= t_milli * n_union``), so
 no float ever enters the result.
 """
@@ -174,6 +174,83 @@ def minhash_signature_sql(text_expr: str = "text", k: int = 8, n: int = 3) -> st
     )
 
 
+# Universal-hash draw family over one md5 base digest per shingle.
+# P is the largest prime below 2^63 (so draws fit signed BIGINT in every
+# engine); the per-seed (a, b) constants are derived from fixed LCG
+# multipliers — written literally so the DuckDB twin can reproduce them.
+_MH_P = 9223372036854775783
+_MH_A1, _MH_B1 = 6364136223846793005, 1442695040888963407
+_MH_A2, _MH_B2 = 2862933555777941757, 3037000493
+
+
+def _mh_draw_consts(k: int) -> tuple[list[int], list[int]]:
+    a = [(_MH_A1 * (s + 1) + _MH_B1) % _MH_P for s in range(k)]
+    b = [(_MH_A2 * (s + 1) + _MH_B2) % _MH_P for s in range(k)]
+    return a, b
+
+
+def minhash_signature_draws(col: Column, k: int = 8, n: int = 3) -> Column:
+    """Oracle-reproducible MinHash: ONE md5 per shingle, ``k`` modular draws.
+
+    Base hash = the low 8 digest bytes of ``md5(shingle)`` as a
+    little-endian uint64 (exactly DuckDB's ``md5_number_lower``); family
+    ``s`` is ``(a_s * base + b_s) mod P`` with the fixed constants above —
+    a standard universal min-wise family. Versus the k-digests-per-shingle
+    legacy spec (:func:`minhash_signature`) this does 8× fewer md5 calls
+    while staying bit-identical to a pure-SQL DuckDB twin
+    (:func:`minhash_signature_draws_sql`), because the draws are plain
+    integer arithmetic both engines execute exactly.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_consts, b_consts = _mh_draw_consts(k)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            bases = [
+                int.from_bytes(hashlib.md5(x.encode()).digest()[8:16], "little")
+                for x in sh
+            ]
+            out.append(
+                [
+                    min((a * h + b) % _MH_P for h in bases)
+                    for a, b in zip(a_consts, b_consts)
+                ]
+            )
+        return pd.Series(out)
+
+    return sig(col)
+
+
+def minhash_signature_draws_sql(
+    text_expr: str = "text", k: int = 8, n: int = 3
+) -> str:
+    """DuckDB twin of :func:`minhash_signature_draws` (bit-identical).
+
+    ``md5_number_lower(x)`` is the same little-endian low half of the
+    digest; the draw runs in HUGEINT (128-bit) so ``a * base`` never
+    overflows before the ``mod P`` reduction.
+    """
+    sh = shingles_sql(text_expr, n)
+    a = f"((CAST({_MH_A1} AS HUGEINT) * (s + 1) + {_MH_B1}) % {_MH_P})"
+    b = f"((CAST({_MH_A2} AS HUGEINT) * (s + 1) + {_MH_B2}) % {_MH_P})"
+    draw = (
+        f"CAST(({a} * CAST(md5_number_lower(x) AS HUGEINT) + {b}) "
+        f"% {_MH_P} AS BIGINT)"
+    )
+    return (
+        f"list_transform(range(0, {k}), s -> "
+        f"list_min(list_transform({sh}, x -> {draw})))"
+    )
+
+
 def minhash_signature_vectorized(col: Column, k: int = 8, n: int = 3) -> Column:
     """Numeric MinHash: one C-speed base hash per shingle + k multiply-shift
     draws, fully vectorized in numpy.
@@ -260,9 +337,10 @@ def minhash_pairs(
     shingle sets.
 
     ``hash_family``: ``"fast"`` (default — vectorized numeric family,
-    :func:`minhash_signature_vectorized`, band-hashed with JVM ``xxhash64``)
-    or ``"md5"`` (bit-identical to the DuckDB oracle SQL; ~an order of
-    magnitude slower signatures — use for cross-engine verification).
+    :func:`minhash_signature_vectorized`, siphash base) or ``"md5"``
+    (:func:`minhash_signature_draws` — md5 base digest + modular draws,
+    bit-identical to the DuckDB oracle SQL twin; one hashlib call per
+    shingle, so only modestly slower than ``fast``).
     Both verify candidates with the same exact Jaccard test; they can differ
     only on pairs one family's LSH happens to miss.
 
@@ -278,7 +356,7 @@ def minhash_pairs(
     # computed once, on the banding branch only; verification re-shingles
     # only the candidate pairs (see _jaccard_counts below)
     sig_col = (
-        minhash_signature_fast(F.col(text_col), k, n)
+        minhash_signature_draws(F.col(text_col), k, n)
         if hash_family == "md5"
         else minhash_signature_vectorized(F.col(text_col), k, n)
     )
@@ -288,12 +366,10 @@ def minhash_pairs(
     ).where(F.size("__sq_sig") > 0)
 
     def band_hash(b):
+        # whole-stage-codegen'd 64-bit hash of the numeric band slice; docs
+        # collide iff their band slices are equal, which is the property the
+        # DuckDB twin reproduces by joining on the slice itself
         band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
-        if hash_family == "md5":
-            # oracle family: md5 over '|'-joined hex digests, byte-identical
-            # to the DuckDB twin (minhash_signature_sql)
-            return F.md5(F.concat_ws("|", band))
-        # whole-stage-codegen'd 64-bit hash of the numeric band
         return F.xxhash64(band)
 
     banded = base.select(
