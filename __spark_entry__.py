@@ -399,11 +399,16 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    # rejects; read nanos as long and convert to a microsecond timestamp.
+    # Older testdata stored ts as TIMESTAMP(NANOS), which Spark's vectorized
+    # reader rejects (read nanos as long, convert); newer testdata stores a
+    # plain timestamp[us]. Branch on the actual type (session tz is UTC, so
+    # NTZ -> TIMESTAMP is an identity conversion).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,7 +52,9 @@ def test_read_interval_csv(spark, tmp_path):
 def events_batch(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_stream(spark, transformed_builder, batch_df, tmpdir):
