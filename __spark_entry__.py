@@ -399,16 +399,12 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Older testdata stored ts as TIMESTAMP(NANOS), which Spark's vectorized
-    # reader rejects (read nanos as long, convert); newer testdata stores a
-    # plain timestamp[us]. Branch on the actual type (session tz is UTC, so
-    # NTZ -> TIMESTAMP is an identity conversion).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    ts_type = dict(ev.dtypes)["ts"]
-    if ts_type == "bigint":
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Schema-drift-tolerant events read (TIMESTAMP(NANOS) legacy vs native
+    # timestamp[us]); scopes the nanosAsLong conf and pins UTC — no session
+    # side effects for native-timestamp data.
+    from sequila_native_spark.sources import read_events
+
+    return read_events(spark, f"{sf_dir}/events.parquet")
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +583,112 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
+    """Self-checking recall harness: approximate top-k vs the in-engine exact
+    ``cosine_topk`` over the same (seeded, deterministic) query set. Output is
+    a single integer row — driver-visible recall trend without a DuckDB twin
+    (VERDICT r2 item 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    got = approx(emb, queries).select("query_id", "neighbor_id")
+    marked = exact.join(
+        got.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        marked.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "recall_milli",
+            F.floor(F.col("n_hits") * 1000 / F.col("n_exact")).cast("bigint"),
+        )
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: seeded hyperplanes have no SQL twin; the VALUE is the trend —
+    # recall floor pinned in tests/test_similarity_multimodal.py
+    return _ann_recall(
+        spark, sf_dir,
+        lambda emb, q: lsh_ann_topk(emb, q, k=5, n_planes=4, n_tables=8),
+    )
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: k-means quantizer is iterative; recall floor pinned in tests
+    from sequila_native_spark.functions import ivf_ann_topk
+
+    return _ann_recall(
+        spark, sf_dir,
+        lambda emb, q: ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=8),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the banded Hamming-<=k pair join (the actual dedup operator, not just
+    # the hash): pigeonhole banding -> equi-join candidates -> popcount
+    # verify. Deterministic hash => rows stable across runs (rows-only).
+    from sequila_native_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), max_hamming=8
+    )
+
+
+def q_minhash_family_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall delta between the md5 (oracle-parity) and vectorized ``fast``
+    MinHash families at driver scale. Both verify exact Jaccard on their
+    candidates (equal precision), so any asymmetry is LSH recall — the
+    quantity VERDICT r2 item 9 asks to make visible."""
+    docs = _t(spark, sf_dir, "documents")
+    opts = dict(k=8, bands=4, threshold_milli=200)
+    md5 = minhash_pairs(docs, hash_family="md5", **opts).select("id_a", "id_b")
+    fast = minhash_pairs(docs, hash_family="fast", **opts).select("id_a", "id_b")
+    j = md5.withColumn("__m", F.lit(1)).join(
+        fast.withColumn("__f", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("bigint").alias("n_md5"),
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))).cast("bigint").alias("n_fast"),
+            F.sum(
+                F.coalesce(F.col("__m"), F.lit(0)) * F.coalesce(F.col("__f"), F.lit(0))
+            ).cast("bigint").alias("n_both"),
+        )
+        .withColumn("md5_only", (F.col("n_md5") - F.col("n_both")).cast("bigint"))
+        .withColumn("fast_only", (F.col("n_fast") - F.col("n_both")).cast("bigint"))
+    )
+
+
+def _replicate_10x(df: DataFrame, start_col: str, end_col: str, spark: SparkSession) -> DataFrame:
+    """10 coordinate-shifted replicas (domain scaled 10x, density constant) —
+    the DESIGN.md scale-trend shape, derived deterministically so DuckDB can
+    mirror it."""
+    rep = spark.range(10).select(F.col("id").cast("int").alias("__rep"))
+    return df.crossJoin(F.broadcast(rep)).select(
+        "contig",
+        (F.col(start_col) + F.col("__rep") * 100000).cast("int").alias(start_col),
+        (F.col(end_col) + F.col("__rep") * 100000).cast("int").alias(end_col),
+    )
+
+
+def q_overlap_count_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-trend row: the flagship join at 10x rows / 10x domain. Linear
+    scaling means ~10x the flagship time; a superlinear regression (spill,
+    skew, partition collapse) surfaces here per round."""
+    reads10 = _replicate_10x(_reads(spark, sf_dir, with_id=False), "r_start", "r_end", spark)
+    targets10 = _replicate_10x(
+        _targets(spark, sf_dir).select("contig", "t_start", "t_end"),
+        "t_start", "t_end", spark,
+    )
+    oj = overlap_join(reads10, targets10, on="contig", **_IVL, algorithm="binning")
+    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference nearest contract through SQL text: SET the CoitreesNearest
     algorithm, then the ordinary overlap-join query returns nearest rows
@@ -680,8 +782,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
         "simhash_docs": q_simhash_docs,
+        "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "lsh_recall": q_lsh_recall,
+        "ivf_recall": q_ivf_recall,
+        "minhash_family_delta": q_minhash_family_delta,
+        "overlap_count_10x": q_overlap_count_10x,
     }
 
 
@@ -694,6 +801,25 @@ def oracle_sql() -> dict[str, str]:
             WITH {reads}, {targets}
             SELECT r.contig AS contig, count(*) AS n_pairs
             FROM reads r JOIN targets t ON {overlap}
+            GROUP BY r.contig
+        """,
+        "overlap_count_10x": f"""
+            WITH {reads}, {targets},
+            g AS (SELECT unnest(range(10)) AS rep),
+            r10 AS (
+                SELECT r.contig,
+                       CAST(r.r_start + 100000 * g.rep AS INT) AS r_start,
+                       CAST(r.r_end + 100000 * g.rep AS INT) AS r_end
+                FROM reads r CROSS JOIN g
+            ),
+            t10 AS (
+                SELECT t.contig,
+                       CAST(t.t_start + 100000 * g.rep AS INT) AS t_start,
+                       CAST(t.t_end + 100000 * g.rep AS INT) AS t_end
+                FROM targets t CROSS JOIN g
+            )
+            SELECT r.contig AS contig, count(*) AS n_pairs
+            FROM r10 r JOIN t10 t ON {overlap}
             GROUP BY r.contig
         """,
         "overlap_pairs_chr0": f"""

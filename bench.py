@@ -23,6 +23,7 @@ import __spark_entry__ as entry  # noqa: E402
 
 HEADLINE = [
     "overlap_count_per_contig",   # binned interval join (scale path)
+    "overlap_count_10x",          # scale-trend row: 10x rows / 10x domain
     "overlap_partitioned_selective",  # cogroup per-key index join
     "overlap_small_build_index",  # broadcast-index join (CollectLeft case)
     "overlap_strict_count",       # strict-predicate normalization
@@ -40,6 +41,7 @@ HEADLINE = [
     "brand_volume",               # broadcast join + agg
     "events_hourly",              # time-bucketed aggregation
     "exact_dup_clusters",         # exact dedup (hash groupBy)
+    "simhash_pairs",              # banded SimHash Hamming-pair join
     "minhash_near_dups",          # MinHash-LSH near-dups (md5 oracle family)
     "minhash_near_dups_fast",     # MinHash-LSH near-dups (vectorized family)
     "ngram_jaccard_dups",         # exhaustive inverted-index n-gram Jaccard

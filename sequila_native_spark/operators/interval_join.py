@@ -107,6 +107,66 @@ def expand_taken(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def decompose_build(build_pdf: pd.DataFrame) -> dict:
+    """One-time per-task decomposition of a compacted build frame into raw
+    column arrays, so each emitted batch is a pure numpy fancy-index.
+
+    The per-batch alternative (``build_pdf.take(idx)`` on a categorical frame
+    + ``astype(object)``) re-walks the dictionary for every batch; for
+    high-match probes that decode dominates the probe kernel. Here the
+    (tiny, ~25-entry) category tables are pulled out once per task:
+    ``codes`` (int8/16 view, no copy) + ``categories`` (object array), and
+    numeric columns become zero-copy numpy views.
+    """
+    out = {}
+    for c in build_pdf.columns:
+        s = build_pdf[c]
+        if isinstance(s.dtype, pd.CategoricalDtype):
+            out[c] = ("cat", s.cat.codes.to_numpy(), s.cat.categories.to_numpy(object))
+        else:
+            out[c] = ("plain", s.to_numpy(), None)
+    return out
+
+
+def take_build_rows(
+    decomp: dict, idx: np.ndarray, null_mask: np.ndarray | None = None
+) -> pd.DataFrame:
+    """Gather build rows by position from :func:`decompose_build` output.
+
+    ``null_mask`` marks output rows that must be all-null (nearest-join
+    padding for probe rows with no build group, where ``idx`` holds ``-1``);
+    numeric columns upcast exactly like the old ``reindex`` path did.
+    """
+    n = len(idx)
+    if not decomp:
+        return pd.DataFrame(index=pd.RangeIndex(n))
+    safe = np.where(idx < 0, 0, idx) if null_mask is not None else idx
+    data = {}
+    for c, (kind, arr, cats) in decomp.items():
+        if len(arr) == 0:
+            # empty build side: every output row is padding (idx all -1)
+            data[c] = np.full(n, None, dtype=object)
+            continue
+        if kind == "cat":
+            codes = arr[safe]
+            vals = np.empty(n, dtype=object)
+            okc = codes >= 0
+            vals[okc] = cats[codes[okc]]
+            vals[~okc] = None
+            if null_mask is not None:
+                vals[null_mask] = None
+            data[c] = vals
+        else:
+            taken = arr[safe]
+            if null_mask is not None and null_mask.any():
+                s = pd.Series(taken)
+                s[null_mask] = None  # upcasts int→float NaN, like reindex
+                data[c] = s.reset_index(drop=True)
+            else:
+                data[c] = taken
+    return pd.DataFrame(data, columns=list(decomp.keys()))
+
+
 def compact_index_arrays(*arrays: np.ndarray) -> tuple[np.ndarray, ...]:
     """Downcast int64 index arrays to int32 when values fit (bounds are
     checked-i32 by contract; positions are capped by the broadcast guard).
@@ -513,8 +573,23 @@ def _binned_pairs(
         _bin_of(F.col(_RS), width),
         F.greatest(_bin_of(F.col(_RS), width), _bin_of(F.col(_RE), width)),
     )
-    le = _ensure_parallel(lb.withColumn(_LBIN, F.explode(l_bins)), [*l_keys, _LBIN])
-    re_ = _ensure_parallel(rb.withColumn(_RBIN, F.explode(r_bins)), [*r_keys, _RBIN])
+    le = lb.withColumn(_LBIN, F.explode(l_bins))
+    re_ = rb.withColumn(_RBIN, F.explode(r_bins))
+    # The binned join is pure-JVM emission-bound work: it wants many small
+    # tasks (multiple waves), while the session's shuffle.partitions may be
+    # tuned low for Arrow-UDF stages (one wave amortizes the fixed per-task
+    # Python worker cost). Pre-hash-partition both sides on the exact join
+    # keys at the binned width — EnsureRequirements sees the co-partitioning
+    # and adds no further exchange, so the join itself runs at n_parts with
+    # zero extra shuffles. n_parts=0 inherits the session width (old path).
+    conf = SequilaConf.from_spark(lb.sparkSession)
+    n_parts = conf.resolve_binned_join_partitions(lb.sparkSession)
+    if n_parts > 0:
+        le = le.repartition(n_parts, *[F.col(c) for c in [*l_keys, _LBIN]])
+        re_ = re_.repartition(n_parts, *[F.col(c) for c in [*r_keys, _RBIN]])
+    else:
+        le = _ensure_parallel(le, [*l_keys, _LBIN])
+        re_ = _ensure_parallel(re_, [*r_keys, _RBIN])
     # High key multiplicity (hundreds of rows per (key, bin) on both sides)
     # makes sort-merge emission the bottleneck once the small side outgrows
     # the broadcast threshold; a shuffled-hash build probes straight out of a
@@ -575,6 +650,18 @@ def _outer_overlap(
         pairs = _binned_pairs(lb2, rb2, l_keys, r_keys, width).select(*inner_cols)
     elif algo == "partitioned":
         pairs = _cogroup_index_join(lb2, rb2, l_keys, r_keys, inner_cols)
+
+    # `pairs` feeds the output AND each pad branch's matched-id set; without a
+    # materialization barrier Catalyst re-executes the inner join per branch
+    # (up to 3x for how="full", and the index path's mapInPandas probe re-runs
+    # whole). Lazy local checkpoint = one evaluation, persisted to the block
+    # manager (memory+disk — bounded by the join output the query materializes
+    # anyway), every branch reads the snapshot. Same discipline as the dedup
+    # candidate frames (functions/dedup.py).
+    try:
+        pairs = pairs.localCheckpoint(eager=False)
+    except Exception:
+        pass  # Connect or API drift: correctness unaffected, just re-evaluates
 
     out = pairs.select(*out_cols)
 
@@ -742,6 +829,7 @@ def _broadcast_index_join(
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_map, build_pdf = bc.value
+        build_cols = decompose_build(build_pdf)  # once per task, not per batch
         for pdf in batches:
             if metrics is not None:
                 metrics.probe_batches.add(1)
@@ -785,9 +873,7 @@ def _broadcast_index_join(
             # counts don't balloon Arrow buffers (interval_join.rs:550-555,
             # default 100k rows; :1439-1540 1M full-mode cap)
             for s in range(0, len(b_idx), max_batch):
-                l_part = expand_taken(
-                    build_pdf.take(b_idx[s : s + max_batch]).reset_index(drop=True)
-                )
+                l_part = take_build_rows(build_cols, b_idx[s : s + max_batch])
                 r_part = pdf[right_cols].iloc[p_idx[s : s + max_batch]].reset_index(drop=True)
                 yield pd.concat([l_part, r_part], axis=1)
 

@@ -80,8 +80,9 @@ from sequila_native_spark.operators.interval_join import (
     _with_bounds,
     compact_build_pandas,
     compact_index_arrays,
-    expand_taken,
+    decompose_build,
     guarded_build_pandas,
+    take_build_rows,
 )
 from sequila_native_spark.operators.intervals import validate_sides
 from sequila_native_spark.session import SequilaConf, parse_algorithm
@@ -452,6 +453,7 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_map, build_pdf = bc.value
+        build_cols = decompose_build(build_pdf)  # once per task, not per batch
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -478,12 +480,10 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
                 )
                 good = take >= 0
                 build_take[pos[good]] = row_idx[take[good]]
-            # -1 is not a label in build_pdf's RangeIndex ⇒ reindex yields an
-            # all-null row: the reference's null-left padding for probe rows
-            # whose key group has no build rows (integration_test.rs:385-394).
-            l_part = _null_object_cols(
-                expand_taken(build_pdf.reindex(build_take).reset_index(drop=True))
-            )
+            # -1 positions emit all-null rows: the reference's null-left
+            # padding for probe rows whose key group has no build rows
+            # (integration_test.rs:385-394).
+            l_part = take_build_rows(build_cols, build_take, null_mask=build_take < 0)
             r_part = pdf[right_cols].reset_index(drop=True)
             yield pd.concat([l_part, r_part], axis=1)
 

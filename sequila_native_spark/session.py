@@ -32,6 +32,7 @@ INTERVAL_JOIN_BIN_WIDTH = "spark.sequila.intervalJoinBinWidth"
 INTERVAL_JOIN_LOW_MEMORY = "spark.sequila.intervalJoinLowMemory"
 CHECK_INT32_BOUNDS = "spark.sequila.checkInt32Bounds"
 MAX_BROADCAST_BUILD_ROWS = "spark.sequila.maxBroadcastBuildRows"
+BINNED_JOIN_PARTITIONS = "spark.sequila.binnedJoinPartitions"
 
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two
@@ -45,6 +46,14 @@ DEFAULT_FIXED_BIN_WIDTH = 5000
 # driver pandas at genomic row widths); <=0 disables the guard. The
 # reference's analogue is accounted build memory (interval_join.rs:624-660).
 DEFAULT_MAX_BROADCAST_BUILD_ROWS = 8_000_000
+# Partition count for the binned join's shuffle. "auto" =
+# max(spark.sql.shuffle.partitions, 4 * defaultParallelism): the binned join
+# is a pure-JVM high-multiplicity equi-join whose emission cost dominates, so
+# it wants multiple waves of small tasks even when the session's
+# shuffle.partitions is tuned low for Arrow-UDF stages (which pay a fixed
+# per-task worker cost and want exactly one wave). 0 disables the explicit
+# repartition and inherits the session shuffle width.
+DEFAULT_BINNED_JOIN_PARTITIONS: int | str = "auto"
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the
@@ -111,6 +120,7 @@ class SequilaConf:
     low_memory: bool = False
     check_int32_bounds: bool = True
     max_broadcast_build_rows: int = DEFAULT_MAX_BROADCAST_BUILD_ROWS
+    binned_join_partitions: int | str = DEFAULT_BINNED_JOIN_PARTITIONS
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "SequilaConf":
@@ -134,6 +144,17 @@ class SequilaConf:
                     f"{INTERVAL_JOIN_BIN_WIDTH} must be a positive integer or "
                     f"'auto', got {raw_width!r}"
                 ) from None
+        raw_parts = _get(
+            BINNED_JOIN_PARTITIONS, str(DEFAULT_BINNED_JOIN_PARTITIONS)
+        ).strip().lower()
+        if raw_parts != "auto":
+            try:
+                raw_parts = int(raw_parts)
+            except ValueError:
+                raise ValueError(
+                    f"{BINNED_JOIN_PARTITIONS} must be a non-negative integer "
+                    f"or 'auto', got {raw_parts!r}"
+                ) from None
         return cls(
             prefer_interval_join=prefer,
             algorithm=algorithm,
@@ -144,7 +165,15 @@ class SequilaConf:
             max_broadcast_build_rows=int(
                 _get(MAX_BROADCAST_BUILD_ROWS, str(DEFAULT_MAX_BROADCAST_BUILD_ROWS))
             ),
+            binned_join_partitions=raw_parts,
         )
+
+    def resolve_binned_join_partitions(self, spark: SparkSession) -> int:
+        """Concrete shuffle width for the binned join (0 = inherit session)."""
+        if self.binned_join_partitions == "auto":
+            shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            return max(shuffle, 4 * spark.sparkContext.defaultParallelism)
+        return int(self.binned_join_partitions)
 
 
 def sequila_session(
@@ -179,6 +208,7 @@ def sequila_session(
         (INTERVAL_JOIN_LOW_MEMORY, "false"),
         (CHECK_INT32_BOUNDS, "true"),
         (MAX_BROADCAST_BUILD_ROWS, str(DEFAULT_MAX_BROADCAST_BUILD_ROWS)),
+        (BINNED_JOIN_PARTITIONS, str(DEFAULT_BINNED_JOIN_PARTITIONS)),
     ):
         if spark.conf.get(key, None) is None:
             spark.conf.set(key, default)

@@ -138,3 +138,16 @@ def test_custom_registered_decoder_roundtrip(spark):
         assert (r["media_format"], r["duration_ms"], r["width"]) == ("wav", 40, None)
     finally:
         unregister_decoder("audio/wav")
+
+
+def test_driver_recall_queries_pinned_floors(spark):
+    """q_lsh_recall / q_ivf_recall (VERDICT r2 item 5): driver-visible recall
+    against the in-engine exact cosine_topk, floors pinned here."""
+    import __spark_entry__ as entry
+
+    lsh = entry.queries()["lsh_recall"](spark, SF).first()
+    assert lsh["n_queries"] == 50 and lsh["n_exact"] == 250
+    assert lsh["recall_milli"] >= 650  # measured 756 at sf0.001
+    ivf = entry.queries()["ivf_recall"](spark, SF).first()
+    assert ivf["n_queries"] == 50 and ivf["n_exact"] == 250
+    assert ivf["recall_milli"] >= 750  # measured 892 at sf0.001

@@ -50,11 +50,9 @@ def test_read_interval_csv(spark, tmp_path):
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    from sequila_native_spark.sources import read_events
+
+    return read_events(spark, f"{SF}/events.parquet")
 
 
 def _run_stream(spark, transformed_builder, batch_df, tmpdir):
@@ -225,3 +223,31 @@ def test_stream_stream_funnel_join(spark, events_batch, tmp_path):
     )
     q.awaitTermination(120)
     assert rows_set(spark.table("funnel_out")) == expected
+
+
+def test_read_events_leaves_session_conf_alone(spark):
+    """VERDICT r2 #8: native-timestamp events reads must not leak
+    nanosAsLong into the session (a later read of genuine TIMESTAMP(NANOS)
+    data would silently get longs)."""
+    from sequila_native_spark.sources import read_events
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    ev = read_events(spark, f"{SF}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+    assert spark.conf.get(key, None) == before
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_normalize_event_ts_legacy_bigint(spark):
+    """The legacy nanos-as-long branch truncates to micro precision."""
+    from sequila_native_spark.sources import normalize_event_ts
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_123_456_789)], "event_id long, ts long"
+    )
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    micros = out.select(F.unix_micros("ts").alias("us")).first()["us"]
+    assert micros == 1_700_000_000_123_456
