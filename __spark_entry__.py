@@ -559,6 +559,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(docs).select("doc_id", "n_bytes", "header_hex")
 
 
+def q_multimodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → feature-extract → exact cosine top-k, end to end: payloads via
+    the deterministic byte-histogram featurizer (the stub boundary a real
+    vision encoder plugs into), then the similarity operator unchanged.
+    Deterministic ⇒ rows-only stable; the oracle-checked pieces are
+    multimodal_meta (payload plumbing) and embedding_topk (cosine)."""
+    from sequila_native_spark.functions import extract_features
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    feats = extract_features(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return cosine_topk(feats, feats.where(F.col("vec_id") < 5), k=3)
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check: 63-bit simhash needs per-bit vote aggregation (pandas
     # UDF) — not expressible in ANSI SQL without 63 correlated aggregates
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_topk": q_multimodal_topk,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,

@@ -38,8 +38,12 @@ from sequila_native_spark.functions.multimodal import (
     attach_binary,
     decode_media_meta,
     encode_fake_image,
+    extract_features,
     fake_image_decoder,
     register_decoder,
+    register_featurizer,
+    register_transformer,
+    resize_media,
     unregister_decoder,
     sample_chunks,
 )
@@ -52,5 +56,7 @@ __all__ = [
     "winnow_fingerprints",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",
-    "register_decoder", "unregister_decoder", "encode_fake_image", "fake_image_decoder",
+    "resize_media", "extract_features",
+    "register_decoder", "unregister_decoder", "register_transformer",
+    "register_featurizer", "encode_fake_image", "fake_image_decoder",
 ]

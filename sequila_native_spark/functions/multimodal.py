@@ -196,6 +196,127 @@ def decode_media_meta(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Transform (resize) + feature-extraction plumbing
+# ---------------------------------------------------------------------------
+#
+# Same stub boundary as decoding: the Spark-side shape (schema, Arrow
+# batching, pluggable per-media-type callables) is real; the only fake part
+# is the test codec's pixel math. A transformer is
+# ``(bytes, dict) -> bytes`` (payload + params in, payload out); a
+# featurizer is ``bytes -> list[float]`` of fixed dimension.
+
+_TRANSFORMERS: dict[str, Callable[[bytes, dict], bytes]] = {}
+_FEATURIZERS: dict[str, Callable[[bytes], list]] = {}
+
+
+def register_transformer(
+    media_type: str, fn: Callable[[bytes, dict], bytes]
+) -> None:
+    _TRANSFORMERS[media_type] = fn
+
+
+def register_featurizer(media_type: str, fn: Callable[[bytes], list]) -> None:
+    _FEATURIZERS[media_type] = fn
+
+
+def fake_image_resize(raw: bytes, params: dict) -> bytes:
+    """Deterministic test resize: rewrite the FKIM header dims and re-sample
+    the body bytes to ``ceil(len * scale)`` evenly spaced positions."""
+    meta = fake_image_decoder(raw)
+    w, h = int(params["width"]), int(params["height"])
+    body = bytes(raw)[8:]
+    if body:
+        scale = max(w * h, 1) / max(meta["width"] * meta["height"], 1)
+        n_out = max(1, min(len(body), int(len(body) * scale + 0.999)))
+        step = len(body) / n_out
+        body = bytes(body[min(int(i * step), len(body) - 1)] for i in range(n_out))
+    return encode_fake_image(w, h, body)
+
+
+def fake_byte_featurizer(raw: bytes) -> list:
+    """Deterministic 16-dim L2-normalized byte-histogram 'embedding' — the
+    stand-in for a real vision/audio encoder; output plugs straight into the
+    similarity operators (cosine_topk / lsh_ann_topk)."""
+    counts = [0] * 16
+    for b in bytes(raw):
+        counts[b >> 4] += 1
+    norm = sum(c * c for c in counts) ** 0.5 or 1.0
+    return [float(c) / norm for c in counts]
+
+
+register_transformer(FAKE_IMAGE_TYPE, fake_image_resize)
+register_featurizer(FAKE_IMAGE_TYPE, fake_byte_featurizer)
+# text payloads (attach_binary default) get the same featurizer: any bytes
+# have a 16-bin histogram, which is exactly the "model-free baseline" role
+register_featurizer("text/plain", fake_byte_featurizer)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Rewrite each payload through the registered transformer for its media
+    type (Arrow-batched; missing transformer ⇒ ``NotImplementedError``, the
+    documented stub boundary — register a real one when codecs exist)."""
+    transformers = dict(_TRANSFORMERS)
+    params = {"width": int(width), "height": int(height)}
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            out = []
+            for raw, mt in zip(pdf[payload_col], pdf[media_type_col]):
+                fn = _lookup_decoder(transformers, mt)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no transformer registered for media type {mt!r}; "
+                        f"register_transformer() a codec-backed one"
+                    )
+                out.append(fn(bytes(raw), params))
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append a fixed-dimension ``array<float>`` feature vector per payload
+    (Arrow-batched). The output column is drop-in compatible with the
+    similarity operators, so media → features → ANN composes end to end."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    featurizers = dict(_FEATURIZERS)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(FloatType()), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            vecs = []
+            for raw, mt in zip(pdf[payload_col], pdf[media_type_col]):
+                fn = _lookup_decoder(featurizers, mt)
+                vecs.append(None if fn is None else fn(bytes(raw)))
+            pdf[out_col] = vecs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_chunks(
     df: DataFrame,
     payload_col: str = "payload",

@@ -651,22 +651,26 @@ def _outer_overlap(
     elif algo == "partitioned":
         pairs = _cogroup_index_join(lb2, rb2, l_keys, r_keys, inner_cols)
 
-    # `pairs` feeds the output AND each pad branch's matched-id set; without a
-    # materialization barrier Catalyst re-executes the inner join per branch
-    # (up to 3x for how="full", and the index path's mapInPandas probe re-runs
-    # whole). Lazy local checkpoint = one evaluation, persisted to the block
-    # manager (memory+disk — bounded by the join output the query materializes
-    # anyway), every branch reads the snapshot. Same discipline as the dedup
-    # candidate frames (functions/dedup.py).
-    try:
-        pairs = pairs.localCheckpoint(eager=False)
-    except Exception:
-        pass  # Connect or API drift: correctness unaffected, just re-evaluates
+    # `pairs` feeds the output AND each pad branch's matched-id set. The pad
+    # branches re-evaluate the inner join, but column-pruned to ids+keys+
+    # bounds — cheap relative to the full-width output branch, and exchange
+    # reuse shares the shuffle files on the binning path. Materializing the
+    # full `pairs` instead is a trap: the pair set is the largest frame in
+    # the query (measured 8x slower on a 13M-pair left outer). What IS worth
+    # a barrier is the id-pair projection when how="full": TWO pad branches
+    # would otherwise each re-run the join; one lazy checkpoint of the
+    # (id, id) frame — two longs per pair — serves both.
+    ids_src = pairs
+    if stamp_l and stamp_r:
+        try:
+            ids_src = pairs.select(*id_cols).localCheckpoint(eager=False)
+        except Exception:
+            ids_src = pairs  # Connect or API drift: just re-evaluates
 
     out = pairs.select(*out_cols)
 
     def pad_unmatched(preserved: DataFrame, oid: str, other: DataFrame) -> DataFrame:
-        matched = pairs.select(oid).distinct()
+        matched = ids_src.select(oid).distinct()
         unmatched = preserved.join(matched, oid, "left_anti")
         return unmatched.select(
             *[

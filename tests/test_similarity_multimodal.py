@@ -151,3 +151,67 @@ def test_driver_recall_queries_pinned_floors(spark):
     ivf = entry.queries()["ivf_recall"](spark, SF).first()
     assert ivf["n_queries"] == 50 and ivf["n_exact"] == 250
     assert ivf["recall_milli"] >= 750  # measured 892 at sf0.001
+
+
+def test_resize_media_fake_codec(spark):
+    from sequila_native_spark.functions import (
+        attach_binary,
+        decode_media_meta,
+        encode_fake_image,
+        resize_media,
+    )
+    from sequila_native_spark.functions.multimodal import FAKE_IMAGE_TYPE
+
+    rows = [(1, encode_fake_image(100, 80, bytes(range(200)))),
+            (2, encode_fake_image(10, 10, b"abcdef"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "media_type", F.lit(FAKE_IMAGE_TYPE)
+    )
+    out = decode_media_meta(resize_media(df, 50, 40))
+    got = {r["doc_id"]: (r["width"], r["height"], r["n_bytes"]) for r in out.collect()}
+    assert got[1][:2] == (50, 40) and got[2][:2] == (50, 40)
+    # downscale 100x80 -> 50x40 quarters the body sample: 200 -> 50 bytes (+8 header)
+    assert got[1][2] == 58
+    # resize is deterministic: same input twice -> identical payloads
+    p1 = resize_media(df, 50, 40).orderBy("doc_id").collect()
+    p2 = resize_media(df, 50, 40).orderBy("doc_id").collect()
+    assert [bytes(r["payload"]) for r in p1] == [bytes(r["payload"]) for r in p2]
+
+
+def test_resize_media_missing_transformer_raises(spark):
+    from sequila_native_spark.functions import resize_media
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary").withColumn(
+        "media_type", F.lit("video/x-unknown")
+    )
+    with pytest.raises(Exception, match="no transformer registered"):
+        resize_media(df, 2, 2).collect()
+
+
+def test_extract_features_feeds_similarity(spark):
+    """Media -> features -> ANN composition: the featurizer output is a unit
+    vector consumable by cosine_topk directly."""
+    import math
+
+    from sequila_native_spark.functions import attach_binary, cosine_topk, extract_features
+
+    # three byte-distribution classes (lowercase / uppercase / punctuation —
+    # distinct high nibbles), so same-class docs are cosine-1 to each other
+    classes = ["aaaa bbbb cccc", "AAAA BBBB CCCC", "!!!! #### $$$$"]
+    docs = spark.createDataFrame(
+        [(i, classes[i % 3]) for i in range(12)],
+        "doc_id long, text string",
+    )
+    feats = extract_features(attach_binary(docs)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    for r in rows:
+        assert abs(math.fsum(v * v for v in r["embedding"]) - 1.0) < 1e-5
+    topk = cosine_topk(feats, feats.where(F.col("vec_id") < 2), k=3)
+    got = topk.collect()
+    assert len(got) == 6  # 2 queries x k=3
+    # rank 1 is the query itself (cosine 1.0, deterministic id tie-break)
+    best = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert best[0] in (0, 3, 6, 9) and best[1] in (1, 4, 7, 10)
