@@ -598,6 +598,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_read_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools complement bounded by the data: maximal uncovered intervals
+    # between merged runs, aggregated per contig for a compact oracle row
+    from sequila_native_spark import complement_intervals
+
+    gaps = complement_intervals(
+        _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 7 + F.col("r_end")) % 31 == 0
+        ),
+        on="contig", start="r_start", end="r_end",
+    )
+    return gaps.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("r_end") - F.col("r_start") + 1).cast("bigint").alias("gap_bases"),
+    )
+
+
+def q_read_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools genomecov analogue: bases at each depth>0 per contig, via the
+    # two-phase chunked boundary-event prefix scan (no per-contig global sort)
+    from sequila_native_spark import depth_histogram
+
+    return depth_histogram(
+        _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 13 + F.col("r_end")) % 23 == 0
+        ),
+        on="contig", start="r_start", end="r_end",
+    )
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
     """Self-checking recall harness: approximate top-k vs the in-engine exact
     ``cosine_topk`` over the same (seeded, deterministic) query set. Output is
@@ -769,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_coverage_per_target": q_union_coverage_per_target,
         "reads_outside_targets": q_reads_outside_targets,
         "merged_read_runs": q_merged_read_runs,
+        "read_depth_histogram": q_read_depth_histogram,
+        "read_coverage_gaps": q_read_coverage_gaps,
         "reads_inside_targets": q_reads_inside_targets,
         "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
@@ -936,6 +968,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.contig, t.t_start, t.t_end, t.t_id,
                    CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
             FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
+        """,
+        "read_coverage_gaps": f"""
+            WITH {reads},
+            sel AS (SELECT * FROM reads WHERE (r_start * 7 + r_end) % 31 = 0),
+            m AS (
+                SELECT contig, r_start, r_end,
+                       CASE WHEN max(r_end) OVER (
+                                PARTITION BY contig ORDER BY r_start, r_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) IS NULL
+                            OR r_start > max(r_end) OVER (
+                                PARTITION BY contig ORDER BY r_start, r_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) + 1
+                       THEN 1 ELSE 0 END AS new_run
+                FROM sel
+            ),
+            runs AS (
+                SELECT contig, r_start, r_end,
+                       sum(new_run) OVER (
+                           PARTITION BY contig ORDER BY r_start, r_end
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS run_id
+                FROM m
+            ),
+            merged AS (
+                SELECT contig, min(r_start) AS s, max(r_end) AS e
+                FROM runs GROUP BY contig, run_id
+            ),
+            gaps AS (
+                SELECT contig, e + 1 AS gs,
+                       LEAD(s) OVER (PARTITION BY contig ORDER BY s) - 1 AS ge
+                FROM merged
+            )
+            SELECT contig, count(*) AS n_gaps,
+                   CAST(SUM(ge - gs + 1) AS BIGINT) AS gap_bases
+            FROM gaps WHERE ge >= gs GROUP BY contig
+        """,
+        "read_depth_histogram": f"""
+            WITH {reads},
+            sel AS (SELECT * FROM reads WHERE (r_start * 13 + r_end) % 23 = 0),
+            ev AS (
+                SELECT contig, CAST(r_start AS BIGINT) AS pos, 1 AS d FROM sel
+                UNION ALL
+                SELECT contig, CAST(r_end AS BIGINT) + 1 AS pos, -1 AS d FROM sel
+            ),
+            agg AS (
+                SELECT contig, pos, SUM(d) AS d FROM ev GROUP BY contig, pos
+            ),
+            sweep AS (
+                SELECT contig, pos,
+                       SUM(d) OVER (PARTITION BY contig ORDER BY pos) AS depth,
+                       LEAD(pos) OVER (PARTITION BY contig ORDER BY pos) AS next_pos
+                FROM agg
+            )
+            SELECT contig, CAST(depth AS BIGINT) AS depth,
+                   CAST(SUM(next_pos - pos) AS BIGINT) AS n_bases
+            FROM sweep
+            WHERE depth > 0 AND next_pos IS NOT NULL
+            GROUP BY contig, depth
         """,
         "merged_read_runs": f"""
             WITH {reads},

@@ -35,6 +35,7 @@ HEADLINE = [
     "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
     "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)
+    "read_depth_histogram",       # genomecov (two-phase boundary prefix scan)
     "reads_outside_targets",      # anti overlap filter (blacklist subtract)
     "pricing_summary",            # relational aggregation
     "top_orders",                 # 3-way join + top-k
@@ -83,10 +84,22 @@ def main() -> None:
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
 
+    def drop_stale_persisted() -> None:
+        # operators pin small frames with localCheckpoint; each invocation
+        # creates fresh ones, so blocks from finished queries are garbage.
+        # Dropping them between queries keeps block-manager memory flat over
+        # the 30-query run (they would otherwise only go away by eviction).
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+        except Exception:
+            pass
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        drop_stale_persisted()
         # keep the min over repeated runs: robust against transient host CPU
         # bursts. Two runs normally; when they disagree by >30% the host is
         # noisy (hypervisor contention observed on this box), so buy a third

@@ -32,9 +32,16 @@ from sequila_native_spark.session import (
 from sequila_native_spark.operators.interval_join import clear_bin_width_cache, overlap_join
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
-from sequila_native_spark.operators.coverage import coverage, union_coverage
+from sequila_native_spark.operators.coverage import (
+    coverage,
+    depth_histogram,
+    union_coverage,
+)
 from sequila_native_spark.operators.overlap_filter import filter_by_overlap, mark_by_overlap
-from sequila_native_spark.operators.merge_intervals import merge_intervals
+from sequila_native_spark.operators.merge_intervals import (
+    complement_intervals,
+    merge_intervals,
+)
 from sequila_native_spark.operators.condition import (
     overlap_join_on,
     parse_overlap_condition,
@@ -55,9 +62,11 @@ __all__ = [
     "nearest_join",
     "count_overlaps",
     "coverage",
+    "depth_histogram",
     "union_coverage",
     "filter_by_overlap",
     "mark_by_overlap",
+    "complement_intervals",
     "merge_intervals",
     "overlap_join_on",
     "parse_overlap_condition",

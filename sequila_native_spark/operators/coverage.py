@@ -161,3 +161,122 @@ def union_coverage(
         .withColumn(cover_col, F.coalesce(F.col(cover_col), F.lit(0)))
         .select(*right_out_cols, cover_col)
     )
+
+
+_CHUNK = "__sq_chunk"
+
+# Same slice width rationale as merge_intervals.DEFAULT_CHUNK_WIDTH: enough
+# slices per contig that parallelism is not capped at key cardinality.
+DEFAULT_DEPTH_CHUNK_WIDTH = 1 << 15
+
+
+def depth_histogram(
+    df: DataFrame,
+    on: list[str] | str | None = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    *,
+    chunk_width: int | None = DEFAULT_DEPTH_CHUNK_WIDTH,
+    depth_col: str = "depth",
+    bases_col: str = "n_bases",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Genome-wide depth-of-coverage histogram (bedtools ``genomecov``
+    without the genome file): for each equi-key group, how many bases sit
+    under exactly ``depth`` overlapping intervals, for every depth > 0.
+
+    Algorithm — distributed boundary-event prefix scan:
+
+    1. Each closed interval emits ``+1`` at ``start`` and ``-1`` at
+       ``end + 1``; summing deltas per distinct position collapses
+       duplicates (one shuffle, map-side partial agg).
+    2. Positions are sliced into ``chunk_width`` coordinate ranges. The
+       running depth inside a slice is a window prefix sum; the slice's
+       starting offset is a second, tiny prefix sum over per-slice delta
+       totals (one row per non-empty slice). This is the classic two-phase
+       scan: no per-key global sort, parallelism scales with the domain,
+       not the key cardinality (~25 contigs would otherwise cap a cluster).
+    3. A segment runs from one event position to the next — across empty
+       slices too, via the next non-empty slice's first position carried by
+       the same per-slice frame. Depth-0 gaps drop out (the running total
+       is 0 there by construction), matching ``genomecov``'s no-genome mode.
+
+    ``chunk_width=None`` falls back to the one-window-per-key sweep.
+    Output: keys + ``depth`` (bigint) + ``n_bases`` (bigint).
+    """
+    conf = SequilaConf.from_spark(df.sparkSession)
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+    sides = validate_sides(df, df, on, start, end, start, end)
+    keys = [p[0] for p in sides.on]
+
+    b = _with_bounds(
+        df.select(*dict.fromkeys([*keys, start, end])), start, end, _LS, _LE,
+        False, check,
+    ).na.drop(subset=[*keys, _LS, _LE])
+    ev = b.select(
+        *keys, F.col(_LS).cast("long").alias("__sq_pos"), F.lit(1).alias("__sq_d")
+    ).unionAll(
+        b.select(
+            *keys,
+            (F.col(_LE).cast("long") + 1).alias("__sq_pos"),
+            F.lit(-1).alias("__sq_d"),
+        )
+    )
+    ev = ev.groupBy(*keys, "__sq_pos").agg(F.sum("__sq_d").alias("__sq_d"))
+
+    if chunk_width is None:
+        w = Window.partitionBy(*keys).orderBy("__sq_pos")
+        swept = ev.select(
+            *keys,
+            F.col("__sq_pos"),
+            F.sum("__sq_d").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("__sq_depth"),
+            F.lead("__sq_pos").over(w).alias("__sq_next"),
+        )
+    else:
+        if chunk_width <= 0:
+            raise ValueError(f"chunk_width must be positive, got {chunk_width}")
+        ev = ev.withColumn(
+            _CHUNK,
+            F.floor(F.col("__sq_pos").cast("double") / F.lit(float(chunk_width))),
+        )
+        w1 = Window.partitionBy(*keys, _CHUNK).orderBy("__sq_pos")
+        local = ev.select(
+            *keys,
+            _CHUNK,
+            "__sq_pos",
+            F.sum("__sq_d").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("__sq_lcum"),
+            F.lead("__sq_pos").over(w1).alias("__sq_next_local"),
+        )
+        # one row per non-empty slice: delta total + first event position
+        w2 = Window.partitionBy(*keys).orderBy(_CHUNK)
+        slices = (
+            ev.groupBy(*keys, _CHUNK)
+            .agg(F.sum("__sq_d").alias("__sq_tot"), F.min("__sq_pos").alias("__sq_first"))
+            .select(
+                *keys,
+                _CHUNK,
+                F.coalesce(
+                    F.sum("__sq_tot").over(w2.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).alias("__sq_offset"),
+                F.lead("__sq_first").over(w2).alias("__sq_next_chunk_pos"),
+            )
+        )
+        swept = local.join(slices, [*keys, _CHUNK]).select(
+            *keys,
+            F.col("__sq_pos"),
+            (F.col("__sq_offset") + F.col("__sq_lcum")).alias("__sq_depth"),
+            F.coalesce(F.col("__sq_next_local"), F.col("__sq_next_chunk_pos")).alias(
+                "__sq_next"
+            ),
+        )
+
+    return (
+        swept.where((F.col("__sq_depth") > 0) & F.col("__sq_next").isNotNull())
+        .groupBy(*keys, F.col("__sq_depth").alias(depth_col))
+        .agg(F.sum(F.col("__sq_next") - F.col("__sq_pos")).alias(bases_col))
+    )

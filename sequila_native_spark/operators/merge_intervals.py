@@ -117,3 +117,42 @@ def merge_intervals(
         F.col(_LE).cast("int").alias(end),
         F.col(_N).alias("n_merged"),
     )
+
+
+def complement_intervals(
+    df: DataFrame,
+    on: list[str] | str | None = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    *,
+    chunk_width: int | None = DEFAULT_CHUNK_WIDTH,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Gaps between merged runs within each key's covered span — bedtools
+    ``complement`` bounded by the data (no genome file): one row per maximal
+    uncovered closed interval strictly between two runs.
+
+    Plan: :func:`merge_intervals` (two-phase chunked sweep), then one window
+    ``lead`` over the per-key merged runs — the run set is orders of
+    magnitude smaller than the input, so the final per-key sort is over
+    compacted runs only, same as merge's phase 2.
+    """
+    merged = merge_intervals(
+        df, on, start, end, chunk_width=chunk_width, check_bounds=check_bounds
+    )
+    keys = [c for c in merged.columns if c not in (start, end, "n_merged")]
+    w = Window.partitionBy(*keys).orderBy(F.col(start).asc())
+    nxt = F.lead(F.col(start)).over(w)
+    return (
+        merged.select(
+            *keys,
+            (F.col(end) + 1).alias("__sq_gap_s"),
+            (nxt - 1).alias("__sq_gap_e"),
+        )
+        .where(F.col("__sq_gap_e") >= F.col("__sq_gap_s"))
+        .select(
+            *keys,
+            F.col("__sq_gap_s").cast("int").alias(start),
+            F.col("__sq_gap_e").cast("int").alias(end),
+        )
+    )

@@ -94,3 +94,112 @@ def test_chunked_merge_parallelism_exceeds_key_cardinality(spark, reads):
         reads, on="contig", chunk_width=1000
     )._jdf.queryExecution().executedPlan().toString()
     assert "__sq_chunk" in plan.split("Exchange")[1]
+
+
+# ---------------------------------------------------------------------------
+# depth_histogram (genomecov analogue)
+# ---------------------------------------------------------------------------
+
+def _brute_depth_hist(rows):
+    """Per-position depth counting, the obvious O(n * len) oracle."""
+    from collections import Counter
+
+    depth = Counter()
+    for contig, s, e in rows:
+        for p in range(s, e + 1):
+            depth[(contig, p)] += 1
+    hist = Counter()
+    for (contig, _), d in depth.items():
+        hist[(contig, d)] += 1
+    return {(c, d, n) for (c, d), n in hist.items()}
+
+
+def test_depth_histogram_matches_brute_force(spark, reads):
+    from sequila_native_spark import depth_histogram
+
+    rows = [(r["contig"], r["pos_start"], int(r["pos_end"])) for r in reads.collect()]
+    want = _brute_depth_hist(rows)
+    got = {
+        (r["contig"], r["depth"], r["n_bases"])
+        for r in depth_histogram(reads).collect()
+    }
+    assert got == want
+
+
+def test_depth_histogram_chunked_equals_single_sweep(spark, reads):
+    from sequila_native_spark import depth_histogram
+    from tests.conftest import rows_set
+
+    # tiny chunk width forces many cross-chunk segments and empty chunks
+    chunked = depth_histogram(reads, chunk_width=64)
+    single = depth_histogram(reads, chunk_width=None)
+    assert rows_set(chunked) == rows_set(single)
+    assert chunked.count() > 0
+
+
+def test_depth_histogram_counts_every_covered_base(spark, reads):
+    from sequila_native_spark import depth_histogram
+    from sequila_native_spark import union_coverage  # noqa: F401  (doc pairing)
+    from pyspark.sql import functions as F
+
+    # sum(depth * n_bases) == total aligned bases == sum of interval lengths
+    hist = depth_histogram(reads)
+    got = hist.agg(
+        F.sum(F.col("depth") * F.col("n_bases")).alias("aligned")
+    ).first()["aligned"]
+    want = reads.agg(
+        F.sum(F.col("pos_end") - F.col("pos_start") + 1).alias("len")
+    ).first()["len"]
+    assert got == want
+
+
+def test_depth_histogram_adjacent_and_point_intervals(spark):
+    from sequila_native_spark import depth_histogram
+    from tests.conftest import rows_set
+
+    df = spark.createDataFrame(
+        [("c", 1, 5), ("c", 6, 10), ("c", 5, 6), ("c", 8, 8), ("d", 3, 3)],
+        "contig string, pos_start int, pos_end int",
+    )
+    rows = [(r["contig"], r["pos_start"], r["pos_end"]) for r in df.collect()]
+    got = {
+        (r["contig"], r["depth"], r["n_bases"])
+        for r in depth_histogram(df, chunk_width=4).collect()
+    }
+    assert got == _brute_depth_hist(rows)
+
+
+def test_complement_intervals_basic(spark):
+    from sequila_native_spark import complement_intervals
+
+    df = spark.createDataFrame(
+        [("c", 1, 5), ("c", 10, 12), ("c", 20, 30), ("c", 11, 14), ("d", 2, 3)],
+        "contig string, pos_start int, pos_end int",
+    )
+    got = {
+        (r["contig"], r["pos_start"], r["pos_end"])
+        for r in complement_intervals(df, chunk_width=8).collect()
+    }
+    # c runs: [1,5] [10,14] [20,30] -> gaps [6,9], [15,19]; d: single run, none
+    assert got == {("c", 6, 9), ("c", 15, 19)}
+
+
+def test_complement_roundtrip_with_merge(spark, reads):
+    """merged runs + complement gaps tile the per-key span exactly once."""
+    from pyspark.sql import functions as F
+    from sequila_native_spark import complement_intervals, merge_intervals
+
+    merged = merge_intervals(reads)
+    gaps = complement_intervals(reads)
+    span = reads.groupBy("contig").agg(
+        (F.max("pos_end") - F.min("pos_start") + 1).alias("span")
+    )
+    covered = merged.groupBy("contig").agg(
+        F.sum(F.col("pos_end") - F.col("pos_start") + 1).alias("c")
+    )
+    gap_sum = gaps.groupBy("contig").agg(
+        F.sum(F.col("pos_end") - F.col("pos_start") + 1).alias("g")
+    )
+    j = span.join(covered, "contig").join(gap_sum, "contig", "left").na.fill(0)
+    for r in j.collect():
+        assert r["c"] + r["g"] == r["span"], r
