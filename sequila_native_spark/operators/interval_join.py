@@ -547,6 +547,8 @@ def _binned_pairs(
     l_keys: tuple[str, ...] | list[str],
     r_keys: list[str],
     width: int,
+    *,
+    boost_parts: bool = True,
 ):
     """Binned candidate join shared by overlap_join and count_overlaps.
 
@@ -583,7 +585,15 @@ def _binned_pairs(
     # and adds no further exchange, so the join itself runs at n_parts with
     # zero extra shuffles. n_parts=0 inherits the session width (old path).
     conf = SequilaConf.from_spark(lb.sparkSession)
-    n_parts = conf.resolve_binned_join_partitions(lb.sparkSession)
+    if not boost_parts and conf.binned_join_partitions == "auto":
+        # "auto" widens the shuffle for full-table pair emission; callers
+        # whose plan evaluates the join more than once over typically
+        # filtered sides (outer padding) inherit the session width instead —
+        # the task-count overhead there outweighs the wave gain. An explicit
+        # integer knob is always honored.
+        n_parts = 0
+    else:
+        n_parts = conf.resolve_binned_join_partitions(lb.sparkSession)
     if n_parts > 0:
         le = le.repartition(n_parts, *[F.col(c) for c in [*l_keys, _LBIN]])
         re_ = re_.repartition(n_parts, *[F.col(c) for c in [*r_keys, _RBIN]])
@@ -647,7 +657,9 @@ def _outer_overlap(
         except BuildSideTooLargeError:
             algo = "partitioned" if l_keys else "binning"
     if algo == "binning":
-        pairs = _binned_pairs(lb2, rb2, l_keys, r_keys, width).select(*inner_cols)
+        pairs = _binned_pairs(
+            lb2, rb2, l_keys, r_keys, width, boost_parts=False
+        ).select(*inner_cols)
     elif algo == "partitioned":
         pairs = _cogroup_index_join(lb2, rb2, l_keys, r_keys, inner_cols)
 

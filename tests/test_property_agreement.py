@@ -86,3 +86,75 @@ def test_nearest_algorithms_agree_with_naive(spark, tabs):
     assert run("index") == truth
     assert run("partitioned") == truth
     assert run("broadcast_probe") == truth
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(interval, min_size=1, max_size=25), st.integers(2, 50))
+def test_sweep_operators_vs_brute_force(spark, tab, chunk_w):
+    """merge / complement / depth_histogram against per-position brute force
+    over random dense tables, with adversarial chunk widths."""
+    from collections import Counter
+
+    from sequila_native_spark import (
+        complement_intervals,
+        depth_histogram,
+        merge_intervals,
+    )
+
+    rows = [(c, s, s + ln) for c, s, ln in tab]
+    df = spark.createDataFrame(rows, "contig string, pos_start int, pos_end int")
+
+    covered: dict = {}
+    depth: Counter = Counter()
+    for c, s, e in rows:
+        for p in range(s, e + 1):
+            covered.setdefault(c, set()).add(p)
+            depth[(c, p)] += 1
+
+    # merge: runs == maximal consecutive covered position runs
+    want_runs = set()
+    for c, pos in covered.items():
+        ps = sorted(pos)
+        run_s = ps[0]
+        for a, b in zip(ps, ps[1:]):
+            if b != a + 1:
+                want_runs.add((c, run_s, a))
+                run_s = b
+        want_runs.add((c, run_s, ps[-1]))
+    got_runs = {
+        (r["contig"], r["pos_start"], r["pos_end"])
+        for r in merge_intervals(df, chunk_width=chunk_w).collect()
+    }
+    assert got_runs == want_runs
+
+    # complement: gaps between runs within the span
+    want_gaps = set()
+    for c, pos in covered.items():
+        lo, hi = min(pos), max(pos)
+        gap = None
+        for p in range(lo, hi + 1):
+            if p not in pos:
+                gap = p if gap is None else gap
+            elif gap is not None:
+                want_gaps.add((c, gap, p - 1))
+                gap = None
+    got_gaps = {
+        (r["contig"], r["pos_start"], r["pos_end"])
+        for r in complement_intervals(df, chunk_width=chunk_w).collect()
+    }
+    assert got_gaps == want_gaps
+
+    # depth histogram
+    hist: Counter = Counter()
+    for (c, _), d in depth.items():
+        hist[(c, d)] += 1
+    want_hist = {(c, d, n) for (c, d), n in hist.items()}
+    got_hist = {
+        (r["contig"], r["depth"], r["n_bases"])
+        for r in depth_histogram(df, chunk_width=chunk_w).collect()
+    }
+    assert got_hist == want_hist
