@@ -303,6 +303,17 @@ def q_nearest_target_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools closest -k extension of A5: up to 3 nearest reads per target,
+    # exact (distance, start, end) ranking incl. ties, via the contiguous
+    # flank-slice top-k kernel on the cogroup (partitioned) path
+    return nearest_join(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 50 == 0),
+        on="contig", **_IVL, algorithm="partitioned", k=3,
+    )
+
+
 def q_overlap_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-outer emission (bedtools -loj): every preserved target appears,
     # unmatched ones null-padded (joins/utils.rs:496-521 declared semantics)
@@ -807,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_partitioned": q_nearest_partitioned,
         "nearest_broadcast_probe": q_nearest_broadcast_probe,
         "nearest_sql": q_nearest_sql,
+        "nearest_k3": q_nearest_k3,
         "overlap_left_outer": q_overlap_left_outer,
         "overlap_full_outer": q_overlap_full_outer,
         "pricing_summary": q_pricing_summary,
@@ -1110,6 +1122,24 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY t_id
                 ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
             ) = 1
+        """,
+        "nearest_k3": f"""
+            WITH {reads}, {targets},
+            j AS (
+                SELECT r.contig AS contig, r.r_start, r.r_end,
+                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                            ELSE 0 END AS dist
+                FROM (SELECT * FROM targets WHERE t_id % 50 = 0) t
+                LEFT JOIN reads r ON r.contig = t.contig
+            )
+            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
+            FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY t_id
+                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+            ) <= 3
         """,
         "overlap_left_outer": f"""
             WITH {reads}, {targets}

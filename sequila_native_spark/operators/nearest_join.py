@@ -106,13 +106,28 @@ def nearest_join(
     algorithm: str | None = None,
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
+    k: int = 1,
 ) -> DataFrame:
-    """For each right (probe) row return exactly one row: the overlapping or
-    nearest left (build) interval within the same equi-key group, or nulls.
+    """For each right (probe) row return the ``k`` best left (build)
+    intervals within the same equi-key group by ``(distance, start, end)``
+    — overlap-first, ties exact — or one null-left row when the group has
+    no build rows.
+
+    ``k=1`` is the reference's ``CoitreesNearest``
+    (``integration_test.rs:385-394``); ``k>1`` is the bedtools
+    ``closest -k`` extension ("up to k": probes whose group holds fewer
+    build rows emit what exists).
 
     Output columns: left columns (possibly null) then right columns, like the
-    reference golden (``integration_test.rs:385-394``).
+    reference golden.
     """
+    if not isinstance(k, int) or k < 1:
+        raise ValueError(f"k must be a positive integer, got {k!r}")
+    if k > 10_000:
+        raise ValueError(
+            f"k={k} exceeds the supported cap (10000); the per-probe "
+            f"candidate matrices scale with k"
+        )
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
     raw = algorithm.strip().lower() if algorithm else None
@@ -142,21 +157,21 @@ def nearest_join(
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
 
     if algo == "naive":
-        return _naive_nearest(lb, rb, l_keys, r_keys, out_cols)
+        return _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k)
     if algo == "partitioned":
-        return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+        return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
     if algo == "broadcast_probe":
-        return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols)
+        return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
     try:
-        return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
+        return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
     except BuildSideTooLargeError:
         # build too big to broadcast: transpose (broadcast the probe) if the
         # probe side fits, else shuffle both sides by key
         try:
-            return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols)
+            return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
         except BuildSideTooLargeError:
             if l_keys:
-                return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols)
+                return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
             raise
 
 
@@ -170,11 +185,11 @@ def _distance_col(ls, le, rs, re):
     )
 
 
-def _naive_nearest(lb, rb, l_keys, r_keys, out_cols):
+def _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     probe = rb.withColumn(_PID, F.monotonically_increasing_id())
     cond = F.lit(True)
-    for k, rk in zip(l_keys, r_keys):
-        cond = cond & (lb[k] == probe[rk])
+    for lk, rk in zip(l_keys, r_keys):
+        cond = cond & (lb[lk] == probe[rk])
     joined = probe.join(lb, cond, "left_outer")
     dist = _distance_col(lb[_LS], lb[_LE], probe[_RS], probe[_RE])
     w = Window.partitionBy(_PID).orderBy(
@@ -182,7 +197,7 @@ def _naive_nearest(lb, rb, l_keys, r_keys, out_cols):
     )
     return (
         joined.withColumn("__sq_rn", F.row_number().over(w))
-        .where(F.col("__sq_rn") == 1)
+        .where(F.col("__sq_rn") <= k)
         .select(*out_cols)
     )
 
@@ -252,6 +267,76 @@ def _nearest_take(starts, ends, runmax, argmax_first, qs, qe) -> np.ndarray:
     return take
 
 
+def _nearest_take_topk(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    runmax: np.ndarray,
+    qs: np.ndarray,
+    qe: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-nearest kernel (bedtools ``closest -k`` semantics): for each probe
+    return the positions (into the (start,end)-lex-sorted build arrays) of
+    the up-to-k best build intervals by ``(distance, start, end)``, ties
+    exact.
+
+    Exactness: the true top-k is always contained in three candidate sets,
+    each a CONTIGUOUS slice of a purpose-sorted order —
+
+    - overlaps (distance 0): ascending positions from the span probe are
+      already (start, end)-lex order, so the first k per probe are the k
+      lex-least overlaps;
+    - left flank (end < qs, distance qs-end): the first k entries past the
+      cut in the ``(end desc, start asc)`` order — contiguous because
+      entries with ``end >= qs`` form a prefix of that order;
+    - right flank (start > qe, distance start-qe): the first k entries past
+      ``searchsorted(starts, qe+1)`` in start-lex order.
+
+    The three sets are disjoint by construction; a rowwise lexsort of the
+    ≤3k merged candidates yields the exact top-k. Returns ``(top, valid)``
+    of shape (m, k): sorted-array positions and a validity mask.
+    """
+    n, m = len(starts), len(qs)
+    top = np.full((m, k), -1, dtype=np.int64)
+    if n == 0 or m == 0:
+        return top, np.zeros((m, k), dtype=bool)
+    cand = np.full((m, 3 * k), -1, dtype=np.int64)
+    oc, op = _probe_spans(starts, ends, runmax, qs, qe)
+    if oc.size:
+        counts = np.bincount(op, minlength=m)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ranks = np.arange(len(op)) - offsets[op]
+        mask = ranks < k
+        cand[op[mask], ranks[mask]] = oc[mask]
+    # left flank: (end desc, start asc) order; prefix = end >= qs
+    order_left = np.lexsort((starts, -ends))
+    neg_e_desc = -ends[order_left]
+    p = np.searchsorted(neg_e_desc, 1 - qs, side="left")
+    lf = p[:, None] + np.arange(k)[None, :]
+    ok_lf = lf < n
+    cand[:, k:2 * k] = np.where(ok_lf, order_left[np.minimum(lf, n - 1)], -1)
+    # right flank: start-lex order; suffix = start > qe
+    h = np.searchsorted(starts, qe + 1, side="left")
+    rf = h[:, None] + np.arange(k)[None, :]
+    ok_rf = rf < n
+    cand[:, 2 * k:] = np.where(ok_rf, np.minimum(rf, n - 1), -1)
+
+    safe = np.maximum(cand, 0)
+    cs, ce = starts[safe], ends[safe]
+    dist = np.where(
+        cs > qe[:, None], cs - qe[:, None],
+        np.where(ce < qs[:, None], qs[:, None] - ce, 0),
+    )
+    invalid = cand < 0
+    dist = np.where(invalid, _I64_MAX, dist)
+    cs = np.where(invalid, _I64_MAX, cs)
+    ce = np.where(invalid, _I64_MAX, ce)
+    ordm = np.lexsort((ce, cs, dist), axis=-1)
+    top = np.take_along_axis(cand, ordm, axis=1)[:, :k]
+    topd = np.take_along_axis(dist, ordm, axis=1)[:, :k]
+    return top, topd < _I64_MAX
+
+
 def _null_object_cols(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype == object:
@@ -269,7 +354,7 @@ def _nearest_out_schema(lb, rb, left_cols, right_cols) -> StructType:
     )
 
 
-def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
+def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     """Cogroup-per-key nearest: the Partitioned-mode analogue.
 
     Shuffles both sides once on the equi-keys; each task builds the sorted
@@ -278,7 +363,7 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
     index instead (same memory shape, full probe parallelism).
     """
     if not l_keys:
-        return _index_nearest(lb, rb, l_keys, r_keys, out_cols)
+        return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
 
     # SQL equality: null build keys never match anything — drop them. Probe
     # rows with null keys stay: their group cogroups against an empty build
@@ -293,11 +378,12 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
         if not len(r_pdf):
             # build-only key group: nearest emits one row per PROBE row only
             return pd.DataFrame(columns=[*left_cols, *right_cols])
-        take_pos = np.full(len(r_pdf), -1, dtype=np.int64)  # -1 ⇒ null left
         lv = (
             l_pdf[l_pdf[_LS].notna() & l_pdf[_LE].notna()]
             if len(l_pdf) else l_pdf
         )
+        # (probe position, sorted-build position or -1) pair lists
+        m = len(r_pdf)
         if len(lv):
             starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
                 lv[_LS].to_numpy(np.int64), lv[_LE].to_numpy(np.int64)
@@ -305,17 +391,37 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
             ok = (r_pdf[_RS].notna() & r_pdf[_RE].notna()).to_numpy()
             qs = r_pdf[_RS].to_numpy(np.int64, na_value=0)[ok]
             qe = r_pdf[_RE].to_numpy(np.int64, na_value=0)[ok]
-            take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
             pos_ok = np.nonzero(ok)[0]
-            good = take >= 0
-            take_pos[pos_ok[good]] = order[take[good]]
+            if k == 1:
+                take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+                take_pos = np.full(m, -1, dtype=np.int64)
+                good = take >= 0
+                take_pos[pos_ok[good]] = order[take[good]]
+                probe_idx = np.arange(m)
+            else:
+                top, valid = _nearest_take_topk(starts, ends, runmax, qs, qe, k)
+                flat_valid = valid.ravel()
+                hit_probe = np.repeat(pos_ok, k)[flat_valid]
+                hit_pos = order[top.ravel()[flat_valid]]
+                # probes with zero hits (null bounds, or empty build) pad once
+                n_hits = np.zeros(m, dtype=np.int64)
+                if valid.size:
+                    np.add.at(n_hits, np.repeat(pos_ok, k), flat_valid)
+                miss = np.nonzero(n_hits == 0)[0]
+                probe_idx = np.concatenate([hit_probe, miss])
+                take_pos = np.concatenate(
+                    [hit_pos, np.full(len(miss), -1, dtype=np.int64)]
+                )
+        else:
+            probe_idx = np.arange(m)
+            take_pos = np.full(m, -1, dtype=np.int64)
         l_src = (
             lv[left_cols].reset_index(drop=True)
             if len(lv) else pd.DataFrame(columns=left_cols)
         )
         # -1 is not a label in the RangeIndex ⇒ reindex yields all-null rows
         l_part = _null_object_cols(l_src.reindex(take_pos).reset_index(drop=True))
-        r_part = r_pdf[right_cols].reset_index(drop=True)
+        r_part = r_pdf[right_cols].iloc[probe_idx].reset_index(drop=True)
         return pd.concat([l_part, r_part], axis=1)
 
     return (
@@ -329,7 +435,7 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols):
 _DIST = "__sq_dist"
 
 
-def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
+def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     """Broadcast-probe nearest: scan the build side, reduce tiny candidates.
 
     Exactness of the two-level reduce: within one build batch the kernel
@@ -347,8 +453,8 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
     rbid = stamp_row_id(rb, _PID)
     probe_pdf = guarded_build_pandas(rbid.select(*r_keys, _RS, _RE, _PID))
     valid = probe_pdf[_RS].notna() & probe_pdf[_RE].notna()
-    for k in r_keys:
-        valid &= probe_pdf[k].notna()
+    for kc in r_keys:
+        valid &= probe_pdf[kc].notna()
     probes = probe_pdf[valid]
     probe_map: dict[tuple, tuple] = {}
     if len(probes):
@@ -378,8 +484,8 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
             if pdf.empty or not pmap:
                 continue
             ok = pdf[_LS].notna() & pdf[_LE].notna()
-            for k in lk_list:
-                ok &= pdf[k].notna()
+            for kc in lk_list:
+                ok &= pdf[kc].notna()
             bdf = pdf[ok]
             if not len(bdf):
                 continue
@@ -395,16 +501,29 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
                 starts, ends, runmax, argmax_first, order = _build_nearest_arrays(
                     grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
                 )
-                take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
-                good = take >= 0
-                if not good.any():
-                    continue
-                tk = take[good]
+                if k == 1:
+                    take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+                    good = take >= 0
+                    if not good.any():
+                        continue
+                    tk = take[good]
+                    tqs, tqe = qs[good], qe[good]
+                    tpids = pids[good]
+                else:
+                    # per-batch top-k candidates; top-k is associative, so the
+                    # global row_number <= k over batch winners stays exact
+                    top, valid = _nearest_take_topk(starts, ends, runmax, qs, qe, k)
+                    flat = valid.ravel()
+                    if not flat.any():
+                        continue
+                    tk = top.ravel()[flat]
+                    rep = np.repeat(np.arange(len(qs)), k)[flat]
+                    tqs, tqe = qs[rep], qe[rep]
+                    tpids = pids[rep]
                 ls, le = starts[tk], ends[tk]
-                tqs, tqe = qs[good], qe[good]
                 dist = np.where(ls > tqe, ls - tqe, np.where(le < tqs, tqs - le, 0))
                 rows = grp[cand_cols].iloc[order[tk]].reset_index(drop=True)
-                rows[_PID] = pids[good]
+                rows[_PID] = tpids
                 rows[_DIST] = dist
                 outs.append(rows)
             if outs:
@@ -416,22 +535,22 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols):
     )
     winners = (
         cands.withColumn("__sq_rn", F.row_number().over(w))
-        .where(F.col("__sq_rn") == 1)
+        .where(F.col("__sq_rn") <= k)
         .select(*left_cols, _PID)
     )
-    # winners ≤ |probe| rows — broadcast the join back onto the probe side
+    # winners ≤ k·|probe| rows — broadcast the join back onto the probe side
     return rbid.join(F.broadcast(winners), _PID, "left").select(*out_cols)
 
 
-def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
+def _index_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     spark = lb.sparkSession
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
 
     left_pdf = guarded_build_pandas(lb)
     valid = left_pdf[_LS].notna() & left_pdf[_LE].notna()
-    for k in l_keys:
-        valid &= left_pdf[k].notna()
+    for kc in l_keys:
+        valid &= left_pdf[kc].notna()
     build = left_pdf[valid]
     index: dict[tuple, tuple] = {}
     if len(build):
@@ -460,12 +579,15 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
             qs_all = pdf[_RS].to_numpy(np.int64, na_value=0)
             qe_all = pdf[_RE].to_numpy(np.int64, na_value=0)
             has_null = (pdf[_RS].isna() | pdf[_RE].isna()).to_numpy()
-            build_take = np.full(len(pdf), -1, dtype=np.int64)  # -1 ⇒ null left
+            m = len(pdf)
+            hit_probe: list[np.ndarray] = []
+            hit_row: list[np.ndarray] = []
+            n_hits = np.zeros(m, dtype=np.int64)
             groups = pdf.groupby(rk_list, sort=False, dropna=False) if rk_list else [((), pdf)]
             for key, grp in groups:
                 if rk_list and not isinstance(key, tuple):
                     key = (key,)
-                if any(k is None or (isinstance(k, float) and np.isnan(k)) for k in key):
+                if any(kk is None or (isinstance(kk, float) and np.isnan(kk)) for kk in key):
                     continue
                 entry = idx_map.get(key)
                 if entry is None:
@@ -475,16 +597,35 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols):
                 pos = pos[~has_null[pos]]
                 if not pos.size:
                     continue
-                take = _nearest_take(
-                    starts, ends, runmax, argmax_first, qs_all[pos], qe_all[pos]
-                )
-                good = take >= 0
-                build_take[pos[good]] = row_idx[take[good]]
-            # -1 positions emit all-null rows: the reference's null-left
-            # padding for probe rows whose key group has no build rows
-            # (integration_test.rs:385-394).
+                if k == 1:
+                    take = _nearest_take(
+                        starts, ends, runmax, argmax_first, qs_all[pos], qe_all[pos]
+                    )
+                    good = take >= 0
+                    if good.any():
+                        hit_probe.append(pos[good])
+                        hit_row.append(row_idx[take[good]])
+                        n_hits[pos[good]] += 1
+                else:
+                    top, valid = _nearest_take_topk(
+                        starts, ends, runmax, qs_all[pos], qe_all[pos], k
+                    )
+                    flat = valid.ravel()
+                    if flat.any():
+                        rep = np.repeat(pos, k)[flat]
+                        hit_probe.append(rep)
+                        hit_row.append(row_idx[top.ravel()[flat]])
+                        np.add.at(n_hits, rep, 1)
+            # probes with no hits emit one all-null left row: the reference's
+            # null-left padding for probe rows whose key group has no build
+            # rows (integration_test.rs:385-394).
+            miss = np.nonzero(n_hits == 0)[0]
+            probe_take = np.concatenate([*hit_probe, miss]) if hit_probe else miss
+            build_take = np.concatenate(
+                [*hit_row, np.full(len(miss), -1, dtype=np.int64)]
+            ) if hit_row else np.full(len(miss), -1, dtype=np.int64)
             l_part = take_build_rows(build_cols, build_take, null_mask=build_take < 0)
-            r_part = pdf[right_cols].reset_index(drop=True)
+            r_part = pdf[right_cols].iloc[probe_take].reset_index(drop=True)
             yield pd.concat([l_part, r_part], axis=1)
 
     # round-robin split of a single-partition probe scan: mapInPandas gets

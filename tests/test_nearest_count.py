@@ -199,3 +199,68 @@ def test_coitrees_count_overlaps_rejected(spark, nearest_a, nearest_b):
             right_start="start", right_end="end",
             algorithm="CoitreesCountOverlaps",
         )
+
+
+# ---------------------------------------------------------------------------
+# k-nearest (bedtools closest -k)
+# ---------------------------------------------------------------------------
+
+def test_k_nearest_golden_all_paths(spark):
+    from sequila_native_spark import nearest_join
+    from tests.conftest import rows_set
+
+    build = spark.createDataFrame(
+        [("a", 1, 3), ("a", 5, 9), ("a", 6, 7), ("a", 20, 25), ("b", 0, 1)],
+        "contig string, pos_start int, pos_end int",
+    )
+    probe = spark.createDataFrame(
+        [("a", 8, 10), ("a", 14, 15), ("c", 1, 2)],
+        "contig string, s int, e int",
+    )
+    # probe (a,8,10): overlaps [5,9] and [6,7] -> dist 0 both, lex order;
+    #   then k=3 adds the nearer flank: [1,3] dist 5 vs [20,25] dist 10
+    # probe (a,14,15): no overlap; [6,7]? dist 14-7=7; [5,9] dist 5; [20,25]
+    #   dist 5 -> tie broken by start: [5,9] first, then [20,25], then [6,7]
+    # probe (c,1,2): no group -> single null row
+    want = {
+        ("a", 5, 9, "a", 8, 10): 1, ("a", 6, 7, "a", 8, 10): 1,
+        ("a", 1, 3, "a", 8, 10): 1,
+        ("a", 5, 9, "a", 14, 15): 1, ("a", 20, 25, "a", 14, 15): 1,
+        ("a", 6, 7, "a", 14, 15): 1,
+        (None, None, None, "c", 1, 2): 1,
+    }
+    for algo in ("naive", "index", "partitioned", "broadcast_probe"):
+        got = rows_set(
+            nearest_join(
+                build, probe, on="contig",
+                left_start="pos_start", left_end="pos_end",
+                right_start="s", right_end="e",
+                algorithm=algo, k=3,
+            )
+        )
+        assert got == want, (algo, got)
+
+
+def test_k_nearest_up_to_k_semantics(spark):
+    from sequila_native_spark import nearest_join
+
+    build = spark.createDataFrame([("a", 1, 2)], "contig string, pos_start int, pos_end int")
+    probe = spark.createDataFrame([("a", 5, 6)], "contig string, s int, e int")
+    for algo in ("naive", "index", "partitioned"):
+        rows = nearest_join(
+            build, probe, on="contig",
+            left_start="pos_start", left_end="pos_end",
+            right_start="s", right_end="e", algorithm=algo, k=4,
+        ).collect()
+        assert len(rows) == 1  # only one build row exists
+
+
+def test_k_nearest_rejects_bad_k(spark, nearest_a, nearest_b):
+    import pytest
+    from sequila_native_spark import nearest_join
+
+    for bad in (0, -1, 1.5, "3"):
+        with pytest.raises(ValueError, match="positive integer"):
+            nearest_join(nearest_a, nearest_b, on=["contig", "strand"],
+                         left_start="start", left_end="end",
+                         right_start="start", right_end="end", k=bad)

@@ -158,3 +158,22 @@ def test_sweep_operators_vs_brute_force(spark, tab, chunk_w):
         for r in depth_histogram(df, chunk_width=chunk_w).collect()
     }
     assert got_hist == want_hist
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables, st.integers(min_value=2, max_value=4))
+def test_k_nearest_algorithms_agree_with_naive(spark, tabs, k):
+    lrows = [(c, s, s + ln) for c, s, ln in tabs[0]]
+    rrows = [(c, s, s + ln) for c, s, ln in tabs[1]]
+    left = spark.createDataFrame(lrows, "contig string, start int, end int")
+    right = spark.createDataFrame(rrows, "contig string, s int, e int")
+    args = dict(on="contig", left_start="start", left_end="end",
+                right_start="s", right_end="e", k=k)
+    want = rows_set(nearest_join(left, right, algorithm="naive", **args))
+    for algo in ("index", "partitioned", "broadcast_probe"):
+        got = rows_set(nearest_join(left, right, algorithm=algo, **args))
+        assert got == want, (algo, k)
