@@ -454,6 +454,18 @@ def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming exact-dedup's batch twin: replayed events (1-in-3 duplicated,
+    # the at-least-once-delivery shape) collapse back to the original set
+    from sequila_native_spark.streaming import dedup_events
+
+    ev = _events(spark, sf_dir)
+    replayed = ev.unionAll(ev.where(F.col("event_id") % 3 == 0))
+    return dedup_events(replayed, "event_id").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def q_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch twin of the stream-stream watermarked funnel join
     # (streaming.events.correlate_event_streams); stream == batch pinned in
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "events_running_totals": q_events_running_totals,
         "view_purchase_funnel": q_view_purchase_funnel,
+        "events_dedup": q_events_dedup,
         "events_json": q_events_json,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_dist": q_doc_lang_dist,
@@ -1243,6 +1256,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
             ORDER BY p.p_brand
+        """,
+        "events_dedup": """
+            -- replayed duplicates are exact copies, so key-dedup restores
+            -- the original event set
+            SELECT event_type, count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -160,3 +160,28 @@ def correlate_event_streams(
         .cast("bigint")
         .alias("lag_seconds"),
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | str = "event_id",
+    *,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event dedup by key — the streaming face of exact dedup.
+
+    On a stream: ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    within the watermark horizon, so state is bounded while duplicates that
+    arrive within the horizon (the at-least-once-delivery case: retries,
+    replays) are suppressed. On a batch frame the same call degrades to a
+    plain ``dropDuplicates`` over the keys — the batch twin used by the
+    equivalence test and the driver oracle.
+
+    At 100 TB-stream scale the state store holds one entry per distinct key
+    seen inside the horizon — sized by rate x watermark, not by history.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

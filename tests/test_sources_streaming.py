@@ -251,3 +251,32 @@ def test_normalize_event_ts_legacy_bigint(spark):
     assert dict(out.dtypes)["ts"] == "timestamp"
     micros = out.select(F.unix_micros("ts").alias("us")).first()["us"]
     assert micros == 1_700_000_000_123_456
+
+
+def test_dedup_events_stream_equals_batch(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses replayed events: stream over
+    a doubled source == batch dedup of the same doubled frame."""
+    from sequila_native_spark.streaming import dedup_events
+
+    sample = events_batch.where(F.col("user_id") % 25 == 0)
+    doubled = sample.unionAll(sample.where(F.col("event_id") % 2 == 0))
+    want = rows_set(dedup_events(doubled, "event_id"))
+    assert sum(want.values()) == sample.count()  # duplicates collapsed
+
+    src = os.path.join(str(tmp_path), "dedup_src")
+    # two files so the replayed copies arrive in a later micro-batch too
+    sample.coalesce(1).write.mode("overwrite").parquet(src)
+    sample.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = dedup_events(stream, "event_id", watermark="10 days")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rows_set(spark.table("stream_dedup_out"))
+    assert got == want
