@@ -597,9 +597,12 @@ def _binned_pairs(
     if n_parts > 0:
         le = le.repartition(n_parts, *[F.col(c) for c in [*l_keys, _LBIN]])
         re_ = re_.repartition(n_parts, *[F.col(c) for c in [*r_keys, _RBIN]])
-    else:
-        le = _ensure_parallel(le, [*l_keys, _LBIN])
-        re_ = _ensure_parallel(re_, [*r_keys, _RBIN])
+    # n_parts == 0: no forced redistribution — EnsureRequirements inserts the
+    # join's exchange only where the child partitioning doesn't already
+    # satisfy it. This is the co-located path: both sides bucketed by the
+    # equi-keys (HashPartitioning(keys) satisfies the (keys…, bin)
+    # clustering) join with ZERO exchanges, and AQE skew-split stays
+    # available on any exchange that is inserted.
     # High key multiplicity (hundreds of rows per (key, bin) on both sides)
     # makes sort-merge emission the bottleneck once the small side outgrows
     # the broadcast threshold; a shuffled-hash build probes straight out of a

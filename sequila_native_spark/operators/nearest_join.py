@@ -106,7 +106,7 @@ def nearest_join(
     algorithm: str | None = None,
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
-    k: int = 1,
+    k: int | None = None,
 ) -> DataFrame:
     """For each right (probe) row return the ``k`` best left (build)
     intervals within the same equi-key group by ``(distance, start, end)``
@@ -121,15 +121,19 @@ def nearest_join(
     Output columns: left columns (possibly null) then right columns, like the
     reference golden.
     """
-    if not isinstance(k, int) or k < 1:
+    spark = left.sparkSession
+    conf = SequilaConf.from_spark(spark)
+    if k is None:
+        # spark.sequila.nearestK: lets the conf-driven entry points (SQL
+        # text under CoitreesNearest, .sql scripts) select k without an API
+        k = conf.nearest_k
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
         raise ValueError(f"k must be a positive integer, got {k!r}")
     if k > 10_000:
         raise ValueError(
             f"k={k} exceeds the supported cap (10000); the per-probe "
             f"candidate matrices scale with k"
         )
-    spark = left.sparkSession
-    conf = SequilaConf.from_spark(spark)
     raw = algorithm.strip().lower() if algorithm else None
     if raw in ("broadcast_probe", "probe_broadcast"):
         algo = "broadcast_probe"

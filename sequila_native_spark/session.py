@@ -33,6 +33,7 @@ INTERVAL_JOIN_LOW_MEMORY = "spark.sequila.intervalJoinLowMemory"
 CHECK_INT32_BOUNDS = "spark.sequila.checkInt32Bounds"
 MAX_BROADCAST_BUILD_ROWS = "spark.sequila.maxBroadcastBuildRows"
 BINNED_JOIN_PARTITIONS = "spark.sequila.binnedJoinPartitions"
+NEAREST_K = "spark.sequila.nearestK"
 
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two
@@ -121,6 +122,7 @@ class SequilaConf:
     check_int32_bounds: bool = True
     max_broadcast_build_rows: int = DEFAULT_MAX_BROADCAST_BUILD_ROWS
     binned_join_partitions: int | str = DEFAULT_BINNED_JOIN_PARTITIONS
+    nearest_k: int = 1  # bedtools closest -k for the CoitreesNearest route
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "SequilaConf":
@@ -166,6 +168,7 @@ class SequilaConf:
                 _get(MAX_BROADCAST_BUILD_ROWS, str(DEFAULT_MAX_BROADCAST_BUILD_ROWS))
             ),
             binned_join_partitions=raw_parts,
+            nearest_k=int(_get(NEAREST_K, "1")),
         )
 
     def resolve_binned_join_partitions(self, spark: SparkSession) -> int:

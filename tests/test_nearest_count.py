@@ -264,3 +264,25 @@ def test_k_nearest_rejects_bad_k(spark, nearest_a, nearest_b):
             nearest_join(nearest_a, nearest_b, on=["contig", "strand"],
                          left_start="start", left_end="end",
                          right_start="start", right_end="end", k=bad)
+
+
+def test_nearest_k_via_conf(spark):
+    """spark.sequila.nearestK drives k for conf-driven entry points (the
+    CoitreesNearest SQL route has no k argument)."""
+    from sequila_native_spark import nearest_join
+
+    build = spark.createDataFrame(
+        [("a", 1, 2), ("a", 10, 11), ("a", 20, 21)],
+        "contig string, pos_start int, pos_end int",
+    )
+    probe = spark.createDataFrame([("a", 12, 13)], "contig string, s int, e int")
+    args = dict(on="contig", left_start="pos_start", left_end="pos_end",
+                right_start="s", right_end="e")
+    spark.conf.set("spark.sequila.nearestK", "2")
+    try:
+        assert nearest_join(build, probe, **args).count() == 2
+        # explicit k overrides the conf
+        assert nearest_join(build, probe, k=1, **args).count() == 1
+    finally:
+        spark.conf.unset("spark.sequila.nearestK")
+    assert nearest_join(build, probe, **args).count() == 1

@@ -59,3 +59,49 @@ def test_small_side_broadcasts(spark):
     part = spark.read.parquet(f"{SF}/part.parquet")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     assert has_broadcast_hash_join(j)
+
+
+def test_bucketed_tables_join_without_exchange(spark, reads, targets, tmp_path):
+    """Co-located interval join: both sides bucketed by the equi-key and
+    binnedJoinPartitions=0 -> the binned join runs with ZERO exchanges
+    before it (HashPartitioning(contig) satisfies the (contig, bin)
+    clustering, and matching bucket counts make the sides co-partitioned).
+    The 100 TB repeat-join story: pre-bucketed lakes skip both shuffles."""
+    import uuid
+
+    from sequila_native_spark import overlap_join
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    n_bkt = 4
+    lt, rt = f"sq_bkt_l_{uuid.uuid4().hex[:8]}", f"sq_bkt_r_{uuid.uuid4().hex[:8]}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", None)
+    try:
+        (reads.write.bucketBy(n_bkt, "contig").sortBy("contig")
+         .mode("overwrite").saveAsTable(lt))
+        (targets.write.bucketBy(n_bkt, "contig").sortBy("contig")
+         .mode("overwrite").saveAsTable(rt))
+        spark.conf.set("spark.sequila.binnedJoinPartitions", "0")
+        # HashPartitioning(contig) covers a strict subset of the join keys
+        # (contig, bin); Spark only accepts subset co-partitioning without a
+        # shuffle when this knob is off (default on since 3.3)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_bkt))
+        oj = overlap_join(spark.table(lt), spark.table(rt), on="contig",
+                          bin_width=1000)
+        plan = formatted_plan(oj)
+        join_pos = plan.find("ShuffledHashJoin")
+        if join_pos < 0:
+            join_pos = plan.find("SortMergeJoin")
+        assert join_pos >= 0, plan
+        assert "Exchange" not in plan, plan
+        # counts still correct vs the unbucketed plan
+        spark.conf.unset("spark.sequila.binnedJoinPartitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        want = overlap_join(reads, targets, on="contig", bin_width=1000).count()
+        assert oj.count() == want
+    finally:
+        spark.conf.unset("spark.sequila.binnedJoinPartitions")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
