@@ -638,6 +638,26 @@ def q_read_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_read_target_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools jaccard per contig: base-level |A∩B|/|A∪B| between the read
+    # and target sets (merged to disjoint runs first; composition of the
+    # chunked merge + binned join scale paths). Sides filtered so the sets
+    # are sparse enough for interesting ratios.
+    from sequila_native_spark import interval_jaccard
+
+    return interval_jaccard(
+        _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 7 + F.col("r_end")) % 31 == 0
+        ),
+        _targets(spark, sf_dir).select("contig", "t_start", "t_end").where(
+            F.col("t_start") % 5 == 0
+        ),
+        on="contig",
+        left_start="r_start", left_end="r_end",
+        right_start="t_start", right_end="t_end",
+    )
+
+
 def q_read_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bedtools genomecov analogue: bases at each depth>0 per contig, via the
     # two-phase chunked boundary-event prefix scan (no per-contig global sort)
@@ -824,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_read_runs": q_merged_read_runs,
         "read_depth_histogram": q_read_depth_histogram,
         "read_coverage_gaps": q_read_coverage_gaps,
+        "read_target_jaccard": q_read_target_jaccard,
         "reads_inside_targets": q_reads_inside_targets,
         "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
@@ -863,6 +884,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_family_delta": q_minhash_family_delta,
         "overlap_count_10x": q_overlap_count_10x,
     }
+
+
+def _merged_runs_sql(src: str, s: str, e: str) -> str:
+    """Bedtools-merge twin as a subquery: (contig, s, e) disjoint runs."""
+    prev_max = (
+        f"max({e}) OVER (PARTITION BY contig ORDER BY {s}, {e} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""(
+        SELECT contig, min({s}) AS s, max({e}) AS e
+        FROM (
+            SELECT contig, {s}, {e},
+                   sum(new_run) OVER (PARTITION BY contig ORDER BY {s}, {e}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM (
+                SELECT contig, {s}, {e},
+                       CASE WHEN {prev_max} IS NULL OR {s} > {prev_max} + 1
+                       THEN 1 ELSE 0 END AS new_run
+                FROM {src}
+            )
+        ) GROUP BY contig, run_id
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1030,6 +1073,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT contig, count(*) AS n_gaps,
                    CAST(SUM(ge - gs + 1) AS BIGINT) AS gap_bases
             FROM gaps WHERE ge >= gs GROUP BY contig
+        """,
+        "read_target_jaccard": f"""
+            WITH {reads}, {targets},
+            sel_a AS (SELECT * FROM reads WHERE (r_start * 7 + r_end) % 31 = 0),
+            sel_b AS (SELECT contig, t_start, t_end FROM targets WHERE t_start % 5 = 0),
+            ma AS {_merged_runs_sql("sel_a", "r_start", "r_end")},
+            mb AS {_merged_runs_sql("sel_b", "t_start", "t_end")},
+            la AS (SELECT contig, SUM(e - s + 1) AS len_a FROM ma GROUP BY contig),
+            lb AS (SELECT contig, SUM(e - s + 1) AS len_b FROM mb GROUP BY contig),
+            inter AS (
+                SELECT a.contig, SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1) AS i
+                FROM ma a JOIN mb b
+                ON a.contig = b.contig AND a.s <= b.e AND a.e >= b.s
+                GROUP BY a.contig
+            )
+            SELECT COALESCE(la.contig, lb.contig) AS contig,
+                   CAST(COALESCE(i, 0) AS BIGINT) AS inter_bases,
+                   CAST(COALESCE(len_a, 0) + COALESCE(len_b, 0) - COALESCE(i, 0) AS BIGINT) AS union_bases,
+                   CAST(CASE WHEN COALESCE(len_a, 0) + COALESCE(len_b, 0) - COALESCE(i, 0) > 0
+                             THEN floor(COALESCE(i, 0) * 1000 /
+                                  (COALESCE(len_a, 0) + COALESCE(len_b, 0) - COALESCE(i, 0)))
+                             ELSE 0 END AS BIGINT) AS jaccard_milli
+            FROM la FULL JOIN lb ON la.contig = lb.contig
+            LEFT JOIN inter ON COALESCE(la.contig, lb.contig) = inter.contig
         """,
         "read_depth_histogram": f"""
             WITH {reads},

@@ -35,12 +35,18 @@ from sequila_native_spark.operators.count_overlaps import count_overlaps
 from sequila_native_spark.operators.coverage import (
     coverage,
     depth_histogram,
+    interval_jaccard,
     union_coverage,
 )
 from sequila_native_spark.operators.overlap_filter import filter_by_overlap, mark_by_overlap
 from sequila_native_spark.operators.merge_intervals import (
     complement_intervals,
     merge_intervals,
+)
+from sequila_native_spark.operators.intervals import (
+    flank_intervals,
+    shift_intervals,
+    slop_intervals,
 )
 from sequila_native_spark.operators.condition import (
     overlap_join_on,
@@ -63,6 +69,10 @@ __all__ = [
     "count_overlaps",
     "coverage",
     "depth_histogram",
+    "interval_jaccard",
+    "flank_intervals",
+    "shift_intervals",
+    "slop_intervals",
     "union_coverage",
     "filter_by_overlap",
     "mark_by_overlap",

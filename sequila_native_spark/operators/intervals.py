@@ -139,3 +139,99 @@ def overlap_predicate(
 ) -> Column:
     """Closed-interval overlap: ``ls <= re AND le >= rs``."""
     return (l_start <= r_end) & (l_end >= r_start)
+
+
+def _proj(df, start, end, new_s, new_e):
+    """Replace the bound columns with new expressions, other columns kept."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c in df.columns:
+        if c == start:
+            cols.append(new_s.cast(df.schema[start].dataType).alias(start))
+        elif c == end:
+            cols.append(new_e.cast(df.schema[end].dataType).alias(end))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def slop_intervals(
+    df,
+    both: int = 0,
+    *,
+    left: int = 0,
+    right: int = 0,
+    start: str = "pos_start",
+    end: str = "pos_end",
+    clamp_min: int = 0,
+    clamp_max: int | None = None,
+):
+    """bedtools ``slop``: widen each interval by ``both`` (or asymmetric
+    ``left``/``right``) bases, clamped to ``[clamp_min, clamp_max]``.
+
+    Pure Catalyst projection — codegen, no shuffle, scales trivially.
+    """
+    from pyspark.sql import functions as F
+
+    lo = F.col(start) - F.lit(both + left)
+    hi = F.col(end) + F.lit(both + right)
+    lo = F.greatest(lo, F.lit(clamp_min))
+    if clamp_max is not None:
+        hi = F.least(hi, F.lit(clamp_max))
+    return _proj(df, start, end, lo, hi)
+
+
+def shift_intervals(
+    df,
+    amount: int,
+    *,
+    start: str = "pos_start",
+    end: str = "pos_end",
+    clamp_min: int = 0,
+    clamp_max: int | None = None,
+):
+    """bedtools ``shift``: translate intervals by ``amount`` (may be
+    negative), clamping both bounds."""
+    from pyspark.sql import functions as F
+
+    lo = F.greatest(F.col(start) + F.lit(amount), F.lit(clamp_min))
+    hi = F.col(end) + F.lit(amount)
+    if clamp_max is not None:
+        hi = F.least(hi, F.lit(clamp_max))
+    hi = F.greatest(hi, lo)  # fully-clamped intervals collapse, not invert
+    return _proj(df, start, end, lo, hi)
+
+
+def flank_intervals(
+    df,
+    size: int,
+    *,
+    side: str = "both",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    clamp_min: int = 0,
+    clamp_max: int | None = None,
+):
+    """bedtools ``flank``: the ``size``-base closed intervals adjacent to
+    each input interval (left: ``[s-size, s-1]``, right: ``[e+1, e+size]``;
+    ``side='both'`` emits both rows). Degenerate (fully clamped-away) flanks
+    are dropped, matching bedtools."""
+    from pyspark.sql import functions as F
+
+    if side not in ("both", "left", "right"):
+        raise ValueError(f"side must be 'both'|'left'|'right', got {side!r}")
+    outs = []
+    if side in ("both", "left"):
+        lo = F.greatest(F.col(start) - F.lit(size), F.lit(clamp_min))
+        hi = F.col(start) - F.lit(1)
+        outs.append(_proj(df, start, end, lo, hi))
+    if side in ("both", "right"):
+        lo = F.col(end) + F.lit(1)
+        hi = F.col(end) + F.lit(size)
+        if clamp_max is not None:
+            lo = F.least(lo, F.lit(clamp_max) + F.lit(1))  # keep emptiness check
+            hi = F.least(hi, F.lit(clamp_max))
+        outs.append(_proj(df, start, end, lo, hi))
+    out = outs[0] if len(outs) == 1 else outs[0].unionAll(outs[1])
+    return out.where(F.col(end) >= F.col(start))

@@ -203,3 +203,74 @@ def test_complement_roundtrip_with_merge(spark, reads):
     j = span.join(covered, "contig").join(gap_sum, "contig", "left").na.fill(0)
     for r in j.collect():
         assert r["c"] + r["g"] == r["span"], r
+
+
+# ---------------------------------------------------------------------------
+# slop / shift / flank / jaccard
+# ---------------------------------------------------------------------------
+
+def test_slop_shift_flank(spark):
+    from sequila_native_spark import flank_intervals, shift_intervals, slop_intervals
+
+    df = spark.createDataFrame(
+        [("c", 10, 20), ("c", 0, 5)], "contig string, pos_start int, pos_end int"
+    )
+    got = {(r["pos_start"], r["pos_end"])
+           for r in slop_intervals(df, both=3, clamp_max=21).collect()}
+    assert got == {(7, 21), (0, 8)}
+
+    got = {(r["pos_start"], r["pos_end"])
+           for r in shift_intervals(df, -8).collect()}
+    assert got == {(2, 12), (0, 0)}  # second interval clamps then collapses
+
+    got = {(r["pos_start"], r["pos_end"])
+           for r in flank_intervals(df, 4).collect()}
+    # (10,20): left [6,9], right [21,24]; (0,5): left clamps away, right [6,9]
+    assert got == {(6, 9), (21, 24)}
+    # left-only: (10,20) -> [6,9]; (0,5)'s left flank clamps away entirely
+    assert flank_intervals(df, 4, side="left").count() == 1
+
+def test_flank_left_clamp_drops_empty(spark):
+    from sequila_native_spark import flank_intervals
+
+    df = spark.createDataFrame([("c", 0, 5)], "contig string, pos_start int, pos_end int")
+    assert flank_intervals(df, 4, side="left").count() == 0  # [−4,−1]→clamped empty
+
+
+def _brute_jaccard(a_rows, b_rows):
+    cov_a, cov_b = {}, {}
+    for c, s, e in a_rows:
+        cov_a.setdefault(c, set()).update(range(s, e + 1))
+    for c, s, e in b_rows:
+        cov_b.setdefault(c, set()).update(range(s, e + 1))
+    out = {}
+    for c in set(cov_a) | set(cov_b):
+        inter = len(cov_a.get(c, set()) & cov_b.get(c, set()))
+        union = len(cov_a.get(c, set()) | cov_b.get(c, set()))
+        out[c] = (inter, union, (inter * 1000) // union if union else 0)
+    return out
+
+
+def test_interval_jaccard_matches_brute_force(spark, reads, targets):
+    from sequila_native_spark import interval_jaccard
+
+    a_rows = [(r["contig"], r["pos_start"], int(r["pos_end"])) for r in reads.collect()]
+    b_rows = [(r["contig"], r["pos_start"], int(r["pos_end"])) for r in targets.collect()]
+    want = _brute_jaccard(a_rows, b_rows)
+    got = {
+        r["contig"]: (r["inter_bases"], r["union_bases"], r["jaccard_milli"])
+        for r in interval_jaccard(reads, targets).collect()
+    }
+    assert got == want
+
+
+def test_interval_jaccard_disjoint_and_onesided(spark):
+    from sequila_native_spark import interval_jaccard
+
+    a = spark.createDataFrame([("c", 0, 9), ("d", 0, 4)],
+                              "contig string, pos_start int, pos_end int")
+    b = spark.createDataFrame([("c", 20, 29), ("e", 0, 4)],
+                              "contig string, pos_start int, pos_end int")
+    got = {r["contig"]: (r["inter_bases"], r["union_bases"], r["jaccard_milli"])
+           for r in interval_jaccard(a, b).collect()}
+    assert got == {"c": (0, 20, 0), "d": (0, 5, 0), "e": (0, 5, 0)}
