@@ -36,6 +36,8 @@ HEADLINE = [
     "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)
     "read_depth_histogram",       # genomecov (two-phase boundary prefix scan)
+    "read_target_jaccard",        # bedtools jaccard (merge + binned join)
+    "nearest_k3",                 # k-nearest (closest -k) via cogroup top-k
     "reads_outside_targets",      # anti overlap filter (blacklist subtract)
     "pricing_summary",            # relational aggregation
     "top_orders",                 # 3-way join + top-k
