@@ -107,6 +107,7 @@ def nearest_join(
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
     k: int | None = None,
+    distance_col: str | None = None,
 ) -> DataFrame:
     """For each right (probe) row return the ``k`` best left (build)
     intervals within the same equi-key group by ``(distance, start, end)``
@@ -118,8 +119,15 @@ def nearest_join(
     ``closest -k`` extension ("up to k": probes whose group holds fewer
     build rows emit what exists).
 
+    ``distance_col`` appends the genomic gap distance (bedtools
+    ``closest -d``: 0 for overlap, else the gap; null for null-padded rows).
+    It is derived from the output bound columns post-join, so every
+    algorithm path shares one definition. Note it reflects the *normalized*
+    bounds when ``strict=True`` (strictness shrinks an end by 1 before
+    distance, matching the join's own semantics).
+
     Output columns: left columns (possibly null) then right columns, like the
-    reference golden.
+    reference golden, plus ``distance_col`` when requested.
     """
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
@@ -161,22 +169,37 @@ def nearest_join(
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
 
     if algo == "naive":
-        return _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k)
-    if algo == "partitioned":
-        return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
-    if algo == "broadcast_probe":
-        return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
-    try:
-        return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
-    except BuildSideTooLargeError:
-        # build too big to broadcast: transpose (broadcast the probe) if the
-        # probe side fits, else shuffle both sides by key
+        out = _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+    elif algo == "partitioned":
+        out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+    elif algo == "broadcast_probe":
+        out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+    else:
         try:
-            return _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+            out = _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
         except BuildSideTooLargeError:
-            if l_keys:
-                return _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
-            raise
+            # build too big to broadcast: transpose (broadcast the probe) if
+            # the probe side fits, else shuffle both sides by key
+            try:
+                out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+            except BuildSideTooLargeError:
+                if not l_keys:
+                    raise
+                out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+    if distance_col:
+        shrink = 1 if strict else 0
+        le_n = F.col(left_end) - F.lit(shrink)
+        re_n = F.col(r_end) - F.lit(shrink)
+        dist = (
+            # null-padded rows keep a null distance (null comparisons would
+            # otherwise fall through to the 0 branch)
+            F.when(F.col(left_start).isNull() | F.col(r_start).isNull(), F.lit(None))
+            .when(F.col(left_start) > re_n, F.col(left_start) - re_n)
+            .when(le_n < F.col(r_start), F.col(r_start) - le_n)
+            .otherwise(F.lit(0))
+        )
+        out = out.withColumn(distance_col, dist.cast("long"))
+    return out
 
 
 def _distance_col(ls, le, rs, re):

@@ -286,3 +286,38 @@ def test_nearest_k_via_conf(spark):
     finally:
         spark.conf.unset("spark.sequila.nearestK")
     assert nearest_join(build, probe, **args).count() == 1
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+def test_nearest_distance_col(spark, algorithm):
+    """closest -d: 0 for overlap, gap otherwise, null for padded rows."""
+    build = spark.createDataFrame(
+        [("a", 1, 3), ("a", 10, 12)], "contig string, pos_start int, pos_end int"
+    )
+    probe = spark.createDataFrame(
+        [("a", 2, 4), ("a", 5, 6), ("z", 0, 1)], "contig string, s int, e int"
+    )
+    out = nearest_join(
+        build, probe, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="s", right_end="e",
+        algorithm=algorithm, distance_col="distance",
+    )
+    got = {(r["s"], r["e"]): r["distance"] for r in out.collect()}
+    assert got == {(2, 4): 0, (5, 6): 2, (0, 1): None}
+
+
+def test_nearest_distance_col_strict(spark):
+    """strict=True shrinks ends before the distance, matching the join."""
+    build = spark.createDataFrame([("a", 1, 5)], "contig string, pos_start int, pos_end int")
+    probe = spark.createDataFrame([("a", 5, 8)], "contig string, s int, e int")
+    loose = nearest_join(build, probe, on="contig",
+                         left_start="pos_start", left_end="pos_end",
+                         right_start="s", right_end="e",
+                         distance_col="distance").first()
+    assert loose["distance"] == 0  # [1,5] and [5,8] touch
+    tight = nearest_join(build, probe, on="contig",
+                         left_start="pos_start", left_end="pos_end",
+                         right_start="s", right_end="e",
+                         strict=True, distance_col="distance").first()
+    assert tight["distance"] == 1  # normalized [1,4] vs [5,7]: gap 1
