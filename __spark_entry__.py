@@ -47,6 +47,8 @@ from sequila_native_spark.functions import (
 from sequila_native_spark.functions.text import (
     STOPWORDS,
     lang_id_sql,
+    winnow_containment_oracle_sql,
+    winnow_containment_pairs,
     winnow_fingerprints,
     winnow_fingerprints_oracle_sql,
 )
@@ -597,6 +599,15 @@ def q_multimodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(feats, feats.where(F.col("vec_id") < 5), k=3)
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # containment dedup (A pasted inside B): winnowed-fingerprint inverted
+    # index, ratio against EITHER side's fingerprint count — the asymmetric
+    # complement to jaccard-style near-dup detection
+    return winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold_milli=800
+    )
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check: 63-bit simhash needs per-bit vote aggregation (pandas
     # UDF) — not expressible in ANSI SQL without 63 correlated aggregates
@@ -871,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_containment": q_doc_containment,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
@@ -1467,6 +1479,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": winnow_fingerprints_oracle_sql(
             "documents", "doc_id", "text", k=8, w=4
+        ),
+        "doc_containment": winnow_containment_oracle_sql(
+            "documents", "doc_id", "text", k=8, w=4, threshold_milli=800
         ),
         "embedding_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

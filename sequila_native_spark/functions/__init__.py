@@ -13,6 +13,7 @@ from sequila_native_spark.functions.text import (
     quality_features,
     token_count,
     tokens,
+    winnow_containment_pairs,
     winnow_fingerprints,
 )
 from sequila_native_spark.functions.dedup import (
@@ -53,7 +54,7 @@ __all__ = [
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",

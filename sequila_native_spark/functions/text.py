@@ -203,3 +203,117 @@ SELECT id AS {id_col}, CAST(len(fps) AS BIGINT) AS n_fps,
        list_min(fps) AS min_fp, list_max(fps) AS max_fp
 FROM sel
 """
+
+
+def winnow_containment_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+    threshold_milli: int = 800,
+):
+    """Containment near-dup pairs: documents sharing ≥ ``threshold_milli``/1000
+    of EITHER side's winnowed fingerprints — catches A-pasted-inside-B, which
+    symmetric Jaccard under-scores when |B| ≫ |A|.
+
+    Plan shape (the inverted-index recipe, same as ngram Jaccard): one
+    fingerprint pass (checkpointed — it fans out to the size branch and both
+    join branches, and is far smaller than the exploded index the operator
+    shuffles anyway), explode to (fingerprint → doc) postings, self-join on
+    the fingerprint, count shared per pair, ratio against each side's
+    fingerprint count. Never all-pairs: cost is Σ df(fp)² over fingerprint
+    document-frequencies, and winnowing already samples ~2/(w+1) of k-grams.
+
+    Output: ``id_a < id_b``, ``n_shared``, ``n_a``, ``n_b``,
+    ``contain_a_milli`` (shared/|fp(A)|), ``contain_b_milli``; rows where
+    ``max(contain_a, contain_b) >= threshold_milli``.
+    """
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.util import ensure_parallel
+
+    fps = ensure_parallel(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__sq_id"),
+        winnow_fingerprints(F.col(text_col), k, w).alias("__sq_fps"),
+    )
+    fps = fps.where(F.size("__sq_fps") > 0)
+    try:
+        # one UDF evaluation for all three consumers (DESIGN.md rule)
+        fps = fps.localCheckpoint(eager=False)
+    except Exception:
+        pass
+    sizes = fps.select("__sq_id", F.size("__sq_fps").alias("__sq_n"))
+    ex = fps.select("__sq_id", F.explode("__sq_fps").alias("__sq_fp"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("a.__sq_fp") == F.col("b.__sq_fp"))
+              & (F.col("a.__sq_id") < F.col("b.__sq_id")))
+        .groupBy(
+            F.col("a.__sq_id").alias("id_a"), F.col("b.__sq_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("__sq_id", "id_a")
+                   .withColumnRenamed("__sq_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__sq_id", "id_b")
+              .withColumnRenamed("__sq_n", "n_b"), "id_b")
+        .withColumn("contain_a_milli",
+                    F.floor(F.col("n_shared") * 1000 / F.col("n_a")).cast("bigint"))
+        .withColumn("contain_b_milli",
+                    F.floor(F.col("n_shared") * 1000 / F.col("n_b")).cast("bigint"))
+        .where(F.greatest("contain_a_milli", "contain_b_milli") >= threshold_milli)
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "contain_a_milli", "contain_b_milli",
+    )
+
+
+def winnow_containment_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold_milli: int = 800,
+) -> str:
+    """DuckDB twin of :func:`winnow_containment_pairs` (same fps CTE shape as
+    :func:`winnow_fingerprints_oracle_sql`, then unnest + self-join)."""
+    s = f"lower(trim(regexp_replace({text_expr}, '\\s+', ' ', 'g')))"
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_transform(range(1, length({s}) - {k} + 2),
+                        i -> md5({s}[i : i + {k - 1}])) AS hashes
+  FROM {table}
+), sel AS (
+  SELECT id,
+         CASE WHEN len(hashes) < 1 THEN CAST([] AS VARCHAR[])
+              WHEN len(hashes) <= {w} THEN [list_min(hashes)]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, len(hashes) - {w} + 2),
+                     j -> list_min(hashes[j : j + {w - 1}])))) END AS fps
+  FROM h
+), nz AS (SELECT id, fps FROM sel WHERE len(fps) > 0),
+f AS (SELECT id, unnest(fps) AS fp FROM nz),
+sz AS (SELECT id, len(fps) AS n FROM nz),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(floor(n_shared * 1000 / sa.n) AS BIGINT) AS contain_a_milli,
+       CAST(floor(n_shared * 1000 / sb.n) AS BIGINT) AS contain_b_milli
+FROM shared JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+WHERE greatest(floor(n_shared * 1000 / sa.n),
+               floor(n_shared * 1000 / sb.n)) >= {threshold_milli}
+"""

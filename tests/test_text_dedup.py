@@ -334,3 +334,36 @@ def test_minhash_family_delta_bounded(spark):
     assert row["n_union"] > 0
     delta = row["md5_only"] + row["fast_only"]
     assert delta <= max(2, row["n_union"] // 10)  # measured 0 of 28 at sf0.001
+
+
+def test_winnow_containment_catches_pasted_doc(spark):
+    """A small doc pasted inside a much larger one: containment fires on the
+    small side even though symmetric Jaccard would under-score the pair."""
+    from sequila_native_spark.functions import winnow_containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    big = ("completely unrelated prologue text that goes on for a while " * 8
+           + small +
+           " and an equally unrelated epilogue that continues for some time " * 8)
+    other = "nothing in common with anything else here at all honestly " * 6
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    rows = winnow_containment_pairs(df, threshold_milli=700).collect()
+    got = {(r["id_a"], r["id_b"]): (r["contain_a_milli"], r["contain_b_milli"])
+           for r in rows}
+    assert (1, 2) in got, got
+    ca, cb = got[(1, 2)]
+    assert ca >= 700       # nearly all of small's fingerprints appear in big
+    assert cb < 700        # but big is mostly other material
+    assert all(p == (1, 2) for p in got), got  # no false pairs with doc 3
+
+
+def test_winnow_containment_exact_dup_is_1000(spark):
+    from sequila_native_spark.functions import winnow_containment_pairs
+
+    t = "some document body long enough to produce several fingerprints ok"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    r = winnow_containment_pairs(df).first()
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["contain_a_milli"] == 1000 and r["contain_b_milli"] == 1000
