@@ -669,6 +669,25 @@ def q_read_target_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_intersect_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools multiinter: segments with a constant covering-set bitmask over
+    # two sparse sets, aggregated per (contig, mask) for a compact oracle row
+    from sequila_native_spark import multi_intersect
+
+    sets = {
+        "a": _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 7 + F.col("r_end")) % 31 == 0
+        ).selectExpr("contig", "r_start AS pos_start", "r_end AS pos_end"),
+        "b": _targets(spark, sf_dir).where(F.col("t_start") % 5 == 0)
+        .selectExpr("contig", "t_start AS pos_start", "t_end AS pos_end"),
+    }
+    regions = multi_intersect(sets)
+    return regions.groupBy("contig", "cover_mask").agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum(F.col("pos_end") - F.col("pos_start") + 1).cast("bigint").alias("n_bases"),
+    )
+
+
 def q_read_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bedtools genomecov analogue: bases at each depth>0 per contig, via the
     # two-phase chunked boundary-event prefix scan (no per-contig global sort)
@@ -856,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_depth_histogram": q_read_depth_histogram,
         "read_coverage_gaps": q_read_coverage_gaps,
         "read_target_jaccard": q_read_target_jaccard,
+        "multi_intersect_regions": q_multi_intersect_regions,
         "reads_inside_targets": q_reads_inside_targets,
         "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
@@ -1109,6 +1129,31 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS jaccard_milli
             FROM la FULL JOIN lb ON la.contig = lb.contig
             LEFT JOIN inter ON COALESCE(la.contig, lb.contig) = inter.contig
+        """,
+        "multi_intersect_regions": f"""
+            WITH {reads}, {targets},
+            sel_a AS (SELECT * FROM reads WHERE (r_start * 7 + r_end) % 31 = 0),
+            sel_b AS (SELECT contig, t_start, t_end FROM targets WHERE t_start % 5 = 0),
+            ma AS {_merged_runs_sql("sel_a", "r_start", "r_end")},
+            mb AS {_merged_runs_sql("sel_b", "t_start", "t_end")},
+            ev AS (
+                SELECT contig, CAST(s AS BIGINT) AS pos, 1 AS d FROM ma
+                UNION ALL SELECT contig, CAST(e AS BIGINT) + 1, -1 FROM ma
+                UNION ALL SELECT contig, CAST(s AS BIGINT), 2 FROM mb
+                UNION ALL SELECT contig, CAST(e AS BIGINT) + 1, -2 FROM mb
+            ),
+            agg AS (SELECT contig, pos, SUM(d) AS d FROM ev GROUP BY 1, 2),
+            sweep AS (
+                SELECT contig, pos,
+                       SUM(d) OVER (PARTITION BY contig ORDER BY pos) AS mask,
+                       LEAD(pos) OVER (PARTITION BY contig ORDER BY pos) AS np
+                FROM agg
+            )
+            SELECT contig, CAST(mask AS BIGINT) AS cover_mask,
+                   count(*) AS n_regions,
+                   CAST(SUM(np - pos) AS BIGINT) AS n_bases
+            FROM sweep WHERE mask > 0 AND np IS NOT NULL
+            GROUP BY contig, mask
         """,
         "read_depth_histogram": f"""
             WITH {reads},

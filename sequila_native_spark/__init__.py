@@ -36,6 +36,7 @@ from sequila_native_spark.operators.coverage import (
     coverage,
     depth_histogram,
     interval_jaccard,
+    multi_intersect,
     union_coverage,
 )
 from sequila_native_spark.operators.overlap_filter import filter_by_overlap, mark_by_overlap
@@ -70,6 +71,7 @@ __all__ = [
     "coverage",
     "depth_histogram",
     "interval_jaccard",
+    "multi_intersect",
     "flank_intervals",
     "shift_intervals",
     "slop_intervals",

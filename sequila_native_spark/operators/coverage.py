@@ -170,6 +170,73 @@ _CHUNK = "__sq_chunk"
 DEFAULT_DEPTH_CHUNK_WIDTH = 1 << 15
 
 
+def _prefix_swept_segments(ev: DataFrame, keys: list[str], chunk_width) -> DataFrame:
+    """Two-phase distributed prefix scan over boundary events.
+
+    ``ev`` carries ``keys… + __sq_pos + __sq_d``; deltas at equal positions
+    are first summed, then the running total at each position is computed
+    per key — inside ``chunk_width`` coordinate slices (window prefix sum)
+    plus a tiny per-slice offset scan (one row per non-empty slice), so no
+    key ever needs a global sort. Returns ``keys… + __sq_pos + __sq_depth``
+    (the running total at ``[pos, __sq_next)``) ``+ __sq_next`` (next event
+    position, crossing empty slices; null at the key's end).
+
+    The running total is a plain sum, so any additive per-interval weight
+    works: ±1 gives depth-of-coverage, ±2^i gives a covering-set bitmask.
+    """
+    ev = ev.groupBy(*keys, "__sq_pos").agg(F.sum("__sq_d").alias("__sq_d"))
+
+    if chunk_width is None:
+        w = Window.partitionBy(*keys).orderBy("__sq_pos")
+        return ev.select(
+            *keys,
+            F.col("__sq_pos"),
+            F.sum("__sq_d").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("__sq_depth"),
+            F.lead("__sq_pos").over(w).alias("__sq_next"),
+        )
+    if chunk_width <= 0:
+        raise ValueError(f"chunk_width must be positive, got {chunk_width}")
+    ev = ev.withColumn(
+        _CHUNK,
+        F.floor(F.col("__sq_pos").cast("double") / F.lit(float(chunk_width))),
+    )
+    w1 = Window.partitionBy(*keys, _CHUNK).orderBy("__sq_pos")
+    local = ev.select(
+        *keys,
+        _CHUNK,
+        "__sq_pos",
+        F.sum("__sq_d").over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__sq_lcum"),
+        F.lead("__sq_pos").over(w1).alias("__sq_next_local"),
+    )
+    # one row per non-empty slice: delta total + first event position
+    w2 = Window.partitionBy(*keys).orderBy(_CHUNK)
+    slices = (
+        ev.groupBy(*keys, _CHUNK)
+        .agg(F.sum("__sq_d").alias("__sq_tot"), F.min("__sq_pos").alias("__sq_first"))
+        .select(
+            *keys,
+            _CHUNK,
+            F.coalesce(
+                F.sum("__sq_tot").over(w2.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("__sq_offset"),
+            F.lead("__sq_first").over(w2).alias("__sq_next_chunk_pos"),
+        )
+    )
+    return local.join(slices, [*keys, _CHUNK]).select(
+        *keys,
+        F.col("__sq_pos"),
+        (F.col("__sq_offset") + F.col("__sq_lcum")).alias("__sq_depth"),
+        F.coalesce(F.col("__sq_next_local"), F.col("__sq_next_chunk_pos")).alias(
+            "__sq_next"
+        ),
+    )
+
+
 def depth_histogram(
     df: DataFrame,
     on: list[str] | str | None = "contig",
@@ -222,58 +289,7 @@ def depth_histogram(
             F.lit(-1).alias("__sq_d"),
         )
     )
-    ev = ev.groupBy(*keys, "__sq_pos").agg(F.sum("__sq_d").alias("__sq_d"))
-
-    if chunk_width is None:
-        w = Window.partitionBy(*keys).orderBy("__sq_pos")
-        swept = ev.select(
-            *keys,
-            F.col("__sq_pos"),
-            F.sum("__sq_d").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).alias("__sq_depth"),
-            F.lead("__sq_pos").over(w).alias("__sq_next"),
-        )
-    else:
-        if chunk_width <= 0:
-            raise ValueError(f"chunk_width must be positive, got {chunk_width}")
-        ev = ev.withColumn(
-            _CHUNK,
-            F.floor(F.col("__sq_pos").cast("double") / F.lit(float(chunk_width))),
-        )
-        w1 = Window.partitionBy(*keys, _CHUNK).orderBy("__sq_pos")
-        local = ev.select(
-            *keys,
-            _CHUNK,
-            "__sq_pos",
-            F.sum("__sq_d").over(
-                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).alias("__sq_lcum"),
-            F.lead("__sq_pos").over(w1).alias("__sq_next_local"),
-        )
-        # one row per non-empty slice: delta total + first event position
-        w2 = Window.partitionBy(*keys).orderBy(_CHUNK)
-        slices = (
-            ev.groupBy(*keys, _CHUNK)
-            .agg(F.sum("__sq_d").alias("__sq_tot"), F.min("__sq_pos").alias("__sq_first"))
-            .select(
-                *keys,
-                _CHUNK,
-                F.coalesce(
-                    F.sum("__sq_tot").over(w2.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0),
-                ).alias("__sq_offset"),
-                F.lead("__sq_first").over(w2).alias("__sq_next_chunk_pos"),
-            )
-        )
-        swept = local.join(slices, [*keys, _CHUNK]).select(
-            *keys,
-            F.col("__sq_pos"),
-            (F.col("__sq_offset") + F.col("__sq_lcum")).alias("__sq_depth"),
-            F.coalesce(F.col("__sq_next_local"), F.col("__sq_next_chunk_pos")).alias(
-                "__sq_next"
-            ),
-        )
+    swept = _prefix_swept_segments(ev, keys, chunk_width)
 
     return (
         swept.where((F.col("__sq_depth") > 0) & F.col("__sq_next").isNotNull())
@@ -347,4 +363,89 @@ def interval_jaccard(
         union.cast("bigint").alias("union_bases"),
         F.when(union > 0, F.floor(F.col("__sq_inter") * 1000 / union))
         .otherwise(F.lit(0)).cast("bigint").alias("jaccard_milli"),
+    )
+
+
+def multi_intersect(
+    dfs: dict[str, DataFrame] | list[DataFrame],
+    on: list[str] | str | None = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    *,
+    chunk_width: int | None = DEFAULT_DEPTH_CHUNK_WIDTH,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """Multi-way interval intersection (bedtools ``multiinter``): partition
+    each key's coordinate line into maximal segments with a constant set of
+    covering inputs, reporting which inputs cover each segment.
+
+    Same distributed boundary-event prefix scan as :func:`depth_histogram`,
+    with one twist: each input set ``i`` is first merged to disjoint runs
+    (so its coverage is 0/1) and contributes delta ``±2^i`` — the running
+    total IS the covering-set bitmask, exactly. Up to 63 input sets.
+
+    Output: keys + ``pos_start``/``pos_end`` (the segment, closed) +
+    ``cover_mask`` (bigint bitmask in input order) + ``n_sets`` (popcount) +
+    ``set_names`` (sorted array of covering input names). Uncovered gaps are
+    not emitted (mask 0), matching bedtools.
+    """
+    from functools import reduce
+
+    from sequila_native_spark.operators.merge_intervals import merge_intervals
+
+    if isinstance(dfs, dict):
+        names = list(dfs)
+        frames = [dfs[n] for n in names]
+    else:
+        frames = list(dfs)
+        names = [f"set_{i}" for i in range(len(frames))]
+    if not frames:
+        raise ValueError("multi_intersect needs at least one input DataFrame")
+    if len(frames) > 63:
+        raise ValueError(
+            f"multi_intersect supports at most 63 input sets, got {len(frames)}"
+        )
+    keys = [on] if isinstance(on, str) else list(on or [])
+
+    evs = []
+    for i, f in enumerate(frames):
+        merged = merge_intervals(
+            f, on or [], start, end, check_bounds=check_bounds
+        )
+        bit = 1 << i
+        evs.append(
+            merged.select(
+                *keys,
+                F.col(start).cast("long").alias("__sq_pos"),
+                F.lit(bit).alias("__sq_d"),
+            ).unionAll(
+                merged.select(
+                    *keys,
+                    (F.col(end).cast("long") + 1).alias("__sq_pos"),
+                    F.lit(-bit).alias("__sq_d"),
+                )
+            )
+        )
+    ev = reduce(lambda a, b: a.unionAll(b), evs)
+    swept = _prefix_swept_segments(ev, keys, chunk_width)
+
+    covering = F.filter(
+        F.array(*[
+            F.when(
+                F.col("cover_mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(n)
+            )
+            for i, n in enumerate(names)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        swept.where((F.col("__sq_depth") > 0) & F.col("__sq_next").isNotNull())
+        .select(
+            *keys,
+            F.col("__sq_pos").cast("int").alias(start),
+            (F.col("__sq_next") - 1).cast("int").alias(end),
+            F.col("__sq_depth").cast("bigint").alias("cover_mask"),
+        )
+        .withColumn("n_sets", F.bit_count(F.col("cover_mask")).cast("bigint"))
+        .withColumn("set_names", F.array_sort(covering))
     )

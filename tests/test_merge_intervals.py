@@ -274,3 +274,84 @@ def test_interval_jaccard_disjoint_and_onesided(spark):
     got = {r["contig"]: (r["inter_bases"], r["union_bases"], r["jaccard_milli"])
            for r in interval_jaccard(a, b).collect()}
     assert got == {"c": (0, 20, 0), "d": (0, 5, 0), "e": (0, 5, 0)}
+
+
+# ---------------------------------------------------------------------------
+# multi_intersect (bedtools multiinter)
+# ---------------------------------------------------------------------------
+
+def test_multi_intersect_golden(spark):
+    from sequila_native_spark import multi_intersect
+
+    a = spark.createDataFrame([("c", 1, 10), ("c", 3, 5)],  # overlap inside a itself
+                              "contig string, pos_start int, pos_end int")
+    b = spark.createDataFrame([("c", 5, 15), ("d", 0, 2)],
+                              "contig string, pos_start int, pos_end int")
+    c = spark.createDataFrame([("c", 8, 12)],
+                              "contig string, pos_start int, pos_end int")
+    out = multi_intersect({"a": a, "b": b, "c": c}, chunk_width=4)
+    got = {
+        (r["contig"], r["pos_start"], r["pos_end"], r["cover_mask"],
+         r["n_sets"], tuple(r["set_names"]))
+        for r in out.collect()
+    }
+    want = {
+        ("c", 1, 4, 1, 1, ("a",)),          # a only
+        ("c", 5, 7, 3, 2, ("a", "b")),      # a+b
+        ("c", 8, 10, 7, 3, ("a", "b", "c")),
+        ("c", 11, 12, 6, 2, ("b", "c")),
+        ("c", 13, 15, 2, 1, ("b",)),
+        ("d", 0, 2, 2, 1, ("b",)),
+    }
+    assert got == want
+
+
+def test_multi_intersect_matches_brute_force(spark, reads, targets):
+    from collections import defaultdict
+
+    from sequila_native_spark import multi_intersect
+
+    sets = {
+        "reads": [(r["contig"], r["pos_start"], int(r["pos_end"]))
+                  for r in reads.collect()],
+        "targets": [(r["contig"], r["pos_start"], int(r["pos_end"]))
+                    for r in targets.collect()],
+    }
+    cover = defaultdict(set)  # (contig, pos) -> covering set names
+    for name, rows in sets.items():
+        for cg, s, e in rows:
+            for p in range(s, e + 1):
+                cover[(cg, p)].add(name)
+    # collapse per-position cover into maximal segments
+    want = set()
+    by_contig = defaultdict(list)
+    for (cg, p), names in cover.items():
+        by_contig[cg].append((p, tuple(sorted(names))))
+    for cg, pts in by_contig.items():
+        pts.sort()
+        seg_s, seg_names = pts[0]
+        prev = pts[0][0]
+        for p, names in pts[1:]:
+            if p != prev + 1 or names != seg_names:
+                want.add((cg, seg_s, prev, seg_names))
+                seg_s, seg_names = p, names
+            prev = p
+        want.add((cg, seg_s, prev, seg_names))
+    got = {
+        (r["contig"], r["pos_start"], r["pos_end"], tuple(r["set_names"]))
+        for r in multi_intersect(
+            {"reads": reads, "targets": targets}, chunk_width=512
+        ).collect()
+    }
+    assert got == want
+
+
+def test_multi_intersect_validation(spark, reads):
+    import pytest
+
+    from sequila_native_spark import multi_intersect
+
+    with pytest.raises(ValueError, match="at least one"):
+        multi_intersect([])
+    with pytest.raises(ValueError, match="at most 63"):
+        multi_intersect([reads] * 64)
