@@ -632,6 +632,24 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reads_near_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools window: pairs within 300 bases (overlap or gap <= 300), via
+    # widening composed onto the binned join; sparse sides keep counts sane
+    from sequila_native_spark import window_join
+
+    wj = window_join(
+        _reads(spark, sf_dir, with_id=False).where(
+            (F.col("r_start") * 7 + F.col("r_end")) % 31 == 0
+        ),
+        _targets(spark, sf_dir).where(F.col("t_id") % 17 == 0),
+        on="contig",
+        left_start="r_start", left_end="r_end",
+        right_start="t_start", right_end="t_end",
+        window=300,
+    )
+    return wj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def q_read_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bedtools complement bounded by the data: maximal uncovered intervals
     # between merged runs, aggregated per contig for a compact oracle row
@@ -875,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_depth_histogram": q_read_depth_histogram,
         "read_coverage_gaps": q_read_coverage_gaps,
         "read_target_jaccard": q_read_target_jaccard,
+        "reads_near_targets": q_reads_near_targets,
         "multi_intersect_regions": q_multi_intersect_regions,
         "reads_inside_targets": q_reads_inside_targets,
         "reads_marked_by_target": q_reads_marked_by_target,
@@ -1068,6 +1087,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.contig, t.t_start, t.t_end, t.t_id,
                    CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
             FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
+        """,
+        "reads_near_targets": f"""
+            WITH {reads}, {targets}
+            SELECT r.contig AS contig, count(*) AS n_pairs
+            FROM (SELECT * FROM reads WHERE (r_start * 7 + r_end) % 31 = 0) r
+            JOIN (SELECT * FROM targets WHERE t_id % 17 = 0) t
+            ON r.contig = t.contig
+               AND r.r_start - 300 <= t.t_end AND r.r_end + 300 >= t.t_start
+            GROUP BY r.contig
         """,
         "read_coverage_gaps": f"""
             WITH {reads},

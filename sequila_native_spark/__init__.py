@@ -29,7 +29,11 @@ from sequila_native_spark.session import (
     SequilaConf,
     sequila_session,
 )
-from sequila_native_spark.operators.interval_join import clear_bin_width_cache, overlap_join
+from sequila_native_spark.operators.interval_join import (
+    clear_bin_width_cache,
+    overlap_join,
+    window_join,
+)
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
 from sequila_native_spark.operators.coverage import (
@@ -65,6 +69,7 @@ __all__ = [
     "SequilaConf",
     "sequila_session",
     "overlap_join",
+    "window_join",
     "clear_bin_width_cache",
     "nearest_join",
     "count_overlaps",

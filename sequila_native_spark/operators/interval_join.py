@@ -897,3 +897,41 @@ def _broadcast_index_join(
                 yield pd.concat([l_part, r_part], axis=1)
 
     return rb.mapInPandas(probe, schema=out_schema).select(*out_cols)
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | None = None,
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    window: int = 1000,
+    algorithm: str | None = None,
+    bin_width: int | None = None,
+    rsuffix: str = "_r",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """bedtools ``window``: pairs whose intervals come within ``window``
+    bases of each other (overlap OR gap ≤ window).
+
+    Pure composition: widening the LEFT side by ``window`` on both ends
+    turns proximity into overlap, so the whole accelerated overlap-join
+    machinery (binning/index/partitioned, conf knobs, guards) applies
+    unchanged; output columns keep the ORIGINAL bounds.
+    """
+    if window < 0:
+        raise ValueError(f"window must be non-negative, got {window}")
+    # widen a copy's bounds only for the join predicate: temp columns carry
+    # the widened values, original columns pass through untouched
+    widened = left.withColumn(
+        "__sq_ws", F.col(left_start) - F.lit(window)
+    ).withColumn("__sq_we", F.col(left_end) + F.lit(window))
+    out = overlap_join(
+        widened, right, on, "__sq_ws", "__sq_we", right_start, right_end,
+        algorithm=algorithm, bin_width=bin_width, rsuffix=rsuffix,
+        check_bounds=check_bounds,
+    )
+    return out.drop("__sq_ws", "__sq_we")

@@ -262,3 +262,44 @@ def test_full_outer_pads_both_sides(spark, algorithm):
         (None, None, None, "c1", 50, 60): 1,
         (None, None, None, "cX", 1, 2): 1,
     }
+
+
+def test_window_join_matches_widened_predicate(spark, reads, targets):
+    """bedtools window: proximity-within-N == overlap after widening."""
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark import window_join
+    from tests.conftest import rows_set
+
+    W = 150
+    got = window_join(
+        reads, targets, on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        window=W,
+    )
+    # naive oracle: widened predicate join, original columns
+    cond = (
+        (reads["contig"] == targets["contig"])
+        & (reads["pos_start"] - W <= targets["pos_end"])
+        & (reads["pos_end"] + W >= targets["pos_start"])
+    )
+    want = reads.alias("l").join(
+        targets.selectExpr("contig AS contig_r", "pos_start AS pos_start_r",
+                           "pos_end AS pos_end_r").alias("r"),
+        (F.col("l.contig") == F.col("r.contig_r"))
+        & (F.col("l.pos_start") - W <= F.col("r.pos_end_r"))
+        & (F.col("l.pos_end") + W >= F.col("r.pos_start_r")),
+    )
+    assert rows_set(got) == rows_set(want)
+    assert sum(rows_set(got).values()) > 0
+    # window=0 degenerates to the plain overlap join
+    from sequila_native_spark import overlap_join
+
+    assert rows_set(
+        window_join(reads, targets, on="contig",
+                    left_start="pos_start", left_end="pos_end",
+                    right_start="pos_start", right_end="pos_end", window=0)
+    ) == rows_set(
+        overlap_join(reads, targets, on="contig")
+    )
