@@ -47,6 +47,7 @@ from sequila_native_spark.functions import (
 from sequila_native_spark.functions.text import (
     STOPWORDS,
     lang_id_sql,
+    repetition_features_sql,
     winnow_containment_oracle_sql,
     winnow_containment_pairs,
     winnow_fingerprints,
@@ -61,6 +62,7 @@ from sequila_native_spark.functions.dedup import (
 )
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+_REP_SQL = repetition_features_sql("text")
 _SHINGLES_SQL = shingles_sql("text", 3)
 _MINHASH_SQL = minhash_signature_draws_sql("text", 8, 3)
 
@@ -506,6 +508,16 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(F.col("doc_id"), *[v.alias(k) for k, v in feats.items()])
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition quality rules (dup-line fraction, modal-bigram
+    # share, longest same-token run) — pure Catalyst, integer-scaled
+    from sequila_native_spark.functions import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(F.col("doc_id"), *[v.alias(k) for k, v in feats.items()])
+
+
 def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": q_events_dedup,
         "events_json": q_events_json,
         "doc_text_stats": q_doc_text_stats,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lang_dist": q_doc_lang_dist,
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1480,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "doc_repetition_stats": f"""
+            SELECT doc_id,
+                   {_REP_SQL['n_lines']} AS n_lines,
+                   {_REP_SQL['n_distinct_lines']} AS n_distinct_lines,
+                   {_REP_SQL['dup_line_milli']} AS dup_line_milli,
+                   {_REP_SQL['top_bigram_milli']} AS top_bigram_milli,
+                   {_REP_SQL['max_word_run']} AS max_word_run
+            FROM documents
         """,
         "doc_text_stats": f"""
             WITH t AS (

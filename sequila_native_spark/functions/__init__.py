@@ -11,6 +11,7 @@ from sequila_native_spark.functions.text import (
     fingerprint,
     lang_id,
     quality_features,
+    repetition_features,
     token_count,
     tokens,
     winnow_containment_pairs,
@@ -50,7 +51,7 @@ from sequila_native_spark.functions.multimodal import (
 )
 
 __all__ = [
-    "tokens", "token_count", "quality_features", "lang_id", "fingerprint",
+    "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",

@@ -317,3 +317,110 @@ FROM shared JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
 WHERE greatest(floor(n_shared * 1000 / sa.n),
                floor(n_shared * 1000 / sb.n)) >= {threshold_milli}
 """
+
+
+def repetition_features(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (the classic heuristics for dropping
+    boilerplate / templated / looping documents), pure Catalyst:
+
+    - ``n_lines`` / ``n_distinct_lines``: newline-split segments (empties
+      dropped);
+    - ``dup_line_milli``: fraction of lines that are repeats of an earlier
+      line, ×1000 ("duplicate line fraction");
+    - ``top_bigram_milli``: occurrences of the most frequent word bigram over
+      total bigrams, ×1000 (loop/chant detector);
+    - ``max_word_run``: longest run of the SAME token repeated consecutively.
+
+    Each has an exact SQL twin (:func:`repetition_features_sql`); everything
+    is integer-scaled so cross-engine hashes match.
+    """
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line = F.when(
+        n_lines > 0,
+        F.floor((n_lines - n_distinct_lines) * 1000.0 / n_lines),
+    ).otherwise(F.lit(0)).cast("bigint")
+
+    toks = tokens(col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("\x1f", a, b),
+    )
+    n_bigrams = F.size(bigrams)
+    # occurrences of the modal bigram: aggregate over the distinct bigrams,
+    # counting each one's frequency with a filter — O(distinct * n) inside
+    # codegen, fine for document-sized arrays
+    top_bigram = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == g))
+        ),
+    )
+    top_bigram_milli = F.when(
+        n_bigrams > 0, F.floor(top_bigram * 1000.0 / n_bigrams)
+    ).otherwise(F.lit(0)).cast("bigint")
+
+    # longest consecutive same-token run via aggregate over (prev, run, best)
+    run_state = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return {
+        "n_lines": n_lines.cast("bigint"),
+        "n_distinct_lines": n_distinct_lines.cast("bigint"),
+        "dup_line_milli": dup_line,
+        "top_bigram_milli": top_bigram_milli,
+        "max_word_run": run_state.cast("bigint"),
+    }
+
+
+def repetition_features_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_features`, keyed like its output."""
+    lines = (
+        f"list_filter(string_split({text_expr}, chr(10)), "
+        f"x -> length(trim(x)) > 0)"
+    )
+    toks = f"string_split(lower({text_expr}), ' ')"
+    bigrams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || chr(31) || {toks}[i + 1])"
+    )
+    top = (
+        f"list_aggregate(list_transform(list_distinct({bigrams}), "
+        f"g -> len(list_filter({bigrams}, x -> x = g))), 'max')"
+    )
+    runs = (
+        f"(SELECT max(cnt) FROM ("
+        f"SELECT count(*) AS cnt FROM ("
+        f"SELECT t, i - row_number() OVER (PARTITION BY t ORDER BY i) AS grp, i "
+        f"FROM (SELECT unnest({toks}) AS t, "
+        f"generate_subscripts({toks}, 1) AS i)) GROUP BY t, grp))"
+    )
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "n_distinct_lines": f"CAST(len(list_distinct({lines})) AS BIGINT)",
+        "dup_line_milli": (
+            f"CAST(CASE WHEN len({lines}) > 0 THEN floor("
+            f"(len({lines}) - len(list_distinct({lines}))) * 1000.0 / len({lines})"
+            f") ELSE 0 END AS BIGINT)"
+        ),
+        "top_bigram_milli": (
+            f"CAST(CASE WHEN len({bigrams}) > 0 THEN floor("
+            f"COALESCE({top}, 0) * 1000.0 / len({bigrams})) ELSE 0 END AS BIGINT)"
+        ),
+        "max_word_run": f"CAST(COALESCE({runs}, 0) AS BIGINT)",
+    }

@@ -367,3 +367,30 @@ def test_winnow_containment_exact_dup_is_1000(spark):
     r = winnow_containment_pairs(df).first()
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["contain_a_milli"] == 1000 and r["contain_b_milli"] == 1000
+
+
+def test_repetition_features_golden(spark):
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.functions import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\nx y z\n\n"),      # 3 lines, 1 dup
+            (2, "go go go go stop"),              # run of 4, modal bigram go-go x3
+            (3, "all words differ here now"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    feats = repetition_features(F.col("text"))
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[v.alias(k) for k, v in feats.items()]
+    ).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_distinct_lines"] == 2
+    assert out[1]["dup_line_milli"] == 333
+    assert out[2]["max_word_run"] == 4
+    # bigrams of doc 2: go-go x3, go-stop x1 -> 3/4 = 750
+    assert out[2]["top_bigram_milli"] == 750
+    assert out[3]["dup_line_milli"] == 0 and out[3]["max_word_run"] == 1
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_milli"] == 0
