@@ -23,6 +23,7 @@ import __spark_entry__ as entry  # noqa: E402
 
 HEADLINE = [
     "overlap_count_per_contig",   # binned interval join (scale path)
+    "overlap_count_skewed",       # same join, 50% of rows on one hot contig
     "overlap_count_10x",          # scale-trend row: 10x rows / 10x domain
     "overlap_partitioned_selective",  # cogroup per-key index join
     "overlap_small_build_index",  # broadcast-index join (CollectLeft case)
@@ -120,6 +121,19 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # 50x scale-trend row (VERDICT r3 item 7): run once, OUTSIDE the headline
+    # total — an early-warning sample for superlinear regressions (spill,
+    # partition collapse) two scale steps above the flagship. Gate with
+    # SPARK_GRAFT_SCALE_TREND=0 to skip.
+    if os.environ.get("SPARK_GRAFT_SCALE_TREND", "1") != "0":
+        drop_stale_persisted()
+        t0 = time.time()
+        qs["overlap_count_50x"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings["overlap_count_50x"] = round(time.time() - t0, 3)
+        print(f"# overlap_count_50x (excluded from total): "
+              f"{timings['overlap_count_50x']:.2f}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,

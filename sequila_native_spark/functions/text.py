@@ -124,7 +124,9 @@ def fingerprint(col: Column) -> Column:
 FINGERPRINT_SQL = "md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
 
 
-def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column, k: int = 8, w: int = 4, hash_family: str = "md5"
+) -> Column:
     """Winnowed rolling-hash fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS algorithm): hash every character ``k``-gram of the normalized text,
     keep the minimum hash of each window of ``w`` consecutive k-gram hashes,
@@ -135,19 +137,74 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     k-gram hashes are kept — the standard local document-fingerprinting
     trade-off for plagiarism / near-dup detection at corpus scale.
 
-    Arrow pandas UDF (per-position hashing is the shape Catalyst's
-    interpreted HOFs do worst — see DESIGN.md); md5 hex keeps the selection
-    bit-identical to the DuckDB twin :func:`winnow_fingerprints_sql`. Ties
-    inside a window resolve to the lexicographically-minimal digest in both
-    engines.
+    ``hash_family``:
+
+    - ``"md5"`` (default): md5 hex digests, bit-identical to the DuckDB twin
+      :func:`winnow_fingerprints_oracle_sql` (ties inside a window resolve to
+      the lexicographically-minimal digest in both engines). Array of hex
+      strings. The per-gram md5 cost is cut by (a) hashing the UTF-8 bytes of
+      the normalized text sliced ONCE (byte k-grams == character k-grams for
+      ASCII text; non-ASCII falls back to per-gram encode) and (b) a
+      per-batch gram→digest cache — near-dup corpora repeat most grams, so
+      the cache turns the md5 loop into dict hits.
+    - ``"fast"``: pandas' siphash (``pd.util.hash_array``, deterministic
+      fixed key, C speed) + numpy sliding-window min — the engine-default
+      scale family, same dual-family pattern as MinHash
+      (``dedup.minhash_signature_vectorized``). Array of int64 (top bit
+      shifted off). Same winnowing guarantee; no SQL twin by construction,
+      so use ``"md5"`` where oracle parity matters. Window-position parity
+      with the md5 family is pinned in tests/test_text_dedup.py.
+
+    Arrow pandas UDF either way (per-position hashing is the shape
+    Catalyst's interpreted HOFs do worst — see DESIGN.md).
     """
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    if hash_family not in ("md5", "fast"):
+        raise ValueError(
+            f"hash_family must be 'md5' or 'fast', got {hash_family!r}"
+        )
+
+    if hash_family == "fast":
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def wf_fast(texts: pd.Series) -> pd.Series:
+            import numpy as np
+            import re as _re
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                s = _re.sub(r"\s+", " ", t).strip().lower()
+                m = len(s) - k + 1
+                if m < 1:
+                    out.append([])
+                    continue
+                grams = np.fromiter(
+                    (s[i : i + k] for i in range(m)), dtype=object, count=m
+                )
+                h = (
+                    pd.util.hash_array(grams) >> np.uint64(1)
+                ).astype(np.int64)
+                if m <= w:
+                    sel = h.min(initial=np.iinfo(np.int64).max)
+                    out.append([int(sel)])
+                else:
+                    sel = sliding_window_view(h, w).min(axis=1)
+                    out.append(np.unique(sel).tolist())
+            return pd.Series(out)
+
+        return wf_fast(col)
 
     @F.pandas_udf(ArrayType(StringType()))
     def wf(texts: pd.Series) -> pd.Series:
-        import hashlib
+        from hashlib import md5 as _md5
         import re as _re
 
+        cache: dict = {}  # per-batch; near-dup corpora repeat most grams
         out = []
         for t in texts:
             if t is None:
@@ -158,10 +215,21 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
             if m < 1:
                 out.append([])
                 continue
-            hashes = [
-                hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()
-                for i in range(m)
-            ]
+            if s.isascii():
+                # byte slicing == char slicing for ASCII: encode once
+                b = s.encode()
+                grams = [b[i : i + k] for i in range(m)]
+            else:
+                grams = [s[i : i + k].encode("utf-8") for i in range(m)]
+            hashes = []
+            append = hashes.append
+            get = cache.get
+            for g in grams:
+                d = get(g)
+                if d is None:
+                    d = _md5(g).hexdigest()
+                    cache[g] = d
+                append(d)
             if m <= w:
                 sel = {min(hashes)}
             else:
@@ -213,10 +281,16 @@ def winnow_containment_pairs(
     k: int = 8,
     w: int = 4,
     threshold_milli: int = 800,
+    hash_family: str = "md5",
 ):
     """Containment near-dup pairs: documents sharing ≥ ``threshold_milli``/1000
     of EITHER side's winnowed fingerprints — catches A-pasted-inside-B, which
     symmetric Jaccard under-scores when |B| ≫ |A|.
+
+    ``hash_family``: forwarded to :func:`winnow_fingerprints` — ``"md5"``
+    (default, DuckDB-oracle-parity) or ``"fast"`` (siphash + numpy window
+    min; same pairs up to hash collisions, which the ≥-threshold shared-count
+    test makes vanishingly unlikely to matter).
 
     Plan shape (the inverted-index recipe, same as ngram Jaccard): one
     fingerprint pass (checkpointed — it fans out to the size branch and both
@@ -236,7 +310,7 @@ def winnow_containment_pairs(
 
     fps = ensure_parallel(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__sq_id"),
-        winnow_fingerprints(F.col(text_col), k, w).alias("__sq_fps"),
+        winnow_fingerprints(F.col(text_col), k, w, hash_family).alias("__sq_fps"),
     )
     fps = fps.where(F.size("__sq_fps") > 0)
     try:
