@@ -303,3 +303,35 @@ def test_window_join_matches_widened_predicate(spark, reads, targets):
     ) == rows_set(
         overlap_join(reads, targets, on="contig")
     )
+
+
+def test_low_memory_emit_cap_same_rows_and_conf_restored(spark, reads, targets):
+    """A8: ``spark.sequila.intervalJoinLowMemory=true`` bounds the index
+    path's emitted Arrow batches (100k cap) without changing a single output
+    row, and conf scoping in the driver query restores the prior value."""
+    kw = dict(
+        on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        algorithm="index",
+    )
+    base = rows_set(overlap_join(reads, targets, **kw))
+    key = "spark.sequila.intervalJoinLowMemory"
+    spark.conf.set(key, "true")
+    try:
+        capped = rows_set(overlap_join(reads, targets, **kw))
+    finally:
+        spark.conf.unset(key)
+    assert capped == base
+
+    # driver query scoping: explicit prior value survives the call
+    import __spark_entry__ as entry
+
+    spark.conf.set(key, "false")
+    try:
+        entry.queries()["overlap_count_low_memory"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.unset(key)

@@ -394,3 +394,95 @@ def test_repetition_features_golden(spark):
     assert out[2]["top_bigram_milli"] == 750
     assert out[3]["dup_line_milli"] == 0 and out[3]["max_word_run"] == 1
     assert out[4]["n_lines"] == 0 and out[4]["dup_line_milli"] == 0
+
+
+def test_winnow_fast_family_guarantee_and_determinism(spark):
+    """The winnowing guarantee is hash-family-independent: any shared
+    substring of length >= k + w - 1 yields a shared fingerprint in BOTH
+    families; and the fast (siphash) family is deterministic across runs."""
+    from sequila_native_spark.functions import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "a common stretch of text long enough to guarantee a shared pick"
+    df = spark.createDataFrame(
+        [
+            (1, f"left flank material {shared} right flank stuff"),
+            (2, f"totally different opening words {shared} and another tail"),
+            # fully disjoint character 8-grams vs docs 1/2 (even one shared
+            # English word would allow a legitimate shared selection)
+            (3, "zqxjv kwpmb lrtnc dgfyh suio qqvvbb nnmmxx ppkkjj wwyyzz"),
+        ],
+        "doc_id long, text string",
+    )
+    for family in ("md5", "fast"):
+        rows = {
+            r["doc_id"]: set(r["f"])
+            for r in df.select(
+                "doc_id",
+                winnow_fingerprints(F.col("text"), k, w, family).alias("f"),
+            ).collect()
+        }
+        assert rows[1] & rows[2], family         # guarantee: shared pick
+        assert not (rows[1] & rows[3]), family   # no spurious overlap
+    a = df.select(winnow_fingerprints(F.col("text"), k, w, "fast").alias("f")).collect()
+    b = df.select(winnow_fingerprints(F.col("text"), k, w, "fast").alias("f")).collect()
+    assert [r["f"] for r in a] == [r["f"] for r in b]
+
+
+def test_winnow_bad_family_raises(spark):
+    from sequila_native_spark.functions import winnow_fingerprints
+
+    with pytest.raises(ValueError, match="hash_family"):
+        winnow_fingerprints(F.col("text"), 8, 4, "crc32")
+
+
+@pytest.mark.parametrize("hash_family", ["md5", "fast"])
+@pytest.mark.parametrize("prefix_extra", [0, 200, 1000])
+def test_winnow_containment_matches_brute_force(spark, hash_family, prefix_extra):
+    """The prefix-filtered + count-filtered candidate plan is EXACT: for any
+    prefix_extra (minimal prefixes, the default widened ones, and
+    whole-doc prefixes = plain exact counting) the operator's pairs equal a
+    brute-force all-pairs intersection over the same fingerprint arrays."""
+    from sequila_native_spark.functions import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = []
+    for i in range(12):
+        words = base.split()
+        # rotate + vary suffix length: a spread of containment ratios,
+        # including near-threshold pairs on both sides of 0.55
+        body = " ".join(words[i % 7:] + words[: i % 7])
+        docs.append((i, body + " tail" * (i % 5)))
+    docs.append((12, base + " " + base))          # superset doc
+    docs.append((13, "entirely disjoint content about columnar shuffles"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 550
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in winnow_containment_pairs(
+            df, threshold_milli=t, hash_family=hash_family,
+            prefix_extra=prefix_extra,
+        ).collect()
+    }
+
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), 8, 4, hash_family).alias("f")
+        ).collect()
+        if r["f"]
+    }
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(fps[a] & fps[b])
+            if shared * 1000 >= t * min(len(fps[a]), len(fps[b])):
+                want[(a, b)] = (shared, len(fps[a]), len(fps[b]))
+    assert got == want
+    assert len(want) >= 3  # the fixture must actually exercise the filter
