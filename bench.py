@@ -87,16 +87,14 @@ def main() -> None:
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
 
+    # operators pin small frames with localCheckpoint; each invocation
+    # creates fresh ones, so blocks from finished queries are garbage.
+    # Dropping them between queries keeps block-manager memory flat over
+    # the 30-query run (they would otherwise only go away by eviction).
+    from sequila_native_spark import drop_stale_persisted as _drop
+
     def drop_stale_persisted() -> None:
-        # operators pin small frames with localCheckpoint; each invocation
-        # creates fresh ones, so blocks from finished queries are garbage.
-        # Dropping them between queries keeps block-manager memory flat over
-        # the 30-query run (they would otherwise only go away by eviction).
-        try:
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
-        except Exception:
-            pass
+        _drop(spark)
 
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -63,11 +63,13 @@ from sequila_native_spark.sql import (
     run_sql_script,
     sequila_sql,
 )
+from sequila_native_spark.util import drop_stale_persisted
 from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
 __all__ = [
     "SequilaConf",
     "sequila_session",
+    "drop_stale_persisted",
     "overlap_join",
     "window_join",
     "clear_bin_width_cache",

@@ -498,6 +498,15 @@ def repetition_features(col: Column) -> dict[str, Column]:
 
     Each has an exact SQL twin (:func:`repetition_features_sql`); everything
     is integer-scaled so cross-engine hashes match.
+
+    COST LIMIT: ``top_bigram_milli`` is O(distinct_bigrams × n_bigrams)
+    inside codegen per document — fine for documents up to ~10k tokens, but
+    a pathological 100k-distinct-token document would cost ~10^10
+    comparisons in one row. Pipelines over unbounded documents should cap
+    input first (e.g. ``substring(text, 1, N)`` / truncate to the first N
+    tokens, as Gopher-style filters conventionally do); a cap is not built
+    in here because the SQL oracle twin must stay expression-for-expression
+    identical, and any cap belongs symmetrically in both.
     """
     lines = F.filter(F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0)
     n_lines = F.size(lines)

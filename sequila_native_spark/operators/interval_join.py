@@ -392,11 +392,12 @@ def resolve_bin_width(
 
 
 def _width_cache(spark) -> dict:
-    caches = _WIDTH_CACHES.setdefault(id(spark), {})
-    return caches
+    from sequila_native_spark.util import session_scoped_cache
+
+    return session_scoped_cache(spark, _WIDTH_CACHES)
 
 
-_WIDTH_CACHES: dict[int, dict] = {}
+_WIDTH_CACHES: dict = {}
 
 
 def clear_bin_width_cache(spark=None) -> None:
@@ -404,7 +405,7 @@ def clear_bin_width_cache(spark=None) -> None:
     if spark is None:
         _WIDTH_CACHES.clear()
     else:
-        _WIDTH_CACHES.pop(id(spark), None)
+        _width_cache(spark).clear()
 
 
 def overlap_join(

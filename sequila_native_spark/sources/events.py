@@ -36,13 +36,31 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read an events parquet (file or directory) with ``ts: timestamp``.
 
     The NTZ→TIMESTAMP cast in :func:`normalize_event_ts` is only an identity
-    under a UTC session timezone, so that is pinned here (idempotent for the
-    engine's own sessions, which already run UTC). The nanos flag is
-    set/restored around schema resolution; if the file actually stores
-    TIMESTAMP(NANOS) the flag must remain ``true`` for the scan itself to
-    execute, so in that (legacy-data-only) branch it stays set.
+    under a UTC session timezone, so UTC is required here. It cannot be
+    set-and-restored: the returned frame is lazy, and the cast would execute
+    under whatever timezone is live at action time — so a non-UTC session is
+    pinned to UTC with a ``UserWarning`` naming the change (engine sessions
+    via :func:`sequila_session` already run UTC and are untouched).
+
+    The nanos flag is set/restored around schema resolution; if the file
+    actually stores TIMESTAMP(NANOS) the flag must remain ``true`` for the
+    scan itself to execute, so in that (legacy-data-only) branch it stays
+    set for the session — again with a ``UserWarning``, because it changes
+    how later unrelated parquet reads resolve TIMESTAMP(NANOS) columns.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import warnings
+
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        warnings.warn(
+            f"read_events: pinning spark.sql.session.timeZone=UTC for the "
+            f"session (was {tz!r}) — the events ts normalization is only "
+            f"timezone-independent under UTC, and the lazy scan executes "
+            f"under the timezone live at action time",
+            UserWarning,
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     prev = spark.conf.get(NANOS_AS_LONG, None)
     spark.conf.set(NANOS_AS_LONG, "true")
     try:
@@ -57,4 +75,13 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.unset(NANOS_AS_LONG)
             else:
                 spark.conf.set(NANOS_AS_LONG, prev)
+    if legacy_nanos and prev != "true":
+        warnings.warn(
+            f"read_events: {path} stores legacy TIMESTAMP(NANOS); "
+            f"{NANOS_AS_LONG}=true stays set for this session so the scan "
+            f"can execute — later parquet reads will also see TIMESTAMP("
+            f"NANOS) columns as BIGINT nanos",
+            UserWarning,
+            stacklevel=2,
+        )
     return normalize_event_ts(ev)

@@ -9,34 +9,44 @@ from pyspark.sql import DataFrame
 # nondeterministic (reducers merge mapper blocks in arrival order), so any
 # post-shuffle frame can present rows in a different order when a plan branch
 # re-evaluates it — which breaks positional ids. Python-evaluated stages are
-# included because their functions are opaque to us.
-_WIDE_MARKERS = (
+# included because their functions are opaque to us. GlobalLimit: which rows
+# a limit keeps after a shuffle is itself fetch-order-dependent.
+_WIDE_NODE_MARKERS = (
     "Join",
     "Aggregate",
     "Deduplicate",
     "Window",
     "Sort",
     "Repartition",  # also matches RepartitionByExpression
+    "RebalancePartitions",
     "Sample",
     "MapInPandas",
     "MapInArrow",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
-    "rand(",
-    "randn(",
-    "uuid(",
-    "shuffle(",
+    "GlobalLimit",
 )
+
+# Nondeterministic expressions can appear anywhere inside a line.
+_WIDE_EXPR_MARKERS = ("rand(", "randn(", "uuid(", "shuffle(")
 
 
 def _has_wide_lineage(df: DataFrame) -> bool:
     """True when the frame's lineage contains a shuffle / nondeterministic
-    stage, i.e. positional row ids may disagree across plan branches."""
+    stage, i.e. positional row ids may disagree across plan branches.
+
+    Node markers are matched at the START of each plan line (after the
+    tree-drawing prefix), not as substrings — a user column named ``Sample``
+    or ``SortKey`` appears inside ``Project [...]`` brackets mid-line and
+    must not force a checkpoint."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return True  # Connect or API drift: can't inspect — assume the worst
-    return any(m in plan for m in _WIDE_MARKERS)
+    for line in plan.splitlines():
+        if line.lstrip(" :+-").startswith(_WIDE_NODE_MARKERS):
+            return True
+    return any(m in plan for m in _WIDE_EXPR_MARKERS)
 
 
 def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> DataFrame:
@@ -60,7 +70,7 @@ def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> Dat
     key = cache = None
     try:
         key = df._jdf.queryExecution().analyzed().semanticHash()
-        cache = _PARTS_CACHE.setdefault(id(spark), {})
+        cache = session_scoped_cache(spark, _PARTS_CACHE)
     except Exception:
         pass
     if cache is not None and key in cache:
@@ -76,7 +86,52 @@ def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> Dat
     return df
 
 
-_PARTS_CACHE: dict[int, dict] = {}
+# Per-session memo caps: a long-lived session that plans many distinct frame
+# shapes should not grow an unbounded side table; a full cache just resets
+# (it is a pure memo — losing it re-pays one planning probe per shape).
+_SESSION_CACHE_CAP = 256
+
+
+def session_scoped_cache(spark, store: dict) -> dict:
+    """Per-session memo dict from ``store``, keyed by STABLE identifiers
+    (application id + session UUID) rather than ``id(spark)`` — a GC'd
+    session's address can be reused by a new session, which would serve the
+    old session's memo entries to the new one. Falls back to ``id(spark)``
+    where the identifiers aren't reachable (Connect)."""
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            spark._jsparkSession.sessionUUID(),
+        )
+    except Exception:
+        key = id(spark)
+    cache = store.setdefault(key, {})
+    if len(cache) >= _SESSION_CACHE_CAP:
+        cache.clear()
+    return cache
+
+
+_PARTS_CACHE: dict = {}
+
+
+def drop_stale_persisted(spark) -> int:
+    """Unpersist every RDD the context currently holds persisted blocks for.
+
+    Operators pin small frames with (lazy) ``localCheckpoint`` — candidate
+    sets, id-pair snapshots, stamped frames. Spark has no reference-counted
+    unpersist for checkpoints, so in a long-lived session those blocks
+    accumulate until JVM eviction. Call this BETWEEN unrelated queries (never
+    while a checkpointed frame is still in use) to keep block-manager memory
+    flat; returns the number of RDDs dropped. bench.py calls it per query.
+    """
+    n = 0
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+            n += 1
+    except Exception:
+        pass
+    return n
 
 
 def stamp_row_id(df: DataFrame, col_name: str) -> DataFrame:
