@@ -58,6 +58,7 @@ from sequila_native_spark.operators.condition import (
     parse_overlap_condition,
 )
 from sequila_native_spark.sql import (
+    expand_sequila_tvfs,
     rewrite_interval_sql,
     run_sql_file,
     run_sql_script,

@@ -328,6 +328,100 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Table-valued phrasings for the non-join interval operators
+# ---------------------------------------------------------------------------
+#
+# The reference exposes only the join family through SQL; merge / complement /
+# depth-histogram / count-overlaps / coverage are API-only there. For
+# .sql-script users we accept a table-function phrasing in FROM position and
+# substitute the REAL operator's (lazy) result as a temp view — the operator's
+# distributed plan is unchanged, the SQL around it (projection, WHERE,
+# GROUP/ORDER/LIMIT, further joins) all still applies:
+#
+#     SELECT * FROM sequila_merge('reads', 'contig', 'r_start', 'r_end')
+#     SELECT * FROM sequila_merge('reads', 'contig', 's', 'e', 100)  -- -d 100
+#     SELECT * FROM sequila_complement('reads', 'contig', 's', 'e')
+#     SELECT * FROM sequila_depth_histogram('reads', 'contig', 's', 'e')
+#     SELECT * FROM sequila_count_overlaps('reads', 'targets', 'contig',
+#                                          'r_start', 'r_end', 't_start', 't_end')
+#     SELECT * FROM sequila_coverage('reads', 'targets', 'contig',
+#                                    'r_start', 'r_end', 't_start', 't_end')
+#
+# The first argument(s) name registered tables/views; `on` takes ':'-separated
+# names for multi-key grouping ('' for none). Arguments are literals, not
+# expressions — project/rename in a view first if needed.
+
+_TVF = re.compile(
+    r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage)"
+    r"\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _tvf_args(raw: str) -> list[str]:
+    out = []
+    for part in raw.split(","):
+        p = part.strip()
+        if len(p) >= 2 and p[0] == p[-1] == "'":
+            p = p[1:-1]
+        out.append(p)
+    return [p for p in out if p != ""]
+
+
+def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
+    """Replace ``sequila_<op>(...)`` table factors with temp views holding
+    the corresponding operator's (lazy) DataFrame; returns the rewritten SQL.
+    No-op when the text contains none."""
+    from sequila_native_spark.operators.count_overlaps import count_overlaps
+    from sequila_native_spark.operators.coverage import coverage, depth_histogram
+    from sequila_native_spark.operators.merge_intervals import (
+        complement_intervals,
+        merge_intervals,
+    )
+
+    def keys(s: str) -> list[str] | None:
+        return [k for k in s.split(":") if k] or None
+
+    def build(op: str, a: list[str]) -> DataFrame:
+        if op in ("merge", "complement", "depth_histogram"):
+            if not (4 <= len(a) <= (5 if op == "merge" else 4)):
+                raise ValueError(
+                    f"sequila_{op} takes (table, on, start, end"
+                    f"{', [max_gap]' if op == 'merge' else ''}), got {a!r}"
+                )
+            df = spark.table(a[0])
+            if op == "merge":
+                gap = int(a[4]) if len(a) == 5 else 0
+                return merge_intervals(df, keys(a[1]), a[2], a[3], max_gap=gap)
+            if op == "complement":
+                return complement_intervals(df, keys(a[1]), a[2], a[3])
+            return depth_histogram(df, keys(a[1]), a[2], a[3])
+        if len(a) != 7:
+            raise ValueError(
+                f"sequila_{op} takes (left, right, on, left_start, left_end, "
+                f"right_start, right_end), got {a!r}"
+            )
+        fn = count_overlaps if op == "count_overlaps" else coverage
+        return fn(
+            spark.table(a[0]), spark.table(a[1]), keys(a[2]),
+            a[3], a[4], a[5], a[6],
+        )
+
+    i = 0
+
+    def sub(m: re.Match) -> str:
+        nonlocal i
+        op = m.group(1).lower()
+        df = build(op, _tvf_args(m.group(2)))
+        view = f"__sequila_tvf_{op}_{i}"
+        i += 1
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TVF.sub(sub, sql)
+
+
 def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) -> DataFrame:
     """``spark.sql`` with interval-join acceleration (reference CLI parity).
 
@@ -337,7 +431,14 @@ def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) 
     recognized join runs with nearest semantics (right-side columns renamed
     ``_r`` on collision — Spark frames cannot carry the duplicate names the
     reference prints).
+
+    ``sequila_merge`` / ``sequila_complement`` / ``sequila_depth_histogram``
+    / ``sequila_count_overlaps`` / ``sequila_coverage`` table functions in
+    FROM position route to the corresponding operators (see
+    :func:`expand_sequila_tvfs`) — SQL reach for the operator surface the
+    reference keeps API-only.
     """
+    sql = expand_sequila_tvfs(spark, sql)
     mode = SequilaConf.from_spark(spark).join_mode
     if mode == "nearest":
         df = _nearest_from_sql(spark, sql)

@@ -288,3 +288,70 @@ def test_cli_main_runs_file_and_execute(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "42" in proc.stdout and "ok" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# Table-valued phrasings for the non-join operators (VERDICT r3 item 8)
+# ---------------------------------------------------------------------------
+
+def test_tvf_merge_matches_operator(spark, reads):
+    from sequila_native_spark import merge_intervals
+    from sequila_native_spark.sql import sequila_sql
+
+    got = sequila_sql(spark, """
+        SELECT * FROM sequila_merge('sql_reads', 'contig', 'pos_start', 'pos_end')
+    """)
+    want = merge_intervals(reads, "contig", "pos_start", "pos_end")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tvf_composes_with_surrounding_sql(spark, reads):
+    from sequila_native_spark.sql import sequila_sql
+
+    got = sequila_sql(spark, """
+        SELECT contig, count(*) AS n_runs, sum(n_merged) AS n_inputs
+        FROM sequila_merge('sql_reads', 'contig', 'pos_start', 'pos_end', 100)
+        WHERE contig = 'chr1'
+        GROUP BY contig
+    """).collect()
+    assert len(got) == 1 and got[0]["contig"] == "chr1"
+    assert got[0]["n_inputs"] == 6  # all chr1 reads absorbed into runs
+
+
+def test_tvf_count_overlaps_and_coverage(spark, reads, targets):
+    from sequila_native_spark import count_overlaps, coverage
+    from sequila_native_spark.sql import sequila_sql
+
+    args = ("'sql_targets', 'sql_reads', 'contig', "
+            "'pos_start', 'pos_end', 'pos_start', 'pos_end'")
+    got_c = sequila_sql(spark, f"SELECT * FROM sequila_count_overlaps({args})")
+    want_c = count_overlaps(targets, reads, "contig",
+                            "pos_start", "pos_end", "pos_start", "pos_end")
+    assert sorted(map(tuple, got_c.collect())) == sorted(map(tuple, want_c.collect()))
+
+    got_v = sequila_sql(spark, f"SELECT * FROM sequila_coverage({args})")
+    want_v = coverage(targets, reads, "contig",
+                      "pos_start", "pos_end", "pos_start", "pos_end")
+    assert sorted(map(tuple, got_v.collect())) == sorted(map(tuple, want_v.collect()))
+
+
+def test_tvf_complement_and_depth_histogram(spark, reads):
+    from sequila_native_spark import complement_intervals, depth_histogram
+    from sequila_native_spark.sql import sequila_sql
+
+    got_g = sequila_sql(spark, "SELECT * FROM sequila_complement("
+                               "'sql_reads', 'contig', 'pos_start', 'pos_end')")
+    want_g = complement_intervals(reads, "contig", "pos_start", "pos_end")
+    assert sorted(map(tuple, got_g.collect())) == sorted(map(tuple, want_g.collect()))
+
+    got_d = sequila_sql(spark, "SELECT * FROM sequila_depth_histogram("
+                               "'sql_reads', 'contig', 'pos_start', 'pos_end')")
+    want_d = depth_histogram(reads, "contig", "pos_start", "pos_end")
+    assert sorted(map(tuple, got_d.collect())) == sorted(map(tuple, want_d.collect()))
+
+
+def test_tvf_bad_arity_raises(spark):
+    from sequila_native_spark.sql import sequila_sql
+
+    with pytest.raises(ValueError, match="sequila_merge takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_merge('sql_reads', 'contig')")
