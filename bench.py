@@ -102,18 +102,24 @@ def main() -> None:
         fn = qs[name]
         drop_stale_persisted()
         # keep the min over repeated runs: robust against transient host CPU
-        # bursts. Two runs normally; when they disagree by >30% the host is
-        # noisy (hypervisor contention observed on this box), so buy a third
-        # sample for the queries where it matters.
+        # bursts (2-3x swings observed under hypervisor contention). Sample
+        # until the two FASTEST runs agree within 25% — a min confirmed by a
+        # near-repeat is a real floor, a lone fast run may still be noise.
+        # Up to 4 samples; expensive queries (>=8s floor) cap at 3.
         times = []
-        for attempt in range(3):
+        while True:
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: materializes every row/column without collecting,
             # and (unlike count) cannot be optimized into join elimination
             df.write.mode("overwrite").format("noop").save()
             times.append(time.time() - t0)
-            if attempt == 1 and max(times) <= 1.3 * min(times):
+            s = sorted(times)
+            if len(times) >= 4:
+                break
+            if len(times) >= 2 and s[1] <= 1.25 * s[0]:
+                break
+            if len(times) >= 3 and s[0] >= 8:
                 break
         timings[name] = round(min(times), 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)

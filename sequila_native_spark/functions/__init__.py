@@ -8,6 +8,7 @@ multimodal decode) where expressions genuinely can't express the op.
 """
 
 from sequila_native_spark.functions.text import (
+    filter_documents,
     fingerprint,
     lang_id,
     quality_features,
@@ -51,7 +52,7 @@ from sequila_native_spark.functions.multimodal import (
 )
 
 __all__ = [
-    "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint",
+    "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",

@@ -598,3 +598,74 @@ def repetition_features_sql(text_expr: str = "text") -> dict[str, str]:
         ),
         "max_word_run": f"CAST(COALESCE({runs}, 0) AS BIGINT)",
     }
+
+
+def filter_documents(
+    df,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int | None = None,
+    min_ttr_milli: int = 100,
+    min_stop_milli: int = 10,
+    max_dup_line_milli: int = 300,
+    max_top_bigram_milli: int = 180,
+    max_word_run: int = 8,
+    languages: list[str] | None = None,
+    keep_reasons: bool = False,
+):
+    """Gopher-style document-quality filter: the standard pre-training
+    cleanup pass composed from this module's features — all pure Catalyst,
+    one scan, no shuffle.
+
+    Rules (each threshold disables with ``None``):
+
+    - token count in ``[min_tokens, max_tokens]``;
+    - type-token ratio ≥ ``min_ttr_milli`` (dedup-by-diversity: near-constant
+      documents die here);
+    - stopword ratio ≥ ``min_stop_milli`` (natural-language test — tables,
+      code and UI chrome have almost none);
+    - duplicate-line fraction ≤ ``max_dup_line_milli``;
+    - modal-bigram share ≤ ``max_top_bigram_milli`` (loop/chant detector);
+    - longest same-token run ≤ ``max_word_run``;
+    - predicted language ∈ ``languages`` (None = any).
+
+    Returns the surviving rows unchanged; with ``keep_reasons=True`` returns
+    ALL rows plus a ``filter_reasons`` array column naming every failed rule
+    (empty array = kept) — the audit shape used when tuning thresholds on a
+    sample before a full-corpus run.
+    """
+    from pyspark.sql import functions as F
+
+    q = quality_features(F.col(text_col))
+    r = repetition_features(F.col(text_col))
+    rules: list[tuple[str, Column]] = []
+    if min_tokens is not None:
+        rules.append(("too_few_tokens", q["n_tokens"] >= min_tokens))
+    if max_tokens is not None:
+        rules.append(("too_many_tokens", q["n_tokens"] <= max_tokens))
+    if min_ttr_milli is not None:
+        rules.append(("low_diversity", q["ttr_milli"] >= min_ttr_milli))
+    if min_stop_milli is not None:
+        rules.append(("low_stopword_ratio", q["stop_milli"] >= min_stop_milli))
+    if max_dup_line_milli is not None:
+        rules.append(("duplicate_lines", r["dup_line_milli"] <= max_dup_line_milli))
+    if max_top_bigram_milli is not None:
+        rules.append(("repeated_bigram", r["top_bigram_milli"] <= max_top_bigram_milli))
+    if max_word_run is not None:
+        rules.append(("token_run", r["max_word_run"] <= max_word_run))
+    if languages is not None:
+        lang_arr = F.array(*[F.lit(x) for x in languages])
+        rules.append(("language", F.array_contains(lang_arr, lang_id(F.col(text_col)))))
+    if keep_reasons:
+        reasons = F.filter(
+            F.array(*[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None)) for name, ok in rules
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        return df.withColumn("filter_reasons", reasons)
+    keep = F.lit(True)
+    for _, ok in rules:
+        keep = keep & ok
+    return df.where(keep)

@@ -486,3 +486,53 @@ def test_winnow_containment_matches_brute_force(spark, hash_family, prefix_extra
                 want[(a, b)] = (shared, len(fps[a]), len(fps[b]))
     assert got == want
     assert len(want) >= 3  # the fixture must actually exercise the filter
+
+
+def test_filter_documents_rules_and_reasons(spark):
+    """The composed Gopher-style filter: each rule kills its designed
+    offender, clean text survives, and keep_reasons names the failed rule."""
+    from sequila_native_spark.functions import filter_documents
+
+    clean = ("the quick brown fox jumps over a lazy dog and then it runs to "
+             "the river for a drink of water in the morning sun")
+    rows = [
+        (1, clean),
+        (2, "short text"),                                   # too_few_tokens
+        (3, "word " * 40),                                   # low_diversity + token_run
+        (4, "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa"),    # low_stopword_ratio
+        (5, "the same line is here\n" * 10 + "the end of it all is near "
+            "for the one true test"),                        # duplicate_lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r["doc_id"] for r in filter_documents(df).select("doc_id").collect()]
+    assert kept == [1]
+
+    audited = {
+        r["doc_id"]: set(r["filter_reasons"])
+        for r in filter_documents(df, keep_reasons=True).collect()
+    }
+    assert audited[1] == set()
+    assert "too_few_tokens" in audited[2]
+    assert {"low_diversity", "token_run"} <= audited[3]
+    assert "low_stopword_ratio" in audited[4]
+    assert "duplicate_lines" in audited[5]
+
+    # language rule: doc 4 is stopword-free -> 'und'; clean doc is 'en'
+    langs = [r["doc_id"] for r in filter_documents(
+        df, min_tokens=None, min_ttr_milli=None, min_stop_milli=None,
+        max_dup_line_milli=None, max_top_bigram_milli=None, max_word_run=None,
+        languages=["en"],
+    ).select("doc_id").collect()]
+    assert 1 in langs and 4 not in langs
+
+
+def test_filter_documents_is_pure_catalyst(spark):
+    """One scan, no shuffle, no Python stage: the filter must be a plain
+    WHERE over codegen'd expressions."""
+    from sequila_native_spark.functions import filter_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = filter_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
