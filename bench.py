@@ -131,10 +131,13 @@ def main() -> None:
     # partition collapse) two scale steps above the flagship. Gate with
     # SPARK_GRAFT_SCALE_TREND=0 to skip.
     if os.environ.get("SPARK_GRAFT_SCALE_TREND", "1") != "0":
-        drop_stale_persisted()
-        t0 = time.time()
-        qs["overlap_count_50x"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings["overlap_count_50x"] = round(time.time() - t0, 3)
+        trend = []
+        for _ in range(2):  # min-of-2: one noise burst must not fake a trend
+            drop_stale_persisted()
+            t0 = time.time()
+            qs["overlap_count_50x"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            trend.append(time.time() - t0)
+        timings["overlap_count_50x"] = round(min(trend), 3)
         print(f"# overlap_count_50x (excluded from total): "
               f"{timings['overlap_count_50x']:.2f}s", file=sys.stderr)
 

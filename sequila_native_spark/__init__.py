@@ -47,6 +47,7 @@ from sequila_native_spark.operators.overlap_filter import filter_by_overlap, mar
 from sequila_native_spark.operators.merge_intervals import (
     complement_intervals,
     merge_intervals,
+    subtract_intervals,
 )
 from sequila_native_spark.operators.intervals import (
     flank_intervals,
@@ -76,6 +77,7 @@ __all__ = [
     "clear_bin_width_cache",
     "nearest_join",
     "count_overlaps",
+    "subtract_intervals",
     "coverage",
     "depth_histogram",
     "interval_jaccard",

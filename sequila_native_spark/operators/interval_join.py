@@ -594,7 +594,7 @@ def _binned_pairs(
         # integer knob is always honored.
         n_parts = 0
     else:
-        n_parts = conf.resolve_binned_join_partitions(lb.sparkSession)
+        n_parts = conf.resolve_binned_join_partitions(lb.sparkSession, (lb, rb))
     if n_parts > 0:
         le = le.repartition(n_parts, *[F.col(c) for c in [*l_keys, _LBIN]])
         re_ = re_.repartition(n_parts, *[F.col(c) for c in [*r_keys, _RBIN]])

@@ -156,3 +156,128 @@ def complement_intervals(
             F.col("__sq_gap_e").cast("int").alias(end),
         )
     )
+
+
+def subtract_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    on: list | str | None = "contig",
+    left_start: str = "pos_start",
+    left_end: str = "pos_end",
+    right_start: str = "pos_start",
+    right_end: str = "pos_end",
+    *,
+    bin_width: int | None = None,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """bedtools ``subtract``: remove from each LEFT interval every base
+    covered by any RIGHT interval sharing its key; emit the remaining
+    sub-intervals (0..n rows per input row), all other left columns carried
+    through unchanged. Fully-covered intervals vanish; untouched intervals
+    pass through whole.
+
+    Plan shape, all Catalyst:
+
+    1. merge the right side into disjoint covers per key
+       (:func:`merge_intervals` — two-phase chunked sweep, so this scales
+       past key cardinality);
+    2. binned overlap join left × covers (the flagship join path: explode to
+       ``(key, bin)``, equi-join, exact filter — AQE-skew-safe, no
+       cartesian);
+    3. group the clipped covers per left row (``collect_list`` bounded by
+       covers-per-interval, which merging already minimized) and fold them
+       in start order with one ``aggregate`` HOF into the uncovered
+       segments;
+    4. left-join back to the stamped input so no-overlap rows keep their
+       full interval, then explode the segments.
+
+    Left rows ride through on a stamped row id
+    (:func:`sequila_native_spark.util.stamp_row_id` — shuffle-fed lineage is
+    pinned automatically).
+    """
+    from sequila_native_spark.operators.interval_join import overlap_join
+    from sequila_native_spark.util import stamp_row_id
+
+    sides = validate_sides(
+        left, right, on, left_start, left_end, right_start, right_end
+    )
+    l_keys = [p[0] for p in sides.on]
+    r_keys = [p[1] for p in sides.on]
+
+    merged = merge_intervals(
+        right.select(*dict.fromkeys([*r_keys, right_start, right_end])),
+        list(r_keys) or None, right_start, right_end,
+        check_bounds=check_bounds,
+    )
+    covers_src = merged.select(
+        *[F.col(k).alias(f"__sq_rk{i}") for i, k in enumerate(r_keys)],
+        F.col(right_start).alias("__sq_cov_s"),
+        F.col(right_end).alias("__sq_cov_e"),
+    )
+
+    lid = "__sq_sub_id"
+    stamped = stamp_row_id(left, lid)
+    pairs = overlap_join(
+        stamped.select(lid, *dict.fromkeys([*l_keys, left_start, left_end])),
+        covers_src,
+        on=[(lk, f"__sq_rk{i}") for i, lk in enumerate(l_keys)] or None,
+        left_start=left_start, left_end=left_end,
+        right_start="__sq_cov_s", right_end="__sq_cov_e",
+        algorithm="binning", bin_width=bin_width, check_bounds=check_bounds,
+    )
+    covers = pairs.groupBy(lid).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.greatest(F.col("__sq_cov_s"), F.col(left_start))
+                    .cast("int").alias("s"),
+                    F.least(F.col("__sq_cov_e"), F.col(left_end))
+                    .cast("int").alias("e"),
+                )
+            )
+        ).alias("__sq_covers")
+    )
+
+    ls, le = F.col(left_start), F.col(left_end)
+    # fold the disjoint, sorted covers into uncovered segments of [ls, le]
+    segs = F.aggregate(
+        F.coalesce(F.col("__sq_covers"), F.array().cast("array<struct<s:int,e:int>>")),
+        F.struct(
+            ls.cast("int").alias("cur"),
+            F.array().cast("array<struct<s:int,e:int>>").alias("segs"),
+        ),
+        lambda acc, c: F.struct(
+            F.greatest(acc["cur"], (c["e"] + 1).cast("int")).alias("cur"),
+            F.when(
+                c["s"] > acc["cur"],
+                F.concat(
+                    acc["segs"],
+                    F.array(F.struct(acc["cur"].alias("s"), (c["s"] - 1).cast("int").alias("e"))),
+                ),
+            ).otherwise(acc["segs"]).alias("segs"),
+        ),
+        lambda acc: F.when(
+            acc["cur"] <= le,
+            F.concat(
+                acc["segs"],
+                F.array(F.struct(acc["cur"].alias("s"), le.cast("int").alias("e"))),
+            ),
+        ).otherwise(acc["segs"]),
+    )
+
+    out_cols = left.columns
+    exploded = (
+        stamped.join(covers, lid, "left")
+        .withColumn("__sq_seg", F.explode(segs))
+        .select(
+            *[
+                F.col("__sq_seg.s").cast(dict(left.dtypes)[left_start]).alias(c)
+                if c == left_start
+                else F.col("__sq_seg.e").cast(dict(left.dtypes)[left_end]).alias(c)
+                if c == left_end
+                else F.col(c)
+                for c in out_cols
+            ]
+        )
+    )
+    return exploded

@@ -48,13 +48,23 @@ DEFAULT_FIXED_BIN_WIDTH = 5000
 # reference's analogue is accounted build memory (interval_join.rs:624-660).
 DEFAULT_MAX_BROADCAST_BUILD_ROWS = 8_000_000
 # Partition count for the binned join's shuffle. "auto" =
-# max(spark.sql.shuffle.partitions, 4 * defaultParallelism): the binned join
-# is a pure-JVM high-multiplicity equi-join whose emission cost dominates, so
-# it wants multiple waves of small tasks even when the session's
-# shuffle.partitions is tuned low for Arrow-UDF stages (which pay a fixed
-# per-task worker cost and want exactly one wave). 0 disables the explicit
+# max(spark.sql.shuffle.partitions, 4 * defaultParallelism,
+#     input_plan_bytes / 1MB) capped at 4096: the binned join is a pure-JVM
+# high-multiplicity equi-join whose emission cost dominates, so it wants
+# multiple waves of small tasks even when the session's shuffle.partitions is
+# tuned low for Arrow-UDF stages (which pay a fixed per-task worker cost and
+# want exactly one wave) — AND the count must track INPUT SIZE, not just
+# cluster width: at 50x driver scale, 128 fixed partitions measured 128s vs
+# 66s at 1024 (long emission tasks degrade superlinearly), and a
+# width-only auto would hit the same wall on a real 100 TB scan. The byte
+# estimate comes from Catalyst's optimized-plan stats (scan bytes propagated
+# through the operators), so no data pass is paid. 0 disables the explicit
 # repartition and inherits the session shuffle width.
 DEFAULT_BINNED_JOIN_PARTITIONS: int | str = "auto"
+# ~1 MB of pre-explode input per task: tiny for a scan-bound join, right for
+# this join's ~100-200x output amplification (measured knee: see above).
+BINNED_JOIN_TARGET_BYTES = 1 << 20
+BINNED_JOIN_MAX_PARTITIONS = 4096
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the
@@ -171,12 +181,35 @@ class SequilaConf:
             nearest_k=int(_get(NEAREST_K, "1")),
         )
 
-    def resolve_binned_join_partitions(self, spark: SparkSession) -> int:
-        """Concrete shuffle width for the binned join (0 = inherit session)."""
-        if self.binned_join_partitions == "auto":
-            shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            return max(shuffle, 4 * spark.sparkContext.defaultParallelism)
-        return int(self.binned_join_partitions)
+    def resolve_binned_join_partitions(self, spark: SparkSession, frames=()) -> int:
+        """Concrete shuffle width for the binned join (0 = inherit session).
+
+        ``frames``: the (pre-explode) join inputs — their Catalyst
+        optimized-plan size estimates scale the width beyond the cluster
+        floor so per-task emission stays bounded as data grows (an explicit
+        integer knob bypasses all of this).
+        """
+        if self.binned_join_partitions != "auto":
+            return int(self.binned_join_partitions)
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        width = max(shuffle, 4 * spark.sparkContext.defaultParallelism)
+        total = 0
+        for df in frames:
+            try:
+                b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            except Exception:
+                b = 0
+            if 0 < b < (1 << 50):  # huge sentinel = "unknown", skip
+                total += b
+        if total:
+            width = max(
+                width,
+                min(
+                    BINNED_JOIN_MAX_PARTITIONS,
+                    -(-total // BINNED_JOIN_TARGET_BYTES),
+                ),
+            )
+        return width
 
 
 def sequila_session(

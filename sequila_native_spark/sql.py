@@ -353,7 +353,8 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 # expressions — project/rename in a view first if needed.
 
 _TVF = re.compile(
-    r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage)"
+    r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
+    r"|subtract)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -402,7 +403,15 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 f"sequila_{op} takes (left, right, on, left_start, left_end, "
                 f"right_start, right_end), got {a!r}"
             )
-        fn = count_overlaps if op == "count_overlaps" else coverage
+        from sequila_native_spark.operators.merge_intervals import (
+            subtract_intervals,
+        )
+
+        fn = {
+            "count_overlaps": count_overlaps,
+            "coverage": coverage,
+            "subtract": subtract_intervals,
+        }[op]
         return fn(
             spark.table(a[0]), spark.table(a[1]), keys(a[2]),
             a[3], a[4], a[5], a[6],

@@ -355,3 +355,121 @@ def test_multi_intersect_validation(spark, reads):
         multi_intersect([])
     with pytest.raises(ValueError, match="at most 63"):
         multi_intersect([reads] * 64)
+
+
+# ---------------------------------------------------------------------------
+# subtract_intervals (bedtools subtract)
+# ---------------------------------------------------------------------------
+
+def _brute_subtract(reads_rows, target_rows):
+    """Per-base brute force: for each read, the maximal uncovered runs."""
+    out = []
+    for contig, rs, re_ in reads_rows:
+        covered = set()
+        for tc, ts, te in target_rows:
+            if tc == contig:
+                covered.update(range(max(ts, rs), min(te, re_) + 1))
+        run = None
+        for p in range(rs, re_ + 1):
+            if p in covered:
+                if run is not None:
+                    out.append((contig, run, p - 1))
+                    run = None
+            elif run is None:
+                run = p
+        if run is not None:
+            out.append((contig, run, re_))
+    return sorted(out)
+
+
+def test_subtract_matches_brute_force(spark):
+    from sequila_native_spark import subtract_intervals
+
+    reads_rows = [
+        ("chr1", 100, 200),   # covered in the middle -> two pieces
+        ("chr1", 300, 400),   # fully covered -> vanishes
+        ("chr1", 500, 600),   # untouched -> passes whole
+        ("chr1", 150, 340),   # straddles two targets
+        ("chr2", 100, 200),   # other key: chr1 targets must not apply
+    ]
+    target_rows = [
+        ("chr1", 140, 160), ("chr1", 290, 410), ("chr1", 155, 170),
+        ("chr2", 90, 105),
+    ]
+    reads = spark.createDataFrame(reads_rows, "contig string, s int, e int")
+    targets = spark.createDataFrame(target_rows, "contig string, s int, e int")
+    got = sorted(
+        (r["contig"], r["s"], r["e"])
+        for r in subtract_intervals(
+            reads, targets, "contig", "s", "e", "s", "e"
+        ).collect()
+    )
+    assert got == _brute_subtract(reads_rows, target_rows)
+
+
+def test_subtract_carries_extra_columns_and_duplicates(spark):
+    from sequila_native_spark import subtract_intervals
+
+    reads = spark.createDataFrame(
+        [("chr1", 10, 30, "readA"), ("chr1", 10, 30, "readA")],  # dup row
+        "contig string, s int, e int, name string",
+    )
+    targets = spark.createDataFrame(
+        [("chr1", 15, 20)], "contig string, s int, e int"
+    )
+    got = sorted(
+        map(tuple, subtract_intervals(
+            reads, targets, "contig", "s", "e", "s", "e"
+        ).collect())
+    )
+    # each duplicate input row splits independently into the same two pieces
+    assert got == [
+        ("chr1", 10, 14, "readA"), ("chr1", 10, 14, "readA"),
+        ("chr1", 21, 30, "readA"), ("chr1", 21, 30, "readA"),
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subtract_random_matches_brute_force(spark, seed):
+    import random
+
+    from sequila_native_spark import subtract_intervals
+
+    rnd = random.Random(seed)
+    reads_rows = [
+        (f"chr{rnd.randrange(2)}", s := rnd.randrange(1000), s + rnd.randrange(60))
+        for _ in range(120)
+    ]
+    target_rows = [
+        (f"chr{rnd.randrange(2)}", s := rnd.randrange(1000), s + rnd.randrange(80))
+        for _ in range(40)
+    ]
+    reads = spark.createDataFrame(reads_rows, "contig string, s int, e int")
+    targets = spark.createDataFrame(target_rows, "contig string, s int, e int")
+    got = sorted(
+        (r["contig"], r["s"], r["e"])
+        for r in subtract_intervals(
+            reads, targets, "contig", "s", "e", "s", "e"
+        ).collect()
+    )
+    assert got == _brute_subtract(reads_rows, target_rows)
+
+
+def test_subtract_tvf_sql(spark):
+    from sequila_native_spark import subtract_intervals
+    from sequila_native_spark.sql import sequila_sql
+
+    reads = spark.createDataFrame(
+        [("chr1", 100, 200)], "contig string, s int, e int"
+    )
+    targets = spark.createDataFrame(
+        [("chr1", 140, 160)], "contig string, s int, e int"
+    )
+    reads.createOrReplaceTempView("sub_reads")
+    targets.createOrReplaceTempView("sub_targets")
+    got = sequila_sql(spark, """
+        SELECT * FROM sequila_subtract('sub_reads', 'sub_targets', 'contig',
+                                       's', 'e', 's', 'e')
+    """)
+    want = subtract_intervals(reads, targets, "contig", "s", "e", "s", "e")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
