@@ -713,6 +713,26 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reads_minus_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bedtools subtract: reads minus sampled target regions, summarized per
+    # contig (pieces + surviving bases). Deterministic, but driver slots are
+    # full at 50 — correctness is pinned by per-base brute-force oracles in
+    # tests/test_merge_intervals.py; this row keeps the operator benched.
+    from sequila_native_spark import subtract_intervals
+
+    out = subtract_intervals(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0),
+        on="contig",
+        left_start="r_start", left_end="r_end",
+        right_start="t_start", right_end="t_end",
+    )
+    return out.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.sum(F.col("r_end") - F.col("r_start") + 1).cast("bigint").alias("bases_left"),
+    )
+
+
 def q_reads_near_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bedtools window: pairs within 300 bases (overlap or gap <= 300), via
     # widening composed onto the binned join; sparse sides keep counts sane
@@ -1025,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
+        "reads_minus_targets": q_reads_minus_targets,
         "overlap_count_50x": q_overlap_count_50x,
     }
 

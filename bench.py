@@ -36,6 +36,7 @@ HEADLINE = [
     "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
     "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)
+    "reads_minus_targets",        # bedtools subtract (covers + segment fold)
     "read_depth_histogram",       # genomecov (two-phase boundary prefix scan)
     "read_target_jaccard",        # bedtools jaccard (merge + binned join)
     "nearest_k3",                 # k-nearest (closest -k) via cogroup top-k
