@@ -105,3 +105,60 @@ def test_bucketed_tables_join_without_exchange(spark, reads, targets, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_binned_join_width_scales_with_input_size(spark):
+    """'auto' binned-join width = cluster floor for small inputs, scaled by
+    Catalyst's plan-size estimate for big ones, capped at 4096; an explicit
+    integer knob bypasses everything (round-4 scale fix: fixed width made
+    the 50x scale-trend row superlinear)."""
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.session import (
+        BINNED_JOIN_MAX_PARTITIONS,
+        BINNED_JOIN_TARGET_BYTES,
+        SequilaConf,
+    )
+
+    conf = SequilaConf.from_spark(spark)
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = max(shuffle, 4 * spark.sparkContext.defaultParallelism)
+
+    small = spark.range(10).select(F.col("id").cast("int").alias("s"))
+    assert conf.resolve_binned_join_partitions(spark, (small, small)) == floor
+
+    # ~200 MB estimate via a broadcast cross join (the scale-trend shape)
+    big = spark.range(2_000_000).crossJoin(
+        F.broadcast(spark.range(25).select(F.col("id").alias("rep")))
+    )
+    got = conf.resolve_binned_join_partitions(spark, (big,))
+    est = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > BINNED_JOIN_TARGET_BYTES * floor  # fixture really is big
+    assert floor < got <= BINNED_JOIN_MAX_PARTITIONS
+    assert got == min(
+        BINNED_JOIN_MAX_PARTITIONS, -(-est // BINNED_JOIN_TARGET_BYTES)
+    )
+
+    # explicit integer knob is honored verbatim
+    spark.conf.set("spark.sequila.binnedJoinPartitions", "7")
+    try:
+        c2 = SequilaConf.from_spark(spark)
+        assert c2.resolve_binned_join_partitions(spark, (big,)) == 7
+    finally:
+        spark.conf.unset("spark.sequila.binnedJoinPartitions")
+
+
+def test_session_scoped_cache_stable_key_and_cap(spark):
+    from sequila_native_spark.util import _SESSION_CACHE_CAP, session_scoped_cache
+
+    store = {}
+    c1 = session_scoped_cache(spark, store)
+    c1["x"] = 1
+    # same session -> same dict, stable (non-id) key
+    assert session_scoped_cache(spark, store) is c1
+    (key,) = store.keys()
+    assert key != id(spark)
+    # cap: a full cache resets instead of growing unboundedly
+    for i in range(_SESSION_CACHE_CAP):
+        c1[f"k{i}"] = i
+    assert len(session_scoped_cache(spark, store)) == 0
