@@ -45,7 +45,9 @@ from sequila_native_spark.operators.coverage import (
 )
 from sequila_native_spark.operators.overlap_filter import filter_by_overlap, mark_by_overlap
 from sequila_native_spark.operators.merge_intervals import (
+    cluster_intervals,
     complement_intervals,
+    make_windows,
     merge_intervals,
     subtract_intervals,
 )
@@ -78,6 +80,8 @@ __all__ = [
     "nearest_join",
     "count_overlaps",
     "subtract_intervals",
+    "make_windows",
+    "cluster_intervals",
     "coverage",
     "depth_histogram",
     "interval_jaccard",

@@ -281,3 +281,110 @@ def subtract_intervals(
         )
     )
     return exploded
+
+
+def make_windows(
+    spans: DataFrame,
+    on: list[str] | str | None = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    *,
+    window: int,
+    step: int | None = None,
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """bedtools ``makewindows``: tile each span with fixed-size windows.
+
+    For every input span emit windows ``[start + i·step, start + i·step +
+    window − 1]`` clipped to the span end, for every offset intersecting the
+    span (``step`` defaults to ``window`` — non-overlapping tiles). Output:
+    the span's key columns, window ``start``/``end``, and ``win_ordinal``
+    (0-based index within the span). Compose with :func:`count_overlaps` /
+    ``coverage`` for windowed depth profiles.
+
+    Pure Catalyst — ``sequence`` + ``transform`` + ``explode`` per row; at
+    scale the window rows are generated inside the scan's tasks, no shuffle.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    step = window if step is None else step
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    conf = SequilaConf.from_spark(spans.sparkSession)
+    check = conf.check_int32_bounds if check_bounds is None else check_bounds
+    sides = validate_sides(spans, spans, on, start, end, start, end)
+    keys = [p[0] for p in sides.on]
+    b = _with_bounds(
+        spans.select(*dict.fromkeys([*keys, start, end])), start, end,
+        _LS, _LE, False, check,
+    )
+    n_wins = F.floor((F.col(_LE) - F.col(_LS)).cast("double") / F.lit(float(step)))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_wins, F.lit(0)).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("ord"),
+            (F.col(_LS) + i * step).cast("int").alias("ws"),
+            F.least(F.col(_LS) + i * step + (window - 1), F.col(_LE))
+            .cast("int").alias("we"),
+        ),
+    )
+    return (
+        b.withColumn("__sq_w", F.explode(wins))
+        .where(F.col("__sq_w.ws") <= F.col(_LE))
+        .select(
+            *keys,
+            F.col("__sq_w.ws").alias(start),
+            F.col("__sq_w.we").alias(end),
+            F.col("__sq_w.ord").alias("win_ordinal"),
+        )
+    )
+
+
+def cluster_intervals(
+    df: DataFrame,
+    on: list[str] | str | None = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+    *,
+    max_gap: int = 0,
+    cluster_col: str = "cluster_id",
+    check_bounds: bool | None = None,
+) -> DataFrame:
+    """bedtools ``cluster``: label every input row with the id of the merged
+    run (cluster) it belongs to — rows whose intervals overlap (or sit
+    within ``max_gap``, bedtools ``-d``) transitively share a label.
+
+    Plan shape: :func:`merge_intervals` (two-phase chunked sweep — scalable
+    past key cardinality), dense per-key ordinals over the COMPACTED runs
+    (a window over thousands of runs, not millions of rows), then the binned
+    overlap join maps each row to its containing run — each row matches
+    exactly one run by construction, so the join adds no fan-out. Output:
+    the input columns plus ``cluster_col`` (per-key 1-based dense ordinal in
+    start order) and ``cluster_start`` / ``cluster_end``.
+    """
+    from sequila_native_spark.operators.interval_join import overlap_join
+
+    sides = validate_sides(df, df, on, start, end, start, end)
+    keys = [p[0] for p in sides.on]
+    runs = merge_intervals(
+        df, list(keys) or None, start, end,
+        max_gap=max_gap, check_bounds=check_bounds,
+    )
+    runs = runs.select(
+        *[F.col(k).alias(f"__sq_ck{i}") for i, k in enumerate(keys)],
+        F.col(start).alias("cluster_start"),
+        F.col(end).alias("cluster_end"),
+        F.row_number().over(
+            Window.partitionBy(
+                *[F.col(k) for k in keys] if keys else [F.lit(1)]
+            ).orderBy(F.col(start))
+        ).cast("long").alias(cluster_col),
+    )
+    out = overlap_join(
+        df, runs,
+        on=[(k, f"__sq_ck{i}") for i, k in enumerate(keys)] or None,
+        left_start=start, left_end=end,
+        right_start="cluster_start", right_end="cluster_end",
+        algorithm="binning", check_bounds=check_bounds,
+    )
+    return out.select(*df.columns, cluster_col, "cluster_start", "cluster_end")

@@ -473,3 +473,104 @@ def test_subtract_tvf_sql(spark):
     """)
     want = subtract_intervals(reads, targets, "contig", "s", "e", "s", "e")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# make_windows (bedtools makewindows) + cluster_intervals (bedtools cluster)
+# ---------------------------------------------------------------------------
+
+def test_make_windows_tiles_and_clips(spark):
+    from sequila_native_spark import make_windows
+
+    spans = spark.createDataFrame(
+        [("chr1", 100, 349), ("chr1", 500, 520), ("chr2", 0, 99)],
+        "contig string, s int, e int",
+    )
+    got = sorted(
+        map(tuple, make_windows(spans, "contig", "s", "e", window=100).collect())
+    )
+    assert got == [
+        ("chr1", 100, 199, 0), ("chr1", 200, 299, 1), ("chr1", 300, 349, 2),
+        ("chr1", 500, 520, 0),
+        ("chr2", 0, 99, 0),
+    ]
+    # sliding windows: step < window
+    from pyspark.sql import functions as F
+
+    slid = sorted(map(tuple, make_windows(
+        spans.where(F.col("s") == 100), "contig", "s", "e",
+        window=100, step=50,
+    ).collect()))
+    assert slid == [
+        ("chr1", 100, 199, 0), ("chr1", 150, 249, 1), ("chr1", 200, 299, 2),
+        ("chr1", 250, 349, 3), ("chr1", 300, 349, 4),
+    ]
+    with pytest.raises(ValueError, match="window"):
+        make_windows(spans, "contig", "s", "e", window=0)
+
+
+def test_make_windows_composes_with_count_overlaps(spark):
+    # the windowed-depth recipe: tile the span, count reads per tile
+    from sequila_native_spark import count_overlaps, make_windows
+
+    spans = spark.createDataFrame([("chr1", 0, 299)], "contig string, s int, e int")
+    reads = spark.createDataFrame(
+        [("chr1", 10, 20), ("chr1", 150, 260), ("chr1", 250, 260)],
+        "contig string, s int, e int",
+    )
+    wins = make_windows(spans, "contig", "s", "e", window=100)
+    got = {
+        (r["s"], r["e"]): r["n"]
+        for r in count_overlaps(
+            reads, wins, "contig", "s", "e", "s", "e", count_col="n"
+        ).collect()
+    }
+    assert got == {(0, 99): 1, (100, 199): 1, (200, 299): 2}
+
+
+def test_cluster_intervals_labels_transitive_overlaps(spark):
+    from sequila_native_spark import cluster_intervals
+
+    rows = [
+        ("chr1", 1, 10, "a"), ("chr1", 8, 20, "b"), ("chr1", 19, 30, "c"),
+        ("chr1", 50, 60, "d"),
+        ("chr2", 1, 10, "e"),
+    ]
+    df = spark.createDataFrame(rows, "contig string, s int, e int, name string")
+    got = {
+        r["name"]: (r["cluster_id"], r["cluster_start"], r["cluster_end"])
+        for r in cluster_intervals(df, "contig", "s", "e").collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == (1, 1, 30)
+    assert got["d"] == (2, 50, 60)
+    assert got["e"] == (1, 1, 10)
+    # -d 25: chr1's two clusters fuse
+    fused = {
+        r["name"]: r["cluster_id"]
+        for r in cluster_intervals(df, "contig", "s", "e", max_gap=25).collect()
+    }
+    assert fused["a"] == fused["d"] == 1
+
+
+def test_cluster_intervals_every_row_exactly_once(spark):
+    import random
+
+    from sequila_native_spark import cluster_intervals
+
+    rnd = random.Random(7)
+    rows = []
+    for _ in range(150):
+        st = rnd.randrange(500)
+        rows.append((f"chr{rnd.randrange(2)}", st, st + rnd.randrange(40)))
+    df = spark.createDataFrame(rows, "contig string, s int, e int")
+    out = cluster_intervals(df, "contig", "s", "e").collect()
+    assert len(out) == 150  # containment join adds no fan-out, drops nothing
+    # labels consistent with a brute-force union-find over overlaps
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["contig"], []).append(r)
+    for contig, rs in by_key.items():
+        for x in rs:
+            for y in rs:
+                if x["s"] <= y["e"] and x["e"] >= y["s"]:
+                    assert x["cluster_id"] == y["cluster_id"]
