@@ -10,6 +10,7 @@ multimodal decode) where expressions genuinely can't express the op.
 from sequila_native_spark.functions.text import (
     filter_documents,
     fingerprint,
+    normalize_text,
     lang_id,
     quality_features,
     repetition_features,
@@ -52,7 +53,7 @@ from sequila_native_spark.functions.multimodal import (
 )
 
 __all__ = [
-    "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents",
+    "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents", "normalize_text",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",

@@ -669,3 +669,57 @@ def filter_documents(
     for _, ok in rules:
         keep = keep & ok
     return df.where(keep)
+
+
+def normalize_text(
+    col: Column,
+    *,
+    lower: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Standard pre-tokenization text cleanup, pure Catalyst (codegen'd):
+
+    - ``strip_control``: drop C0/C1 control characters (except ``\\t \\n \\r``,
+      which become whitespace below) and the zero-width/format characters
+      that break tokenizers (ZWSP/ZWNJ/ZWJ/BOM, soft hyphen);
+    - ``collapse_whitespace``: any whitespace run → one space, ends trimmed;
+    - ``lower``: lowercase last (so the flags compose deterministically).
+
+    SQL twin: :func:`normalize_text_sql` with the same flags — a cleanup
+    pass both engines compute identically, so downstream fingerprints /
+    shingles stay oracle-comparable when pipelines normalize first.
+    """
+    out = col
+    if strip_control:
+        out = F.regexp_replace(
+            out, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b-\\u200d\\ufeff\\u00ad]", ""
+        )
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lower:
+        out = F.lower(out)
+    return out
+
+
+def normalize_text_sql(
+    text_expr: str = "text",
+    *,
+    lower: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> str:
+    """DuckDB twin of :func:`normalize_text` (same flag semantics; RE2
+    spells codepoints ``\\x{200b}`` where Java uses ``\\u200b``)."""
+    out = text_expr
+    if strip_control:
+        out = (
+            f"regexp_replace({out}, "
+            f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+            f"\\x{{200b}}-\\x{{200d}}\\x{{feff}}\\x{{00ad}}]', '', 'g')"
+        )
+    if collapse_whitespace:
+        out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    if lower:
+        out = f"lower({out})"
+    return out

@@ -536,3 +536,39 @@ def test_filter_documents_is_pure_catalyst(spark):
     plan = filter_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_text_matches_duckdb_twin(spark):
+    """normalize_text and its SQL twin produce byte-identical cleanup for
+    control chars, zero-width chars, whitespace runs, and case."""
+    import duckdb
+
+    from sequila_native_spark.functions import normalize_text
+    from sequila_native_spark.functions.text import normalize_text_sql
+
+    rows = [
+        (1, "Hello\x00World\x07 with​ zero­width"),
+        (2, "  runs\t\tof \n whitespace\r\n here  "),
+        (3, "MiXeD Case ONLY"),
+        (4, "already clean text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", normalize_text(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = dict(con.execute(
+        f"SELECT id, {normalize_text_sql('text')} AS t FROM d"
+    ).fetchall())
+    assert got == want
+    assert got[1] == "helloworld with zerowidth"
+    assert got[2] == "runs of whitespace here"
+
+    # flags off -> respective transform skipped
+    keep_case = df.select(
+        normalize_text(F.col("text"), lower=False).alias("t")
+    ).collect()[2]["t"]
+    assert keep_case == "MiXeD Case ONLY"
