@@ -114,7 +114,8 @@ def main() -> None:
         # bursts (2-3x swings observed under hypervisor contention). Sample
         # until the two FASTEST runs agree within 25% — a min confirmed by a
         # near-repeat is a real floor, a lone fast run may still be noise.
-        # Up to 4 samples; expensive queries (>=8s floor) cap at 3.
+        # Up to 3 samples (bench wall time is itself budgeted by the driver);
+        # expensive queries (>=8s floor) cap at 2.
         times = []
         while True:
             t0 = time.time()
@@ -124,11 +125,9 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             times.append(time.time() - t0)
             s = sorted(times)
-            if len(times) >= 4:
+            if len(times) >= 3:
                 break
-            if len(times) >= 2 and s[1] <= 1.25 * s[0]:
-                break
-            if len(times) >= 3 and s[0] >= 8:
+            if len(times) >= 2 and (s[1] <= 1.25 * s[0] or s[0] >= 8):
                 break
         timings[name] = round(min(times), 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
@@ -140,14 +139,11 @@ def main() -> None:
     # partition collapse) two scale steps above the flagship. Gate with
     # SPARK_GRAFT_SCALE_TREND=0 to skip.
     if os.environ.get("SPARK_GRAFT_SCALE_TREND", "1") != "0":
-        trend = []
-        for _ in range(2):  # min-of-2: one noise burst must not fake a trend
-            drop_stale_persisted()
-            t0 = time.time()
-            qs["overlap_count_50x"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            trend.append(time.time() - t0)
-        timings["overlap_count_50x"] = round(min(trend), 3)
-        print(f"# overlap_count_50x (excluded from total): "
+        drop_stale_persisted()
+        t0 = time.time()
+        qs["overlap_count_50x"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings["overlap_count_50x"] = round(time.time() - t0, 3)
+        print(f"# overlap_count_50x (excluded from total, single sample): "
               f"{timings['overlap_count_50x']:.2f}s", file=sys.stderr)
 
     print(json.dumps({
