@@ -32,8 +32,10 @@ from sequila_native_spark.session import (
 from sequila_native_spark.operators.interval_join import (
     clear_bin_width_cache,
     overlap_join,
+    stab,
     window_join,
 )
+from sequila_native_spark.operators.map_intervals import map_intervals
 from sequila_native_spark.operators.nearest_join import nearest_join
 from sequila_native_spark.operators.count_overlaps import count_overlaps
 from sequila_native_spark.operators.coverage import (
@@ -53,6 +55,7 @@ from sequila_native_spark.operators.merge_intervals import (
 )
 from sequila_native_spark.operators.intervals import (
     flank_intervals,
+    fraction_predicate,
     shift_intervals,
     slop_intervals,
 )
@@ -75,7 +78,10 @@ __all__ = [
     "sequila_session",
     "drop_stale_persisted",
     "overlap_join",
+    "map_intervals",
+    "stab",
     "window_join",
+    "fraction_predicate",
     "clear_bin_width_cache",
     "nearest_join",
     "count_overlaps",

@@ -48,7 +48,11 @@ from sequila_native_spark.operators.interval_join import (
     resolve_bin_width,
 )
 from sequila_native_spark.util import stamp_row_id
-from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
+from sequila_native_spark.operators.intervals import (
+    fraction_predicate,
+    overlap_predicate,
+    validate_sides,
+)
 from sequila_native_spark.session import SequilaConf, parse_algorithm
 
 _PID = "__sq_probe_id"
@@ -67,10 +71,31 @@ def count_overlaps(
     algorithm: str | None = None,
     bin_width: int | None = None,
     count_col: str = "count",
+    min_frac_left: float | None = None,
+    min_frac_right: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
     check_bounds: bool | None = None,
 ) -> DataFrame:
     """Return ``right`` with ``count_col`` = number of overlapping ``left``
-    intervals in the same equi-key group (0 when none)."""
+    intervals in the same equi-key group (0 when none).
+
+    ``min_frac_left`` / ``min_frac_right`` / ``reciprocal`` / ``either``:
+    bedtools ``-f/-F/-r/-e`` minimum-overlap-fraction predicates restricting
+    which overlaps count — evaluated on the closed input intervals
+    (incompatible with ``strict``); the ``index`` algorithm routes to
+    ``binning`` when fractions are requested (the count kernel's two binary
+    searches answer plain overlap only).
+    """
+    wants_frac = (
+        min_frac_left is not None or min_frac_right is not None
+        or reciprocal or either
+    )
+    if wants_frac and strict:
+        raise ValueError(
+            "overlap fractions are defined on the closed input intervals; "
+            "strict=True would shrink them — not supported together"
+        )
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
     algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
@@ -93,6 +118,9 @@ def count_overlaps(
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
 
+    if algo == "index" and wants_frac:
+        algo = "binning"
+
     if algo == "index":
         try:
             return _index_count(
@@ -112,6 +140,14 @@ def count_overlaps(
             pairs = rb.join(lb, cond, "inner")
         else:
             pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
+        if wants_frac:
+            pairs = pairs.where(
+                fraction_predicate(
+                    F.col(_LS), F.col(_LE), F.col(_RS), F.col(_RE),
+                    min_frac_left=min_frac_left, min_frac_right=min_frac_right,
+                    reciprocal=reciprocal, either=either,
+                )
+            )
         counts = pairs.groupBy(_PID).agg(F.count(F.lit(1)).alias(count_col))
         return (
             right.join(counts, _PID, "left_outer")

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from sequila_native_spark.operators.intervals import (
     IntervalSides,
     checked_i32,
+    fraction_predicate,
     normalize_strict,
     overlap_predicate,
     validate_sides,
@@ -424,6 +425,10 @@ def overlap_join(
     rsuffix: str = "_r",
     check_bounds: bool | None = None,
     metrics=None,
+    min_frac_left: float | None = None,
+    min_frac_right: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
     _shrink_left_end: bool | None = None,
     _shrink_right_end: bool | None = None,
 ) -> DataFrame:
@@ -444,12 +449,36 @@ def overlap_join(
 
     The right side retains its column names except collisions with the left,
     which get ``rsuffix`` appended.
+
+    ``min_frac_left`` / ``min_frac_right`` / ``reciprocal`` / ``either``:
+    bedtools ``-f/-F/-r/-e`` minimum-overlap-fraction predicates
+    (:func:`~sequila_native_spark.operators.intervals.fraction_predicate`) —
+    a pure post-filter on the clipped overlap length, applied after the
+    overlap join so every algorithm shares one code path. Inner joins only
+    (the outer null-padded shapes have no overlap to measure), and
+    incompatible with ``strict`` (bedtools fractions are defined on the
+    caller's closed intervals; strict shrinks them).
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(
             f"overlap_join supports how='inner'|'left'|'right'|'full', got "
             f"{how!r} (semi/anti shapes: use filter_by_overlap)"
         )
+    wants_frac = (
+        min_frac_left is not None or min_frac_right is not None
+        or reciprocal or either
+    )
+    if wants_frac:
+        if how != "inner":
+            raise ValueError(
+                "overlap fractions (min_frac_left/min_frac_right) apply to "
+                "inner overlap joins only"
+            )
+        if strict or _shrink_left_end or _shrink_right_end:
+            raise ValueError(
+                "overlap fractions are defined on the closed input intervals; "
+                "strict=True would shrink them — not supported together"
+            )
     spark = left.sparkSession
     conf = SequilaConf.from_spark(spark)
     if algorithm:
@@ -461,6 +490,11 @@ def overlap_join(
         # (integration_test.rs:352-399) — delegate to nearest_join
         from sequila_native_spark.operators.nearest_join import nearest_join
 
+        if wants_frac:
+            raise ValueError(
+                "overlap fractions do not apply to nearest mode (the emitted "
+                "row may not overlap at all)"
+            )
         if how != "inner":
             raise ValueError(
                 "nearest mode (CoitreesNearest) emits exactly one row per "
@@ -508,11 +542,24 @@ def overlap_join(
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, shrink_l, check)
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, shrink_r, check)
 
+    def _frac_filter(out: DataFrame) -> DataFrame:
+        # Fractions post-filter on the OUTPUT columns (strict is rejected
+        # above, so they equal the matched bounds) — one code path shared by
+        # every algorithm, evaluated JVM-side in the same codegen stage.
+        if not wants_frac:
+            return out
+        pred = fraction_predicate(
+            F.col(left_start), F.col(left_end), F.col(r_start), F.col(r_end),
+            min_frac_left=min_frac_left, min_frac_right=min_frac_right,
+            reciprocal=reciprocal, either=either,
+        )
+        return out.where(pred)
+
     if algo == "naive":
         cond = overlap_predicate(lb[_LS], lb[_LE], rb[_RS], rb[_RE])
         for k, rk in zip(l_keys, r_keys):
             cond = (lb[k] == rb[rk]) & cond
-        return lb.join(rb, cond, how).select(*out_cols)
+        return _frac_filter(lb.join(rb, cond, how).select(*out_cols))
 
     if how != "inner":
         return _outer_overlap(
@@ -520,20 +567,26 @@ def overlap_join(
         )
 
     if algo == "binning":
-        return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
+        return _frac_filter(_binning_join(lb, rb, l_keys, r_keys, width, out_cols))
 
     if algo == "index":
         try:
-            return _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols, metrics)
+            return _frac_filter(
+                _broadcast_index_join(lb, rb, l_keys, r_keys, out_cols, metrics)
+            )
         except BuildSideTooLargeError:
             # reference intent: accounted memory, never a blind collect
             # (interval_join.rs:624-660) — fall back to the distributed path
             if l_keys:
-                return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
-            return _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
+                return _frac_filter(
+                    _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
+                )
+            return _frac_filter(
+                _binning_join(lb, rb, l_keys, r_keys, width, out_cols)
+            )
 
     if algo == "partitioned":
-        return _cogroup_index_join(lb, rb, l_keys, r_keys, out_cols)
+        return _frac_filter(_cogroup_index_join(lb, rb, l_keys, r_keys, out_cols))
 
     raise AssertionError(f"unreachable algorithm {algo}")
 
@@ -936,3 +989,27 @@ def window_join(
         check_bounds=check_bounds,
     )
     return out.drop("__sq_ws", "__sq_we")
+
+
+def stab(
+    df: DataFrame,
+    pos: int,
+    key: str | None = None,
+    on: str = "contig",
+    start: str = "pos_start",
+    end: str = "pos_end",
+) -> DataFrame:
+    """Point-stab query (superintervals ``search_stabbed``,
+    ``superintervals/src/superintervals.rs:764``): rows whose closed interval
+    contains ``pos``, optionally restricted to one ``key`` value of ``on``.
+
+    A point is a degenerate interval, so this is a plain Catalyst filter —
+    both comparisons push down to the scan (parquet min/max row-group
+    skipping applies when the data is sorted/partitioned by position). For a
+    whole FRAME of points, join instead:
+    ``filter_by_overlap(points_df, df, ...)`` with ``[pos, pos]`` bounds.
+    """
+    pred = (F.col(start) <= F.lit(pos)) & (F.col(end) >= F.lit(pos))
+    if key is not None:
+        pred = (F.col(on) == F.lit(key)) & pred
+    return df.where(pred)

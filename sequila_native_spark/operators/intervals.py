@@ -141,6 +141,65 @@ def overlap_predicate(
     return (l_start <= r_end) & (l_end >= r_start)
 
 
+def fraction_predicate(
+    l_start: Column,
+    l_end: Column,
+    r_start: Column,
+    r_end: Column,
+    *,
+    min_frac_left: float | None = None,
+    min_frac_right: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
+) -> Column | None:
+    """Minimum-overlap-fraction post-filter (bedtools ``-f/-F/-r/-e``).
+
+    For an overlapping pair, the clipped overlap length is
+    ``least(le, re) − greatest(ls, rs) + 1``; the predicate requires
+
+    - ``min_frac_left`` (bedtools ``-f``): overlap ≥ fraction of the LEFT
+      interval's length;
+    - ``min_frac_right`` (``-F``): overlap ≥ fraction of the RIGHT length;
+    - ``reciprocal=True`` (``-r``): apply ``min_frac_left`` to BOTH sides;
+    - ``either=True`` (``-e``): satisfy at least one given fraction instead
+      of all of them.
+
+    Returns ``None`` when no fraction is requested. The comparison is
+    ``overlap >= f * length`` in IEEE doubles — the identical expression any
+    SQL twin can state, so results stay oracle-comparable. Fractions are
+    only meaningful for pairs that already overlap; callers apply this ON
+    TOP of :func:`overlap_predicate`, never instead of it.
+    """
+    if reciprocal:
+        if min_frac_left is None:
+            raise ValueError("reciprocal=True requires min_frac_left (bedtools -r needs -f)")
+        if min_frac_right is not None:
+            raise ValueError(
+                "reciprocal=True derives the right fraction from min_frac_left; "
+                "do not also pass min_frac_right"
+            )
+        min_frac_right = min_frac_left
+    conds = []
+    ov = (F.least(l_end, r_end) - F.greatest(l_start, r_start) + 1).cast("double")
+    for frac, length in (
+        (min_frac_left, l_end - l_start + 1),
+        (min_frac_right, r_end - r_start + 1),
+    ):
+        if frac is None:
+            continue
+        if not (0.0 < float(frac) <= 1.0):
+            raise ValueError(f"overlap fractions must be in (0, 1], got {frac}")
+        conds.append(ov >= F.lit(float(frac)) * length.cast("double"))
+    if not conds:
+        if either:
+            raise ValueError("either=True requires at least one overlap fraction")
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = (out | c) if either else (out & c)
+    return out
+
+
 def _proj(df, start, end, new_s, new_e):
     """Replace the bound columns with new expressions, other columns kept."""
     from pyspark.sql import functions as F

@@ -32,7 +32,11 @@ from sequila_native_spark.operators.interval_join import (
     resolve_bin_width,
 )
 from sequila_native_spark.util import stamp_row_id
-from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
+from sequila_native_spark.operators.intervals import (
+    fraction_predicate,
+    overlap_predicate,
+    validate_sides,
+)
 from sequila_native_spark.session import SequilaConf, parse_algorithm
 
 _PID = "__sq_probe_id"
@@ -51,16 +55,30 @@ def filter_by_overlap(
     strict: bool = False,
     algorithm: str | None = None,
     bin_width: int | str | None = None,
+    min_frac_df: float | None = None,
+    min_frac_regions: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
     check_bounds: bool | None = None,
 ) -> DataFrame:
     """Keep rows of ``df`` that overlap ≥1 ``regions`` interval in their
     equi-key group (``negate=True``: keep rows overlapping none).
 
     Returns ``df``'s rows unchanged (schema preserved, duplicates kept).
+
+    ``min_frac_df`` / ``min_frac_regions`` / ``reciprocal`` / ``either``:
+    bedtools ``-f/-F/-r/-e`` — an overlap only qualifies when it covers at
+    least the given fraction of the ``df`` row's interval (``-f``) and/or of
+    the region (``-F``); ``reciprocal`` applies ``min_frac_df`` to both
+    sides, ``either`` ORs the given fractions. Evaluated on the closed
+    input intervals (incompatible with ``strict``). With ``negate=True``
+    this is bedtools ``-v -f``: keep rows with NO qualifying overlap.
     """
     probe, matched_ids, out_cols = _probe_and_matched(
         df, regions, on, df_start, df_end, regions_start, regions_end,
         strict=strict, algorithm=algorithm, bin_width=bin_width,
+        min_frac_df=min_frac_df, min_frac_regions=min_frac_regions,
+        reciprocal=reciprocal, either=either,
         check_bounds=check_bounds,
     )
     how = "left_anti" if negate else "left_semi"
@@ -80,6 +98,10 @@ def mark_by_overlap(
     strict: bool = False,
     algorithm: str | None = None,
     bin_width: int | str | None = None,
+    min_frac_df: float | None = None,
+    min_frac_regions: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
     check_bounds: bool | None = None,
 ) -> DataFrame:
     """Keep ALL rows of ``df``, adding boolean ``mark_col`` = "this row
@@ -97,6 +119,8 @@ def mark_by_overlap(
     probe, matched_ids, out_cols = _probe_and_matched(
         df, regions, on, df_start, df_end, regions_start, regions_end,
         strict=strict, algorithm=algorithm, bin_width=bin_width,
+        min_frac_df=min_frac_df, min_frac_regions=min_frac_regions,
+        reciprocal=reciprocal, either=either,
         check_bounds=check_bounds,
     )
     marked = probe.join(
@@ -119,10 +143,32 @@ def _probe_and_matched(
     strict: bool,
     algorithm: str | None,
     bin_width: int | str | None,
+    min_frac_df: float | None = None,
+    min_frac_regions: float | None = None,
+    reciprocal: bool = False,
+    either: bool = False,
     check_bounds: bool | None,
 ):
     """Shared semi/anti/mark machinery: stamp probe ids, build the binned
     (or naive) candidate pair set, reduce it to the distinct matched ids."""
+    wants_frac = (
+        min_frac_df is not None or min_frac_regions is not None
+        or reciprocal or either
+    )
+    if wants_frac and strict:
+        raise ValueError(
+            "overlap fractions are defined on the closed input intervals; "
+            "strict=True would shrink them — not supported together"
+        )
+    if reciprocal:
+        if min_frac_df is None:
+            raise ValueError("reciprocal=True requires min_frac_df (bedtools -r needs -f)")
+        if min_frac_regions is not None:
+            raise ValueError(
+                "reciprocal=True derives the region fraction from min_frac_df; "
+                "do not also pass min_frac_regions"
+            )
+        min_frac_regions = min_frac_df
     spark = df.sparkSession
     conf = SequilaConf.from_spark(spark)
     algo = parse_algorithm(algorithm) if algorithm else conf.algorithm
@@ -155,6 +201,16 @@ def _probe_and_matched(
         pairs = rb.join(lb, cond, "inner")
     else:
         pairs = _binned_pairs(lb, rb, l_keys, r_keys, width)
+
+    if wants_frac:
+        # regions are the build/left side here, df the probe/right side
+        pairs = pairs.where(
+            fraction_predicate(
+                F.col(_LS), F.col(_LE), F.col(_RS), F.col(_RE),
+                min_frac_left=min_frac_regions, min_frac_right=min_frac_df,
+                either=either,
+            )
+        )
 
     matched_ids = pairs.select(_PID).distinct()
     return probe, matched_ids, out_cols
