@@ -47,6 +47,7 @@ from sequila_native_spark.functions import (
 from sequila_native_spark.functions.text import (
     STOPWORDS,
     lang_id_sql,
+    normalize_text_sql,
     repetition_features_sql,
     winnow_containment_oracle_sql,
     winnow_containment_pairs,
@@ -228,6 +229,31 @@ def q_overlap_count_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_overlap_selective_algorithms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 composite (VERDICT r4 item 1 slot engineering): the index
+    (broadcast per-key sorted arrays, CollectLeft analogue) and partitioned
+    (cogroup) algorithms over the SAME selective build side, counted per
+    contig and joined into one hash-checked frame — the same merge trick as
+    ``overlap_count_algorithms``. Replaces the two standalone rows
+    ``overlap_small_build_index`` / ``overlap_partitioned_selective`` (their
+    functions remain; bench.py still times them individually)."""
+    build = _targets(spark, sf_dir).where(F.col("t_id") % 101 == 0)
+    probe = _reads(spark, sf_dir, with_id=False)
+
+    def cnt(algo: str, alias: str) -> DataFrame:
+        oj = overlap_join(
+            build, probe, on="contig",
+            left_start="t_start", left_end="t_end",
+            right_start="r_start", right_end="r_end",
+            algorithm=algo,
+        )
+        return oj.groupBy("contig").agg(F.count(F.lit(1)).alias(alias))
+
+    return cnt("index", "n_pairs_index").join(
+        cnt("partitioned", "n_pairs_partitioned"), "contig"
+    )
+
+
 def q_overlap_small_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the index algorithm's design point (reference CollectLeft mode):
     # small build side broadcast as per-key sorted arrays, large probe
@@ -285,6 +311,132 @@ def q_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
         on="contig", **_IVL, algorithm="binning",
+    )
+
+
+def q_coverage_union_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 composite: per-target overlap count + clipped-base coverage
+    (A12 ``coverage`` kernel) joined with the merged-sweep distinct-base
+    union coverage on the unique ``t_id`` — one row set exercising both
+    operators. Replaces the standalone ``coverage_per_target`` /
+    ``union_coverage_per_target`` rows."""
+    cov = coverage(
+        _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+        on="contig", **_IVL, algorithm="binning",
+    )
+    uni = union_coverage(
+        _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
+        on="contig", **_IVL,
+    )
+    return cov.join(uni.select("t_id", "bases_union"), "t_id").select(
+        "contig", "t_start", "t_end", "t_id",
+        "n_overlaps", "bases_covered", "bases_union",
+    )
+
+
+def q_map_reads_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools ``map`` with a minimum-overlap fraction (VERDICT r4 items
+    4+5 in one slot): per sampled target, aggregate the overlapping reads'
+    length column — count / sum / min-start / max-end — counting only
+    overlaps that cover ≥50% of the read (bedtools ``-F 0.5``).
+
+    The general operator behind the A6 intent (``interval_join.rs:735``):
+    ``count_overlaps`` and ``coverage`` are its two special cases."""
+    from sequila_native_spark import map_intervals
+
+    t = _targets(spark, sf_dir).where(F.col("t_id") % 7 == 3)
+    r = _reads(spark, sf_dir, with_id=False).withColumn(
+        "r_len", (F.col("r_end") - F.col("r_start") + 1).cast("bigint")
+    )
+    return map_intervals(
+        t, r, on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end",
+        aggs={
+            "n_reads": ("count", None),
+            "sum_len": ("sum", "r_len"),
+            "min_start": ("min", "r_start"),
+            "max_end": ("max", "r_end"),
+        },
+        min_frac_right=0.5,
+    )
+
+
+def q_windowed_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools ``makewindows`` ∘ ``intersect -c`` (VERDICT r4 item 1): tile
+    sampled targets with 500-base windows, count overlapping reads per
+    window, summarize per contig. Drives ``make_windows`` under a green
+    oracle via composition — window generation is pure Catalyst
+    (sequence+explode inside the scan tasks), depth is the binned
+    count_overlaps."""
+    from sequila_native_spark import make_windows
+
+    wins = make_windows(
+        _targets(spark, sf_dir).where(F.col("t_id") % 101 == 0),
+        on=["contig", "t_id"], start="t_start", end="t_end", window=500,
+    )
+    depth = count_overlaps(
+        _reads(spark, sf_dir, with_id=False), wins,
+        on="contig", left_start="r_start", left_end="r_end",
+        right_start="t_start", right_end="t_end",
+        algorithm="binning", count_col="depth",
+    )
+    return depth.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("depth").cast("bigint").alias("total_depth"),
+        F.max("depth").alias("max_depth"),
+        F.sum(F.col("t_end") - F.col("t_start") + 1).cast("bigint").alias("window_bases"),
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools ``cluster -d 300`` (VERDICT r4 item 1): label sampled reads
+    with their transitive-overlap cluster (within 300 bases), then summarize
+    cluster count / size / span per contig — a compact oracle row over the
+    full labeling (the twin derives identical clusters from gap-merged
+    runs)."""
+    from sequila_native_spark import cluster_intervals
+
+    sel = _reads(spark, sf_dir, with_id=False).where(
+        (F.col("r_start") * 7 + F.col("r_end")) % 31 == 0
+    )
+    cl = cluster_intervals(
+        sel, on="contig", start="r_start", end="r_end", max_gap=300
+    )
+    per = cl.groupBy("contig", "cluster_id", "cluster_start", "cluster_end").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return per.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max("sz").alias("max_cluster_size"),
+        F.sum(F.col("cluster_end") - F.col("cluster_start") + 1)
+        .cast("bigint").alias("cluster_bases"),
+    )
+
+
+def q_reads_in_out_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 composite: the semi (``intersect -u``) and anti (``intersect -v``)
+    overlap filters over the same region set, counted per contig and
+    full-joined into one frame (0-filled) — one hash-checked row driving
+    both declared join-type shapes. Replaces the standalone
+    ``reads_inside_targets`` / ``reads_outside_targets`` rows."""
+    regions = _targets(spark, sf_dir).where(F.col("t_id") % 11 == 0)
+
+    def cnt(negate: bool, alias: str) -> DataFrame:
+        kept = filter_by_overlap(
+            _reads(spark, sf_dir), regions, on="contig",
+            df_start="r_start", df_end="r_end",
+            regions_start="t_start", regions_end="t_end",
+            negate=negate,
+        )
+        return kept.groupBy("contig").agg(F.count(F.lit(1)).alias(alias))
+
+    j = cnt(False, "n_inside").join(cnt(True, "n_outside"), "contig", "full")
+    return j.select(
+        "contig",
+        F.coalesce(F.col("n_inside"), F.lit(0)).cast("bigint").alias("n_inside"),
+        F.coalesce(F.col("n_outside"), F.lit(0)).cast("bigint").alias("n_outside"),
     )
 
 
@@ -591,6 +743,29 @@ def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 (VERDICT r4 item 1): ``filter_documents`` ∘ ``normalize_text``
+    under a green oracle — the Gopher-style quality filter keeps documents
+    on the RAW text (line structure matters for the repetition rules), the
+    survivors are normalized, and the quality features are recomputed over
+    the normalized text. Twins: the rule expressions are the already-
+    oracle-checked feature twins; normalization via ``normalize_text_sql``
+    (byte-equal by unit pin). One scan, zero shuffle, pure Catalyst."""
+    from sequila_native_spark.functions.text import filter_documents, normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = filter_documents(
+        docs, "text",
+        min_tokens=10, min_ttr_milli=100, min_stop_milli=10,
+        max_dup_line_milli=300, max_top_bigram_milli=180, max_word_run=8,
+    )
+    norm = kept.select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    feats = quality_features(F.col("text"))
+    return norm.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_clusters(_t(spark, sf_dir, "documents"))
 
@@ -715,12 +890,11 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_reads_minus_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bedtools subtract: reads minus sampled target regions, summarized per
-    # contig (pieces + surviving bases). Oracle SQL provided (counting
-    # identity: pieces per read = overlapping covers + 1 − start-covered −
-    # end-covered over DISJOINT merged covers), but the query sits past the
-    # driver's 50-slot cap — the local gate (tools/check_oracle.py) checks
-    # it every round, and it upgrades automatically if the cap rises;
-    # per-base brute-force pins live in tests/test_merge_intervals.py.
+    # contig (pieces + surviving bases). Oracle: the counting identity —
+    # pieces per read = overlapping covers + 1 − start-covered − end-covered
+    # over DISJOINT merged covers. Promoted into the driver's 50-slot oracle
+    # prefix in r5 (VERDICT r4 item 1); per-base brute-force pins live in
+    # tests/test_merge_intervals.py.
     from sequila_native_spark import subtract_intervals
 
     out = subtract_intervals(
@@ -964,6 +1138,37 @@ def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset(key) if prior is None else spark.conf.set(key, prior)
 
 
+_NEAREST_COLS = ["contig", "r_start", "r_end", "contig_r", "t_start", "t_end", "t_id"]
+
+
+def q_nearest_algorithms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 composite (VERDICT r4 item 1): the three scale paths of A5 —
+    ``partitioned`` (cogroup per key, no driver collect),
+    ``broadcast_probe`` (small probe broadcast, build-side scan with
+    per-batch argmin), and the SQL-text route under ``CoitreesNearest`` —
+    as one tagged union, each over its own (disjoint) target sample so the
+    merged oracle stays the three original twins verbatim. Replaces the
+    standalone ``nearest_partitioned`` / ``nearest_broadcast_probe`` /
+    ``nearest_sql`` rows (functions remain for bench)."""
+    reads = _reads(spark, sf_dir, with_id=False)
+    parts = []
+    for tag, algo, mod in [
+        ("partitioned", "partitioned", 5),
+        ("broadcast_probe", "broadcast_probe", 7),
+    ]:
+        nj = nearest_join(
+            reads, _targets(spark, sf_dir).where(F.col("t_id") % 10 == mod),
+            on="contig", **_IVL, algorithm=algo,
+        )
+        parts.append(nj.select(F.lit(tag).alias("algo"), *_NEAREST_COLS))
+    sql_route = q_nearest_sql(spark, sf_dir)
+    parts.append(sql_route.select(F.lit("sql").alias("algo"), *_NEAREST_COLS))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # q_overlap_count_sql retired in r4 (VERDICT r3 item 1): it re-proved
 # overlap_count_per_contig's oracle verbatim through the sequila_sql
 # front-end, spending a driver correctness slot the 50-query budget needs
@@ -987,33 +1192,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (seeded LSH, iterative k-means, recall harnesses — no ANSI-SQL twin by
     nature) are listed after the oracle block."""
     return {
-        # -- oracle-bearing block (exactly 50) --------------------------------
+        # -- oracle-bearing block (exactly 50). r5 restructure (VERDICT r4
+        # item 1): four composites (selective algorithms, coverage+union,
+        # semi+anti, nearest×3) free five slots for the previously uncovered
+        # operators — subtract (promoted), make_windows (windowed_depth),
+        # cluster_intervals (cluster_sizes), filter_documents+normalize_text
+        # (filtered_doc_stats), map_intervals+fractions (map_reads_per_target).
         "overlap_count_per_contig": q_overlap_count_per_contig,
         "overlap_pairs_chr0": q_overlap_pairs_chr0,
         "overlap_count_algorithms": q_overlap_count_algorithms,
-        "overlap_small_build_index": q_overlap_small_build_index,
-        "overlap_partitioned_selective": q_overlap_partitioned_selective,
+        "overlap_selective_algorithms": q_overlap_selective_algorithms,
         "overlap_count_skewed": q_overlap_count_skewed,
         "overlap_count_low_memory": q_overlap_count_low_memory,
         "overlap_count_10x": q_overlap_count_10x,
         "range_only_count": q_range_only_count,
         "overlap_strict_count": q_overlap_strict_count,
         "count_overlaps_per_target": q_count_overlaps_per_target,
-        "coverage_per_target": q_coverage_per_target,
-        "union_coverage_per_target": q_union_coverage_per_target,
-        "reads_outside_targets": q_reads_outside_targets,
+        "map_reads_per_target": q_map_reads_per_target,
+        "coverage_union_per_target": q_coverage_union_per_target,
+        "windowed_depth": q_windowed_depth,
+        "reads_in_out_targets": q_reads_in_out_targets,
+        "reads_minus_targets": q_reads_minus_targets,
         "merged_read_runs": q_merged_read_runs,
         "read_depth_histogram": q_read_depth_histogram,
         "read_coverage_gaps": q_read_coverage_gaps,
         "read_target_jaccard": q_read_target_jaccard,
         "reads_near_targets": q_reads_near_targets,
         "multi_intersect_regions": q_multi_intersect_regions,
-        "reads_inside_targets": q_reads_inside_targets,
+        "cluster_sizes": q_cluster_sizes,
         "reads_marked_by_target": q_reads_marked_by_target,
         "nearest_target_read": q_nearest_target_read,
-        "nearest_partitioned": q_nearest_partitioned,
-        "nearest_broadcast_probe": q_nearest_broadcast_probe,
-        "nearest_sql": q_nearest_sql,
+        "nearest_algorithms": q_nearest_algorithms,
         "nearest_k3": q_nearest_k3,
         "overlap_left_outer": q_overlap_left_outer,
         "overlap_full_outer": q_overlap_full_outer,
@@ -1029,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lang_dist": q_doc_lang_dist,
+        "filtered_doc_stats": q_filtered_doc_stats,
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -1038,10 +1248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
-        # -- past-the-cap block: rows-only checks (no ANSI-SQL twin;
-        # semantics unit-pinned), plus reads_minus_targets (HAS an oracle —
-        # validated by tools/check_oracle.py locally; upgrades automatically
-        # if the driver's 50-query cap ever rises) ---------------------------
+        # -- past-the-cap block: rows-only checks (no ANSI-SQL twin by
+        # nature — seeded LSH, iterative k-means, recall harnesses;
+        # semantics unit-pinned) ---------------------------------------------
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "multimodal_topk": q_multimodal_topk,
         "simhash_docs": q_simhash_docs,
@@ -1051,13 +1260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
-        "reads_minus_targets": q_reads_minus_targets,
         "overlap_count_50x": q_overlap_count_50x,
     }
 
 
-def _merged_runs_sql(src: str, s: str, e: str) -> str:
-    """Bedtools-merge twin as a subquery: (contig, s, e) disjoint runs."""
+def _merged_runs_sql(src: str, s: str, e: str, gap: int = 0) -> str:
+    """Bedtools-merge twin as a subquery: (contig, s, e) disjoint runs.
+    ``gap`` > 0 merges runs within that distance (bedtools ``-d``)."""
     prev_max = (
         f"max({e}) OVER (PARTITION BY contig ORDER BY {s}, {e} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
@@ -1070,7 +1279,7 @@ def _merged_runs_sql(src: str, s: str, e: str) -> str:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
             FROM (
                 SELECT contig, {s}, {e},
-                       CASE WHEN {prev_max} IS NULL OR {s} > {prev_max} + 1
+                       CASE WHEN {prev_max} IS NULL OR {s} > {prev_max} + 1 + {gap}
                        THEN 1 ELSE 0 END AS new_run
                 FROM {src}
             )
@@ -1149,19 +1358,14 @@ def oracle_sql() -> dict[str, str]:
             ON r.contig = t.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
             GROUP BY r.contig
         """,
-        "overlap_small_build_index": f"""
+        "overlap_selective_algorithms": f"""
             WITH {reads}, {targets}
-            SELECT r.contig AS contig, count(*) AS n_pairs
+            SELECT r.contig AS contig,
+                   count(*) AS n_pairs_index,
+                   count(*) AS n_pairs_partitioned
             FROM reads r JOIN (SELECT * FROM targets WHERE t_id % 101 = 0) t
             ON {overlap}
             GROUP BY r.contig
-        """,
-        "overlap_partitioned_selective": f"""
-            WITH {reads}, {targets}
-            SELECT t.contig AS contig, count(*) AS n_pairs
-            FROM reads r JOIN (SELECT * FROM targets WHERE t_id % 101 = 0) t
-            ON {overlap}
-            GROUP BY t.contig
         """,
         "range_only_count": f"""
             WITH {reads}, {targets}
@@ -1184,20 +1388,19 @@ def oracle_sql() -> dict[str, str]:
             FROM targets t LEFT JOIN reads r ON {overlap}
             GROUP BY t.contig, t.t_start, t.t_end, t.t_id
         """,
-        "coverage_per_target": f"""
-            WITH {reads}, {targets}
-            SELECT t.contig, t.t_start, t.t_end, t.t_id,
-                   count(r.contig) AS n_overlaps,
-                   CAST(coalesce(sum(
-                       CASE WHEN r.contig IS NULL THEN NULL
-                            ELSE least(r.r_end, t.t_end)
-                                 - greatest(r.r_start, t.t_start) + 1 END
-                   ), 0) AS BIGINT) AS bases_covered
-            FROM targets t LEFT JOIN reads r ON {overlap}
-            GROUP BY t.contig, t.t_start, t.t_end, t.t_id
-        """,
-        "union_coverage_per_target": f"""
+        "coverage_union_per_target": f"""
             WITH {reads}, {targets},
+            cov AS (
+                SELECT t.contig, t.t_start, t.t_end, t.t_id,
+                       count(r.contig) AS n_overlaps,
+                       CAST(coalesce(sum(
+                           CASE WHEN r.contig IS NULL THEN NULL
+                                ELSE least(r.r_end, t.t_end)
+                                     - greatest(r.r_start, t.t_start) + 1 END
+                       ), 0) AS BIGINT) AS bases_covered
+                FROM targets t LEFT JOIN reads r ON {overlap}
+                GROUP BY t.contig, t.t_start, t.t_end, t.t_id
+            ),
             pairs AS (
                 SELECT t.t_id,
                        greatest(r.r_start, t.t_start) AS cs,
@@ -1217,9 +1420,67 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(greatest(0, ce - greatest(cs - 1, coalesce(pm, cs - 1)))) AS BIGINT) AS bases_union
                 FROM sweep GROUP BY t_id
             )
-            SELECT t.contig, t.t_start, t.t_end, t.t_id,
+            SELECT c.contig, c.t_start, c.t_end, c.t_id,
+                   c.n_overlaps, c.bases_covered,
                    CAST(coalesce(a.bases_union, 0) AS BIGINT) AS bases_union
-            FROM targets t LEFT JOIN agg a ON t.t_id = a.t_id
+            FROM cov c LEFT JOIN agg a ON c.t_id = a.t_id
+        """,
+        "map_reads_per_target": f"""
+            WITH {reads}, {targets}
+            SELECT t.contig, t.t_start, t.t_end, t.t_id,
+                   count(r.contig) AS n_reads,
+                   CAST(sum(CASE WHEN r.contig IS NULL THEN NULL
+                            ELSE r.r_end - r.r_start + 1 END) AS BIGINT) AS sum_len,
+                   min(r.r_start) AS min_start,
+                   max(r.r_end) AS max_end
+            FROM (SELECT * FROM targets WHERE t_id % 7 = 3) t
+            LEFT JOIN reads r
+            ON {overlap}
+               AND CAST(least(r.r_end, t.t_end) - greatest(r.r_start, t.t_start) + 1 AS DOUBLE)
+                   >= 0.5 * CAST(r.r_end - r.r_start + 1 AS DOUBLE)
+            GROUP BY t.contig, t.t_start, t.t_end, t.t_id
+        """,
+        "windowed_depth": f"""
+            WITH {reads}, {targets},
+            sel AS (SELECT contig, t_id, t_start, t_end FROM targets WHERE t_id % 101 = 0),
+            wins AS (
+                SELECT contig, t_id, i,
+                       CAST(t_start + 500 * i AS INT) AS ws,
+                       CAST(least(t_start + 500 * i + 499, t_end) AS INT) AS we
+                FROM sel, LATERAL (
+                    SELECT unnest(range(0,
+                        CAST(floor((t_end - t_start) / 500.0) AS BIGINT) + 1)) AS i
+                ) g
+            ),
+            d AS (
+                SELECT w.contig AS contig, w.t_id, w.i, w.ws, w.we,
+                       count(r.contig) AS depth
+                FROM wins w LEFT JOIN reads r
+                ON r.contig = w.contig AND r.r_start <= w.we AND r.r_end >= w.ws
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT contig, count(*) AS n_windows,
+                   CAST(sum(depth) AS BIGINT) AS total_depth,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(sum(we - ws + 1) AS BIGINT) AS window_bases
+            FROM d GROUP BY contig
+        """,
+        "cluster_sizes": f"""
+            WITH {reads},
+            sel AS (SELECT contig, r_start, r_end FROM reads
+                    WHERE (r_start * 7 + r_end) % 31 = 0),
+            m AS {_merged_runs_sql("sel", "r_start", "r_end", gap=300)},
+            j AS (
+                SELECT r.contig AS contig, m.s, m.e, count(*) AS sz
+                FROM sel r JOIN m
+                ON r.contig = m.contig AND r.r_start >= m.s AND r.r_end <= m.e
+                GROUP BY 1, 2, 3
+            )
+            SELECT contig, count(*) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_rows,
+                   CAST(max(sz) AS BIGINT) AS max_cluster_size,
+                   CAST(sum(e - s + 1) AS BIGINT) AS cluster_bases
+            FROM j GROUP BY contig
         """,
         # subtract summary via the counting identity over DISJOINT merged
         # covers: pieces(read) = #overlapping covers + 1 − [start covered] −
@@ -1402,25 +1663,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_merged) AS BIGINT) AS n_inputs
             FROM merged GROUP BY contig
         """,
-        "reads_outside_targets": f"""
-            WITH {reads}, {targets}
-            SELECT r.contig AS contig, count(*) AS n_reads
-            FROM reads r
-            WHERE NOT EXISTS (
-                SELECT 1 FROM targets t
-                WHERE t.t_id % 11 = 0 AND {overlap}
+        "reads_in_out_targets": f"""
+            WITH {reads}, {targets},
+            fl AS (
+                SELECT r.contig AS contig,
+                       EXISTS (
+                           SELECT 1 FROM targets t
+                           WHERE t.t_id % 11 = 0 AND {overlap}
+                       ) AS ex
+                FROM reads r
             )
-            GROUP BY r.contig
-        """,
-        "reads_inside_targets": f"""
-            WITH {reads}, {targets}
-            SELECT r.contig AS contig, count(*) AS n_reads
-            FROM reads r
-            WHERE EXISTS (
-                SELECT 1 FROM targets t
-                WHERE t.t_id % 11 = 0 AND {overlap}
-            )
-            GROUP BY r.contig
+            SELECT contig,
+                   CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+                   CAST(sum(CASE WHEN ex THEN 0 ELSE 1 END) AS BIGINT) AS n_outside
+            FROM fl GROUP BY contig
         """,
         "reads_marked_by_target": f"""
             WITH {reads}, {targets}
@@ -1488,59 +1744,33 @@ def oracle_sql() -> dict[str, str]:
             ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
             GROUP BY t.contig
         """,
-        "nearest_broadcast_probe": f"""
+        # three tagged copies of the original nearest twins (samples 5/7/2),
+        # merged with the same algo labels the Spark composite emits
+        "nearest_algorithms": f"""
             WITH {reads}, {targets},
             j AS (
                 SELECT r.contig AS contig, r.r_start, r.r_end,
                        t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       t.t_id % 10 AS grp,
                        CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
                             WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
                             ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 = 7) t
+                FROM (SELECT * FROM targets WHERE t_id % 10 IN (5, 7, 2)) t
                 LEFT JOIN reads r ON r.contig = t.contig
+            ),
+            best AS (
+                SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id, grp
+                FROM j
+                QUALIFY row_number() OVER (
+                    PARTITION BY t_id
+                    ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+                ) = 1
             )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) = 1
-        """,
-        "nearest_sql": f"""
-            WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 = 2) t
-                LEFT JOIN reads r ON r.contig = t.contig
-            )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) = 1
-        """,
-        "nearest_partitioned": f"""
-            WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 = 5) t
-                LEFT JOIN reads r ON r.contig = t.contig
-            )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) = 1
+            SELECT CASE grp WHEN 5 THEN 'partitioned'
+                            WHEN 7 THEN 'broadcast_probe'
+                            ELSE 'sql' END AS algo,
+                   contig, r_start, r_end, contig_r, t_start, t_end, t_id
+            FROM best
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -1674,6 +1904,38 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_dist": f"""
             SELECT {lang_id_sql("text")} AS lang_pred, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        # filter_documents ∘ normalize_text: the rule expressions are the
+        # already-hash-green feature twins (doc_text_stats /
+        # doc_repetition_stats), normalization is the byte-equal
+        # normalize_text_sql — so the kept set and recomputed stats agree
+        # by composition.
+        "filtered_doc_stats": f"""
+            WITH t0 AS (
+                SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, text FROM t0
+                WHERE CAST(len(toks) AS BIGINT) >= 10
+                  AND CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT) >= 100
+                  AND CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) >= 10
+                  AND {_REP_SQL['dup_line_milli']} <= 300
+                  AND {_REP_SQL['top_bigram_milli']} <= 180
+                  AND {_REP_SQL['max_word_run']} <= 8
+            ),
+            n AS (SELECT doc_id, {normalize_text_sql("text")} AS text FROM f),
+            t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM n)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                   CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT) AS ttr_milli,
+                   CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS stop_milli,
+                   CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT)
+                   + CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS quality_milli
+            FROM t
         """,
         "exact_dup_clusters": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
