@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sequila_native_spark.functions.text import fingerprint, tokens
-from sequila_native_spark.util import ensure_parallel
+from sequila_native_spark.util import ensure_parallel, lib_checkpoint
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +422,7 @@ def minhash_pairs(
         .select(F.explode(combos).alias("__sq_p"))
         .select(F.col("__sq_p.id_a"), F.col("__sq_p.id_b"))
         .distinct()
-        .localCheckpoint()
+        .transform(lambda d: lib_checkpoint(d, eager=True))
     )
 
     # Verification joins the CANDIDATE PAIRS back to raw text (pure-JVM
@@ -482,7 +482,7 @@ def ngram_jaccard_pairs(
     docs_sh = src.select(
         F.col(id_col).alias("__sq_id"),
         shingles_fast(F.col(text_col), n).alias("__sq_arr"),
-    ).localCheckpoint()
+    ).transform(lambda d: lib_checkpoint(d, eager=True))
     sh = docs_sh.select("__sq_id", F.explode("__sq_arr").alias("__sq_s"))
     # distinct-shingle count = array length: no aggregation shuffle needed
     counts = docs_sh.select(
@@ -709,7 +709,7 @@ def dedup_clusters(
         # round; lazily-checkpointed frames materialize (and truncate
         # lineage) inside the _sig aggregation itself — one job per round.
         try:
-            return df.localCheckpoint(eager=False)
+            return lib_checkpoint(df)
         except Exception:  # Connect or API drift: plan just stays unpinned
             return df
 

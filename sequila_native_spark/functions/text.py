@@ -343,9 +343,11 @@ def winnow_containment_pairs(
     fps = fps.where(F.size("__sq_fps") > 0).withColumn(
         "__sq_n", F.size("__sq_fps")
     )
+    from sequila_native_spark.util import lib_checkpoint
+
     try:
         # one UDF evaluation for all consumers (DESIGN.md rule)
-        fps = fps.localCheckpoint(eager=False)
+        fps = lib_checkpoint(fps)
     except Exception:
         pass
     post = fps.select("__sq_id", "__sq_n", F.explode("__sq_fps").alias("__sq_fp"))

@@ -592,7 +592,7 @@ def overlap_join(
 
 
 from sequila_native_spark.util import ensure_parallel as _ensure_parallel
-from sequila_native_spark.util import stamp_row_id
+from sequila_native_spark.util import lib_checkpoint, stamp_row_id
 
 
 def _binned_pairs(
@@ -732,7 +732,7 @@ def _outer_overlap(
     ids_src = pairs
     if stamp_l and stamp_r:
         try:
-            ids_src = pairs.select(*id_cols).localCheckpoint(eager=False)
+            ids_src = lib_checkpoint(pairs.select(*id_cols))
         except Exception:
             ids_src = pairs  # Connect or API drift: just re-evaluates
 

@@ -361,13 +361,59 @@ _TVF = re.compile(
 
 
 def _tvf_args(raw: str) -> list[str]:
+    """Split a TVF argument list. Quoted arguments keep their value even
+    when empty — ``sequila_merge('t', '', 's', 'e')`` means "no grouping
+    keys", and dropping the ``''`` would shift every later position (an
+    arity error at best, wrong columns at worst). Only truly blank unquoted
+    slots (e.g. the zero-argument ``()``) are dropped."""
     out = []
     for part in raw.split(","):
         p = part.strip()
         if len(p) >= 2 and p[0] == p[-1] == "'":
-            p = p[1:-1]
-        out.append(p)
-    return [p for p in out if p != ""]
+            out.append(p[1:-1])
+        elif p != "":
+            out.append(p)
+    return out
+
+
+def _literal_comment_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of single-quoted literals, double-quoted identifiers, ``--``
+    line comments and ``/* */`` block comments — regions where a
+    ``sequila_*(...)`` match is TEXT, not a table factor, and must not be
+    rewritten."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = min(j + 1, n)
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            spans.append((i, j + 1))
+            i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
 
 
 def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
@@ -417,18 +463,30 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             a[3], a[4], a[5], a[6],
         )
 
-    i = 0
+    # Rewrite only matches in CODE position: a sequila_*(...) inside a
+    # string literal or comment is text, and eagerly building views for it
+    # would corrupt the query (advisor finding, r4).
+    masked = _literal_comment_spans(sql)
 
-    def sub(m: re.Match) -> str:
-        nonlocal i
+    def in_masked(pos: int) -> bool:
+        return any(a <= pos < b for a, b in masked)
+
+    i = 0
+    out = []
+    last = 0
+    for m in _TVF.finditer(sql):
+        if in_masked(m.start()):
+            continue
         op = m.group(1).lower()
         df = build(op, _tvf_args(m.group(2)))
         view = f"__sequila_tvf_{op}_{i}"
         i += 1
         df.createOrReplaceTempView(view)
-        return view
-
-    return _TVF.sub(sub, sql)
+        out.append(sql[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) -> DataFrame:

@@ -87,47 +87,128 @@ def ensure_parallel(df: DataFrame, shuffle_cols: list[str] | None = None) -> Dat
 
 
 # Per-session memo caps: a long-lived session that plans many distinct frame
-# shapes should not grow an unbounded side table; a full cache just resets
-# (it is a pure memo — losing it re-pays one planning probe per shape).
+# shapes should not grow an unbounded side table (a memo entry costs one
+# planning probe to rebuild, so eviction is cheap); and a long-lived PROCESS
+# creating many sessions should not grow one store entry per dead session.
 _SESSION_CACHE_CAP = 256
+_SESSION_STORE_CAP = 64
 
 
-def session_scoped_cache(spark, store: dict) -> dict:
-    """Per-session memo dict from ``store``, keyed by STABLE identifiers
-    (application id + session UUID) rather than ``id(spark)`` — a GC'd
-    session's address can be reused by a new session, which would serve the
-    old session's memo entries to the new one. Falls back to ``id(spark)``
-    where the identifiers aren't reachable (Connect)."""
+def _session_key(spark):
+    """STABLE per-session identifier (application id + session UUID) rather
+    than ``id(spark)`` — a GC'd session's address can be reused by a new
+    session, which would serve the old session's memo entries to the new
+    one. Falls back to ``id(spark)`` where the identifiers aren't reachable
+    (Connect)."""
     try:
-        key = (
+        return (
             spark.sparkContext.applicationId,
             spark._jsparkSession.sessionUUID(),
         )
     except Exception:
-        key = id(spark)
-    cache = store.setdefault(key, {})
-    if len(cache) >= _SESSION_CACHE_CAP:
-        cache.clear()
+        return id(spark)
+
+
+def session_scoped_cache(spark, store: dict) -> dict:
+    """Per-session memo dict from ``store``, keyed by :func:`_session_key`.
+
+    Both levels are bounded with oldest-first eviction (dicts are
+    insertion-ordered): at most ``_SESSION_STORE_CAP`` session entries per
+    store — a long-lived process churning sessions evicts dead sessions'
+    memos instead of leaking them — and at most ``_SESSION_CACHE_CAP``
+    entries per session memo, evicted one at a time (not a full clear: the
+    other memoized shapes stay warm)."""
+    key = _session_key(spark)
+    cache = store.get(key)
+    if cache is None:
+        while len(store) >= _SESSION_STORE_CAP:
+            store.pop(next(iter(store)))
+        cache = store[key] = {}
+    while len(cache) >= _SESSION_CACHE_CAP:
+        cache.pop(next(iter(cache)))
     return cache
 
 
 _PARTS_CACHE: dict = {}
 
+# RDD ids of the library's own localCheckpoints, per session — what
+# drop_stale_persisted is allowed to unpersist. Registered by
+# lib_checkpoint via a before/after snapshot of the context's persisted-RDD
+# map (localCheckpoint persists its RDD at mark time, even with
+# eager=False, so the diff is immediate).
+_CKPT_IDS: dict = {}
 
-def drop_stale_persisted(spark) -> int:
-    """Unpersist every RDD the context currently holds persisted blocks for.
+
+def _ckpt_registry(spark) -> set:
+    key = _session_key(spark)
+    reg = _CKPT_IDS.get(key)
+    if reg is None:
+        while len(_CKPT_IDS) >= _SESSION_STORE_CAP:
+            _CKPT_IDS.pop(next(iter(_CKPT_IDS)))
+        reg = _CKPT_IDS[key] = set()
+    return reg
+
+
+def lib_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``df.localCheckpoint(eager=...)`` with the persisted RDD id recorded
+    in the library's per-session registry, so :func:`drop_stale_persisted`
+    can later release exactly these blocks and never a user's own
+    ``RDD.persist`` / ``localCheckpoint`` data.
+
+    Registration is a before/after diff of ``getPersistentRDDs`` around the
+    checkpoint call; a concurrent persist from another thread in that window
+    would be mis-claimed — acceptable for a memory-hygiene registry (the
+    cost is an early unpersist = one recompute, never wrong results)."""
+    spark = df.sparkSession
+    jsc = None
+    before = None
+    try:
+        jsc = spark.sparkContext._jsc
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    except Exception:
+        pass
+    out = df.localCheckpoint(eager=eager)
+    if before is not None:
+        try:
+            after = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+            _ckpt_registry(spark).update(after - before)
+        except Exception:
+            pass
+    return out
+
+
+def drop_stale_persisted(spark, *, only_tracked: bool = True) -> int:
+    """Unpersist the library's own checkpointed RDDs (see
+    :func:`lib_checkpoint`).
 
     Operators pin small frames with (lazy) ``localCheckpoint`` — candidate
     sets, id-pair snapshots, stamped frames. Spark has no reference-counted
     unpersist for checkpoints, so in a long-lived session those blocks
     accumulate until JVM eviction. Call this BETWEEN unrelated queries (never
-    while a checkpointed frame is still in use) to keep block-manager memory
-    flat; returns the number of RDDs dropped. bench.py calls it per query.
+    while a checkpointed frame from a still-live result is in use) to keep
+    block-manager memory flat; returns the number of RDDs dropped. bench.py
+    calls it per query.
+
+    By default only RDDs the library registered are touched — user
+    ``.persist()``ed RDDs and user local checkpoints survive.
+    ``only_tracked=False`` restores the old drop-everything behavior
+    (which also truncates lineage of any user frame relying on a persisted
+    checkpoint — a later action on it fails unrecoverably; only use it when
+    the session runs nothing but this library's queries).
     """
     n = 0
     try:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        tracked = _ckpt_registry(spark) if only_tracked else None
+        entries = [(int(k), v) for k, v in jmap.items()]
+        if tracked is not None:
+            tracked &= {rid for rid, _ in entries}  # prune ids gone elsewhere
+        for rid, jrdd in entries:
+            if tracked is not None and rid not in tracked:
+                continue
             jrdd.unpersist()
+            if tracked is not None:
+                tracked.discard(rid)
             n += 1
     except Exception:
         pass
@@ -158,7 +239,7 @@ def stamp_row_id(df: DataFrame, col_name: str) -> DataFrame:
     stamped = df.withColumn(col_name, F.monotonically_increasing_id())
     if _has_wide_lineage(df):
         try:
-            return stamped.localCheckpoint(eager=False)
+            return lib_checkpoint(stamped)
         except Exception:
             return stamped  # no checkpoint support here (Connect): best effort
     return stamped

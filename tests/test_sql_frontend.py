@@ -355,3 +355,40 @@ def test_tvf_bad_arity_raises(spark):
 
     with pytest.raises(ValueError, match="sequila_merge takes"):
         sequila_sql(spark, "SELECT * FROM sequila_merge('sql_reads', 'contig')")
+
+
+def test_tvf_keyless_empty_string_keys(spark, reads):
+    # advisor r4 (medium): the documented keyless phrasing '' must keep its
+    # argument position — one global merge across all contigs
+    from sequila_native_spark import merge_intervals
+
+    reads.createOrReplaceTempView("sql_reads")
+    got = sequila_sql(
+        spark,
+        "SELECT * FROM sequila_merge('sql_reads', '', 'pos_start', 'pos_end')",
+    )
+    want = merge_intervals(reads, None, "pos_start", "pos_end")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tvf_ignored_inside_literals_and_comments(spark, reads):
+    # advisor r4 (low): a sequila_*() spelled inside a string literal or a
+    # comment is text, not a table factor
+    reads.createOrReplaceTempView("sql_reads")
+    got = sequila_sql(spark, """
+        -- sequila_merge('nope_no_such_table', 'contig', 'a', 'b')
+        SELECT 'sequila_merge(a,b,c,d)' AS s, count(*) AS n
+        /* sequila_coverage('x', 'y', 'k', 'a', 'b', 'c', 'd') */
+        FROM sql_reads
+    """).collect()
+    assert got[0]["s"] == "sequila_merge(a,b,c,d)"
+    assert got[0]["n"] == reads.count()
+
+
+def test_tvf_code_match_still_rewrites_next_to_literal(spark, reads):
+    reads.createOrReplaceTempView("sql_reads")
+    got = sequila_sql(spark, """
+        SELECT 'sequila_merge literal' AS tag, m.*
+        FROM sequila_merge('sql_reads', 'contig', 'pos_start', 'pos_end') m
+    """)
+    assert got.count() > 0 and got.columns[0] == "tag"

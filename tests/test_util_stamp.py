@@ -85,3 +85,67 @@ def test_take_build_rows_empty_build():
     idx = np.array([-1, -1])
     out = take_build_rows(decomp, idx, null_mask=idx < 0)
     assert len(out) == 2 and out["a"].isna().all() and out["b"].isna().all()
+
+
+def test_session_cache_evicts_oldest_not_all(spark):
+    from sequila_native_spark import util
+
+    store = {}
+    cache = util.session_scoped_cache(spark, store)
+    for i in range(util._SESSION_CACHE_CAP):
+        cache[i] = i
+    # next call evicts exactly the oldest entry, keeping the rest warm
+    cache2 = util.session_scoped_cache(spark, store)
+    assert cache2 is cache
+    assert len(cache) == util._SESSION_CACHE_CAP - 1
+    assert 0 not in cache and 1 in cache
+
+
+def test_session_store_bounded():
+    from sequila_native_spark import util
+
+    class Dummy:
+        pass  # no sparkContext → _session_key falls back to id()
+
+    store = {}
+    dummies = [Dummy() for _ in range(util._SESSION_STORE_CAP + 10)]
+    for d in dummies:
+        util.session_scoped_cache(d, store)
+    assert len(store) <= util._SESSION_STORE_CAP
+
+
+def test_drop_stale_persisted_spares_user_caches(spark):
+    from pyspark import StorageLevel
+    from sequila_native_spark import util
+
+    user_rdd = spark.sparkContext.parallelize(range(100))
+    user_rdd.persist(StorageLevel.MEMORY_ONLY)
+    user_rdd.count()
+
+    lib_df = util.lib_checkpoint(
+        spark.range(50).groupBy((F.col("id") % 5).alias("k")).count()
+    )
+    lib_df.count()
+
+    persisted = lambda: {int(k) for k in
+                         spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+    before = persisted()
+    assert user_rdd.id() in before
+    n = util.drop_stale_persisted(spark)
+    after = persisted()
+    assert n >= 1
+    assert user_rdd.id() in after, "user persist must survive"
+    # the library checkpoint's blocks are gone
+    assert len(after) < len(before)
+    user_rdd.unpersist()
+
+
+def test_drop_stale_persisted_all_mode(spark):
+    from pyspark import StorageLevel
+    from sequila_native_spark import util
+
+    rdd = spark.sparkContext.parallelize(range(10))
+    rdd.persist(StorageLevel.MEMORY_ONLY)
+    rdd.count()
+    util.drop_stale_persisted(spark, only_tracked=False)
+    assert int(rdd.getStorageLevel().useMemory) == 0
