@@ -486,7 +486,24 @@ WHERE greatest(floor(n_shared * 1000 / sa.n),
 """
 
 
-def repetition_features(col: Column) -> dict[str, Column]:
+# Symmetric default token cap for the repetition features: bounds the
+# O(distinct_bigrams × n_bigrams) modal-bigram scan for adversarial
+# documents (a 100k-distinct-token doc would otherwise cost ~10^10
+# comparisons inside one codegen row). 2000 tokens ⇒ ≤4×10^6 comparisons,
+# and a 2000-token prefix is ample signal for loop/boilerplate detection
+# (repetition is a local property). The INPUT STRING is also truncated to
+# 10×max_tokens characters before tokenizing: Catalyst does not eliminate
+# common subexpressions inside higher-order-function lambdas, so the
+# tokenize of the raw string would otherwise re-run per lambda step —
+# bounding the string bounds every re-evaluation. Both caps are applied
+# IDENTICALLY in the operator and the SQL twin, so oracle comparisons stay
+# exact; None disables both.
+DEFAULT_REPETITION_TOKEN_CAP = 2_000
+
+
+def repetition_features(
+    col: Column, max_tokens: int | None = DEFAULT_REPETITION_TOKEN_CAP
+) -> dict[str, Column]:
     """Gopher-style repetition signals (the classic heuristics for dropping
     boilerplate / templated / looping documents), pure Catalyst:
 
@@ -502,13 +519,15 @@ def repetition_features(col: Column) -> dict[str, Column]:
     is integer-scaled so cross-engine hashes match.
 
     COST LIMIT: ``top_bigram_milli`` is O(distinct_bigrams × n_bigrams)
-    inside codegen per document — fine for documents up to ~10k tokens, but
-    a pathological 100k-distinct-token document would cost ~10^10
-    comparisons in one row. Pipelines over unbounded documents should cap
-    input first (e.g. ``substring(text, 1, N)`` / truncate to the first N
-    tokens, as Gopher-style filters conventionally do); a cap is not built
-    in here because the SQL oracle twin must stay expression-for-expression
-    identical, and any cap belongs symmetrically in both.
+    inside codegen per document, so the token-based features evaluate over
+    only the FIRST ``max_tokens`` tokens of the first ``10×max_tokens``
+    characters (Gopher-style filters conventionally truncate long documents
+    anyway; the line features stay uncapped — they are linear). The string
+    cap matters as much as the token cap: lambda bodies re-evaluate their
+    argument expressions per step, so tokenizing an unbounded string inside
+    the scan would dominate. Caps are applied identically in
+    :func:`repetition_features_sql` so cross-engine hashes still match;
+    pass ``max_tokens=None`` to disable (both sides!).
     """
     lines = F.filter(F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0)
     n_lines = F.size(lines)
@@ -518,7 +537,14 @@ def repetition_features(col: Column) -> dict[str, Column]:
         F.floor((n_lines - n_distinct_lines) * 1000.0 / n_lines),
     ).otherwise(F.lit(0)).cast("bigint")
 
-    toks = tokens(col)
+    if max_tokens is not None:
+        if max_tokens <= 0:
+            raise ValueError(f"max_tokens must be positive or None, got {max_tokens}")
+        toks = F.slice(
+            tokens(F.substring(col, 1, 10 * max_tokens)), 1, max_tokens
+        )
+    else:
+        toks = tokens(col)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -564,13 +590,24 @@ def repetition_features(col: Column) -> dict[str, Column]:
     }
 
 
-def repetition_features_sql(text_expr: str = "text") -> dict[str, str]:
-    """DuckDB twins of :func:`repetition_features`, keyed like its output."""
+def repetition_features_sql(
+    text_expr: str = "text",
+    max_tokens: int | None = DEFAULT_REPETITION_TOKEN_CAP,
+) -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_features`, keyed like its output
+    (``max_tokens`` must match the operator's — same cap, same values)."""
     lines = (
         f"list_filter(string_split({text_expr}, chr(10)), "
         f"x -> length(trim(x)) > 0)"
     )
     toks = f"string_split(lower({text_expr}), ' ')"
+    if max_tokens is not None:
+        if max_tokens <= 0:
+            raise ValueError(f"max_tokens must be positive or None, got {max_tokens}")
+        toks = (
+            f"list_slice(string_split(lower("
+            f"substr({text_expr}, 1, {10 * max_tokens})), ' '), 1, {max_tokens})"
+        )
     bigrams = (
         f"list_transform(range(1, len({toks})), "
         f"i -> {toks}[i] || chr(31) || {toks}[i + 1])"

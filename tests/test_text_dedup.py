@@ -572,3 +572,69 @@ def test_normalize_text_matches_duckdb_twin(spark):
         normalize_text(F.col("text"), lower=False).alias("t")
     ).collect()[2]["t"]
     assert keep_case == "MiXeD Case ONLY"
+
+
+def test_repetition_token_cap_bounds_pathological_doc(spark):
+    # VERDICT r4 item 7: a 100k-distinct-token document must complete in
+    # bounded time under the default symmetric cap (the uncapped modal-bigram
+    # scan would be ~10^10 comparisons)
+    import time
+
+    from sequila_native_spark.functions.text import repetition_features
+
+    text = " ".join(f"tok{i}" for i in range(100_000))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    feats = repetition_features(F.col("text"))
+    t0 = time.time()
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert time.time() - t0 < 30
+    assert row["max_word_run"] == 1
+    assert row["top_bigram_milli"] == 0  # all bigrams distinct -> floor(1000/9999)=0
+
+
+def test_repetition_cap_oracle_equality(spark):
+    # capped operator == capped twin, byte-for-byte, on docs longer than cap
+    import duckdb
+
+    from sequila_native_spark.functions.text import (
+        repetition_features,
+        repetition_features_sql,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, ("x y " * 30).strip()),
+        (3, "\n".join(["line one", "line one", "line two"]) + "\nw " + "z " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    feats = repetition_features(F.col("text"), max_tokens=25)
+    got = {
+        r["doc_id"]: (r["dup_line_milli"], r["top_bigram_milli"], r["max_word_run"])
+        for r in df.select("doc_id", *[v.alias(k) for k, v in feats.items()]).collect()
+    }
+    sqlx = repetition_features_sql("text", max_tokens=25)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, {sqlx['dup_line_milli']}, {sqlx['top_bigram_milli']}, "
+            f"{sqlx['max_word_run']} FROM d"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_repetition_cap_validation(spark):
+    import pytest as _pytest
+
+    from sequila_native_spark.functions.text import (
+        repetition_features,
+        repetition_features_sql,
+    )
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        repetition_features(F.col("text"), max_tokens=0)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        repetition_features_sql("text", max_tokens=-5)
