@@ -1266,22 +1266,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _merged_runs_sql(src: str, s: str, e: str, gap: int = 0) -> str:
     """Bedtools-merge twin as a subquery: (contig, s, e) disjoint runs.
-    ``gap`` > 0 merges runs within that distance (bedtools ``-d``)."""
+    ``gap`` > 0 merges runs within that distance (bedtools ``-d``).
+
+    TIE-ORDER HAZARD (found at sf0.001, r5): the pattern stacks a flag
+    window (prev-max → ``new_run``) and a prefix-sum window. Ordering both
+    by ``(s, e)`` alone is NOT a total order when duplicate intervals
+    exist, and the engine may order ties differently in the two passes —
+    a duplicate of a run-opening row can then land in the *previous* run,
+    splitting one run in two. A ``row_number`` materialized FIRST (its own
+    tie order is arbitrary but fixed once assigned) and appended to every
+    later ORDER BY makes the order total and the result deterministic."""
     prev_max = (
-        f"max({e}) OVER (PARTITION BY contig ORDER BY {s}, {e} "
+        f"max({e}) OVER (PARTITION BY contig ORDER BY {s}, {e}, __rn "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
     return f"""(
         SELECT contig, min({s}) AS s, max({e}) AS e
         FROM (
             SELECT contig, {s}, {e},
-                   sum(new_run) OVER (PARTITION BY contig ORDER BY {s}, {e}
+                   sum(new_run) OVER (PARTITION BY contig ORDER BY {s}, {e}, __rn
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
             FROM (
-                SELECT contig, {s}, {e},
+                SELECT contig, {s}, {e}, __rn,
                        CASE WHEN {prev_max} IS NULL OR {s} > {prev_max} + 1 + {gap}
                        THEN 1 ELSE 0 END AS new_run
-                FROM {src}
+                FROM (
+                    SELECT contig, {s}, {e},
+                           row_number() OVER (PARTITION BY contig
+                               ORDER BY {s}, {e}) AS __rn
+                    FROM {src}
+                )
             )
         ) GROUP BY contig, run_id
     )"""
@@ -1524,30 +1538,9 @@ def oracle_sql() -> dict[str, str]:
         "read_coverage_gaps": f"""
             WITH {reads},
             sel AS (SELECT * FROM reads WHERE (r_start * 7 + r_end) % 31 = 0),
-            m AS (
-                SELECT contig, r_start, r_end,
-                       CASE WHEN max(r_end) OVER (
-                                PARTITION BY contig ORDER BY r_start, r_end
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                            ) IS NULL
-                            OR r_start > max(r_end) OVER (
-                                PARTITION BY contig ORDER BY r_start, r_end
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                            ) + 1
-                       THEN 1 ELSE 0 END AS new_run
-                FROM sel
-            ),
-            runs AS (
-                SELECT contig, r_start, r_end,
-                       sum(new_run) OVER (
-                           PARTITION BY contig ORDER BY r_start, r_end
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS run_id
-                FROM m
-            ),
             merged AS (
-                SELECT contig, min(r_start) AS s, max(r_end) AS e
-                FROM runs GROUP BY contig, run_id
+                SELECT contig, s, e
+                FROM {_merged_runs_sql("sel", "r_start", "r_end")} m
             ),
             gaps AS (
                 SELECT contig, e + 1 AS gs,
@@ -1630,25 +1623,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE depth > 0 AND next_pos IS NOT NULL
             GROUP BY contig, depth
         """,
+        # total tie order via __rn (see _merged_runs_sql docstring): stacked
+        # flag/prefix-sum windows over (s, e) alone are nondeterministic
+        # with duplicate intervals
         "merged_read_runs": f"""
             WITH {reads},
-            m AS (
+            rn AS (
                 SELECT contig, r_start, r_end,
+                       row_number() OVER (PARTITION BY contig
+                           ORDER BY r_start, r_end) AS __rn
+                FROM reads
+            ),
+            m AS (
+                SELECT contig, r_start, r_end, __rn,
                        CASE WHEN max(r_end) OVER (
-                                PARTITION BY contig ORDER BY r_start, r_end
+                                PARTITION BY contig ORDER BY r_start, r_end, __rn
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                             ) IS NULL
                             OR r_start > max(r_end) OVER (
-                                PARTITION BY contig ORDER BY r_start, r_end
+                                PARTITION BY contig ORDER BY r_start, r_end, __rn
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                             ) + 1
                        THEN 1 ELSE 0 END AS new_run
-                FROM reads
+                FROM rn
             ),
             runs AS (
                 SELECT contig, r_start, r_end,
                        sum(new_run) OVER (
-                           PARTITION BY contig ORDER BY r_start, r_end
+                           PARTITION BY contig ORDER BY r_start, r_end, __rn
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                        ) AS run_id
                 FROM m
@@ -1842,20 +1844,24 @@ def oracle_sql() -> dict[str, str]:
                AND a.event_type = 'view' AND b.event_type = 'purchase'
                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND
         """,
+        # (ts, event_id) total order in BOTH stacked windows: ties in ts
+        # alone could order differently between the lag pass and the
+        # prefix-sum pass, splitting simultaneous events across sessions
         "user_sessions": """
             WITH e AS (
-                SELECT user_id, ts, value FROM events WHERE user_id % 20 = 0
+                SELECT user_id, ts, value, event_id
+                FROM events WHERE user_id % 20 = 0
             ),
             m AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, ts, value, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
-                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             s AS (
                 SELECT *, sum(new_s) OVER (
-                    PARTITION BY user_id ORDER BY ts
+                    PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING
                 ) AS sid
                 FROM m
