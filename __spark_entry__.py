@@ -1138,6 +1138,27 @@ def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset(key) if prior is None else spark.conf.set(key, prior)
 
 
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + nested sample, both hash-based
+    (md5 key-space partition — reproducible across runs/engines/partitions,
+    unlike ``df.sample``'s per-partition RNG). Sits past the driver's
+    50-slot cap (rows-only there); its DuckDB oracle is exact and checked
+    every round by tools/check_oracle.py — upgrades automatically if the
+    cap rises."""
+    from sequila_native_spark.functions import sample_hash, split_dataset
+    from sequila_native_spark.functions.sampling import HASH_SPACE
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = split_dataset(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key="doc_id", seed=7
+    )
+    quarter = sample_hash(F.col("doc_id"), seed=11) < F.lit(int(0.25 * HASH_SPACE))
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(quarter, 1).otherwise(0)).cast("bigint").alias("n_quarter"),
+    )
+
+
 _NEAREST_COLS = ["contig", "r_start", "r_end", "contig_r", "t_start", "t_end", "t_id"]
 
 
@@ -1260,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
+        "doc_split_counts": q_doc_split_counts,
         "overlap_count_50x": q_overlap_count_50x,
     }
 
@@ -2027,6 +2049,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    hex(substr(text, 1, 4)) AS header_hex
             FROM documents
+        """,
+        # hash-split twin: identical integer thresholds (split_thresholds)
+        # and the identical md5('seed:key')[:8] selection hash
+        "doc_split_counts": """
+            WITH h AS (
+                SELECT doc_id, CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv, CAST(concat('0x', substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS qv
+                FROM documents
+            )
+            SELECT CASE WHEN hv < 3435973836 THEN 'train'
+                        WHEN hv < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN qv < 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter
+            FROM h GROUP BY 1
         """,
         # simhash_docs, lsh_ann_topk: intentionally no oracle (rows-only) —
         # per-bit vote aggregation / seeded random hyperplanes are not

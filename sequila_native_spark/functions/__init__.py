@@ -38,6 +38,14 @@ from sequila_native_spark.functions.similarity import (
     lsh_ann_topk,
     near_dup_pairs,
 )
+from sequila_native_spark.functions.sampling import (
+    deterministic_sample,
+    mix_datasets,
+    sample_hash,
+    sample_hash_sql,
+    split_dataset,
+    split_thresholds,
+)
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
     decode_media_meta,
@@ -53,6 +61,12 @@ from sequila_native_spark.functions.multimodal import (
 )
 
 __all__ = [
+    "deterministic_sample",
+    "mix_datasets",
+    "sample_hash",
+    "sample_hash_sql",
+    "split_dataset",
+    "split_thresholds",
     "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents", "normalize_text",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",

@@ -1,0 +1,153 @@
+"""Deterministic sampling, splits and mixtures for training-data pipelines.
+
+At 100 TB, ``df.sample()`` is the wrong tool: Spark's sampler draws from a
+per-partition RNG stream, so the selected set changes under repartitioning,
+task retries, and AQE re-planning — a training/validation split computed
+that way is not reproducible, and rows can migrate between splits across
+runs. The standard production answer is HASH-based selection: a row's fate
+is a pure function of (seed, key), so it is
+
+- reproducible across runs, engines and cluster layouts;
+- stable under retries/repartition (no RNG state);
+- consistent across tables (sampling ``documents`` and a feature table by
+  the same key keeps them joinable);
+- exactly mirrorable in SQL for oracle checks.
+
+Everything here is pure Catalyst (one md5 + substring + conv per row,
+whole-stage codegen, zero shuffle) with DuckDB twins that produce
+bit-identical decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Selection space: the first 8 hex digits of md5 as an integer — uniform on
+# [0, 2^32). 32 bits keeps the threshold arithmetic exact in every engine.
+HASH_SPACE = 1 << 32
+
+
+def sample_hash(col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform value in ``[0, 2**32)`` from ``(seed, value)``:
+    ``int(md5(seed ':' value)[:8], 16)``. The DuckDB twin is
+    :func:`sample_hash_sql`."""
+    digest = F.md5(F.concat(F.lit(f"{int(seed)}:"), col.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+
+
+def sample_hash_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`sample_hash` (bit-identical)."""
+    return (
+        f"CAST(concat('0x', substr(md5('{int(seed)}:' || "
+        f"CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+
+
+def _check_rate(rate: float) -> int:
+    if not (0.0 <= float(rate) <= 1.0):
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    return int(float(rate) * HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep rows whose ``sample_hash(key, seed)`` falls below
+    ``rate * 2**32`` — an exact-rate-in-expectation, reproducible sample.
+
+    Nested property: ``deterministic_sample(df, 0.1, ...)`` is a subset of
+    ``deterministic_sample(df, 0.2, ...)`` at the same seed — growing a
+    sample never discards previously selected rows (useful for scaling
+    ablations).
+    """
+    if key not in df.columns:
+        raise ValueError(f"sample key {key!r} not found in {df.columns}")
+    return df.where(sample_hash(F.col(key), seed) < F.lit(_check_rate(rate)))
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test shape) by
+    cumulative hash-threshold ranges — a partition of the key space, so the
+    splits are disjoint, exhaustive, and stable under everything
+    ``deterministic_sample`` is stable under.
+
+    ``weights`` must sum to 1 (±1e-9); thresholds are exact integers, the
+    last split absorbs the rounding remainder.
+    """
+    if key not in df.columns:
+        raise ValueError(f"split key {key!r} not found in {df.columns}")
+    if split_col in df.columns:
+        raise ValueError(f"output column {split_col!r} already exists")
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = sample_hash(F.col(key), seed)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        bound = int(cum * HASH_SPACE)
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bound) pairs for mirroring
+    :func:`split_dataset` in SQL — the same integer arithmetic."""
+    out = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        out.append((name, int(cum * HASH_SPACE)))
+    out.append((names[-1], HASH_SPACE))
+    return out
+
+
+def mix_datasets(
+    sources: dict[str, tuple[DataFrame, float]],
+    key: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted mixture: sample each source at its rate (``0..1``) and union
+    with a ``source_col`` tag — the dataset-mixing step of a training
+    pipeline (e.g. 100% curated + 30% web crawl), deterministic end to end.
+
+    Column contract: every source must share the same schema (the usual
+    normalized-document shape); mismatches raise immediately rather than
+    producing a silently misaligned union. Each source hashes with
+    ``seed + its index`` so identical keys in different sources draw
+    independently.
+    """
+    if not sources:
+        raise ValueError("sources must name at least one dataset")
+    frames = []
+    base_cols = None
+    for i, (name, (df, rate)) in enumerate(sources.items()):
+        if base_cols is None:
+            base_cols = list(df.columns)
+        elif list(df.columns) != base_cols:
+            raise ValueError(
+                f"source {name!r} columns {df.columns} != first source's "
+                f"{base_cols}; align schemas before mixing"
+            )
+        part = deterministic_sample(df, rate, key=key, seed=seed + i)
+        frames.append(part.withColumn(source_col, F.lit(name)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -12,6 +12,7 @@ from sequila_native_spark.plans import (
     scan_read_schemas,
 )
 from sequila_native_spark.plans.explain import (
+    formatted_plan,
     has_nested_loop_join,
     has_sort_merge_or_hash_join,
 )
@@ -158,7 +159,44 @@ def test_session_scoped_cache_stable_key_and_cap(spark):
     assert session_scoped_cache(spark, store) is c1
     (key,) = store.keys()
     assert key != id(spark)
-    # cap: a full cache resets instead of growing unboundedly
+    # cap (r5 semantics): a full cache evicts oldest-first instead of
+    # clearing — the rest of the memo stays warm
     for i in range(_SESSION_CACHE_CAP):
         c1[f"k{i}"] = i
-    assert len(session_scoped_cache(spark, store)) == 0
+    c2 = session_scoped_cache(spark, store)
+    assert c2 is c1
+    assert len(c2) < _SESSION_CACHE_CAP
+    assert "x" not in c2 and f"k{_SESSION_CACHE_CAP - 1}" in c2
+
+
+def test_map_intervals_plan_no_python_no_nested_loop(spark, reads, targets):
+    # bedtools-map stays JVM-side end to end: binned equi-join (never a
+    # nested loop), two shuffles, zero Python stages; the right side is
+    # pruned to keys + bounds + referenced values before the join
+    from sequila_native_spark import map_intervals
+
+    m = map_intervals(
+        targets, reads.withColumn("score", F.col("pos_end") - F.col("pos_start")),
+        on="contig",
+        left_start="pos_start", left_end="pos_end",
+        right_start="pos_start", right_end="pos_end",
+        aggs={"n": ("count", None), "s": ("sum", "score")},
+    )
+    plan = formatted_plan(m)
+    assert not has_nested_loop_join(m)
+    assert has_sort_merge_or_hash_join(m)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_fraction_filter_stays_in_join_stage(spark, reads, targets):
+    # the -f/-F predicate is one more conjunct in the same codegen'd
+    # post-join Filter — no extra exchange vs the unfiltered join
+    oj_plain = overlap_join(reads, targets, on="contig", algorithm="binning")
+    oj_frac = overlap_join(
+        reads, targets, on="contig", algorithm="binning", min_frac_left=0.5
+    )
+    n_ex = lambda df: formatted_plan(df).count("Exchange")
+    assert n_ex(oj_frac) == n_ex(oj_plain)
+    assert not has_nested_loop_join(oj_frac)

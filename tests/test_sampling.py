@@ -1,0 +1,110 @@
+"""Deterministic sampling / splits / mixtures — engine-portable by md5."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    deterministic_sample,
+    mix_datasets,
+    sample_hash,
+    sample_hash_sql,
+    split_dataset,
+    split_thresholds,
+)
+from sequila_native_spark.functions.sampling import HASH_SPACE
+
+
+def _py_hash(seed: int, v) -> int:
+    return int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+
+def test_sample_hash_matches_python_and_duckdb(spark, ids):
+    got = {r["doc_id"]: r["h"] for r in
+           ids.select("doc_id", sample_hash(F.col("doc_id"), 7).alias("h"))
+           .where(F.col("doc_id") < 50).collect()}
+    assert got == {i: _py_hash(7, i) for i in range(50)}
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT i, {sample_hash_sql('i', 7)} FROM range(50) t(i)"
+    ).fetchall())
+    assert got == want
+
+
+def test_deterministic_sample_rate_and_stability(spark, ids):
+    s = deterministic_sample(ids, 0.25, key="doc_id", seed=3)
+    got = sorted(r["doc_id"] for r in s.collect())
+    want = sorted(i for i in range(2000) if _py_hash(3, i) < HASH_SPACE // 4)
+    assert got == want
+    # stable under repartition (the property df.sample lacks)
+    got2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            ids.repartition(7), 0.25, key="doc_id", seed=3
+        ).collect()
+    )
+    assert got2 == got
+    # approximate rate
+    assert 0.2 < len(got) / 2000 < 0.3
+
+
+def test_sample_nesting(spark, ids):
+    small = {r["doc_id"] for r in deterministic_sample(ids, 0.1, seed=5).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(ids, 0.3, seed=5).collect()}
+    assert small <= big
+
+
+def test_split_dataset_partition(spark, ids):
+    s = split_dataset(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11)
+    rows = s.collect()
+    assert len(rows) == 2000  # exhaustive
+    counts = {k: 0 for k in ("train", "val", "test")}
+    ths = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    for r in rows:
+        h = _py_hash(11, r["doc_id"])
+        expected = next(name for name, ub in ths if h < ub)
+        assert r["split"] == expected
+        counts[r["split"]] += 1
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+
+def test_split_validation(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_dataset(ids, {"a": 0.5, "b": 0.1})
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(ids, 1.5)
+    with pytest.raises(ValueError, match="not found"):
+        deterministic_sample(ids, 0.5, key="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        split_dataset(ids.withColumn("split", F.lit("x")), {"a": 1.0})
+
+
+def test_mix_datasets(spark, ids):
+    a = ids.where(F.col("doc_id") < 1000)
+    b = ids.where(F.col("doc_id") >= 1000)
+    m = mix_datasets({"full": (a, 1.0), "webby": (b, 0.3)}, seed=2)
+    rows = m.collect()
+    n_full = sum(1 for r in rows if r["source"] == "full")
+    n_web = sum(1 for r in rows if r["source"] == "webby")
+    assert n_full == 1000  # rate 1.0 keeps everything
+    assert 200 < n_web < 400
+    # schema mismatch rejected
+    with pytest.raises(ValueError, match="columns"):
+        mix_datasets({"x": (a, 1.0), "y": (b.withColumn("extra", F.lit(1)), 0.5)})
+
+
+def test_sampling_is_pure_catalyst(spark, ids):
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(deterministic_sample(ids, 0.5))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert marker not in plan, marker
