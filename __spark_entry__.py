@@ -1138,6 +1138,34 @@ def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset(key) if prior is None else spark.conf.set(key, prior)
 
 
+def q_doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term statistics (the exact-integer core of TF-IDF /
+    BM25): per-(doc, term) frequency + corpus document frequency, with
+    hapax (min_df) and stop-term (max_df_ratio) pruning. Past the 50-slot
+    cap; exact DuckDB twin checked by tools/check_oracle.py."""
+    from sequila_native_spark.functions import term_stats
+
+    return term_stats(
+        _t(spark, sf_dir, "documents"), min_df=2, max_df_ratio=0.9
+    )
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query over the documents corpus, querying with the
+    first 5 documents' first 8 tokens (self-retrieval shape: each query's
+    own source doc should rank near the top — asserted in unit tests).
+    Rows-only: BM25's ln() is IEEE-double, not hash-oracle material; the
+    integer core is oracle-checked by doc_term_stats."""
+    from sequila_native_spark.functions import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 8), " ").alias("query"),
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + nested sample, both hash-based
     (md5 key-space partition — reproducible across runs/engines/partitions,
@@ -1282,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "doc_split_counts": q_doc_split_counts,
+        "doc_term_stats": q_doc_term_stats,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "overlap_count_50x": q_overlap_count_50x,
     }
 
@@ -2064,6 +2094,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN qv < 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter
             FROM h GROUP BY 1
         """,
+        "doc_term_stats": """
+        WITH occ AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM occ WHERE length(term) > 0
+            GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        dfq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        )
+        SELECT t.doc_id, t.term, t.tf, d.df
+        FROM tf t JOIN dfq d ON t.term = d.term, n
+        WHERE d.df >= 2
+          AND d.df <= floor(n.n_docs * 0.9)
+    """,
         # simhash_docs, lsh_ann_topk: intentionally no oracle (rows-only) —
         # per-bit vote aggregation / seeded random hyperplanes are not
         # ANSI-SQL-expressible; unit tests pin their semantics instead.

@@ -38,6 +38,11 @@ from sequila_native_spark.functions.similarity import (
     lsh_ann_topk,
     near_dup_pairs,
 )
+from sequila_native_spark.functions.ranking import (
+    bm25_topk,
+    term_stats,
+    term_stats_sql,
+)
 from sequila_native_spark.functions.sampling import (
     deterministic_sample,
     mix_datasets,
@@ -61,6 +66,9 @@ from sequila_native_spark.functions.multimodal import (
 )
 
 __all__ = [
+    "bm25_topk",
+    "term_stats",
+    "term_stats_sql",
     "deterministic_sample",
     "mix_datasets",
     "sample_hash",
