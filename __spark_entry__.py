@@ -1138,6 +1138,19 @@ def q_nearest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset(key) if prior is None else spark.conf.set(key, prior)
 
 
+def q_nearest_nonoverlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools ``closest -io -d`` (r5): nearest NON-overlapping read per
+    sampled target, with the gap distance column. Past the 50-slot cap;
+    exact DuckDB twin (class exclusion inside the join condition + QUALIFY)
+    checked by tools/check_oracle.py."""
+    return nearest_join(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 25 == 0),
+        on="contig", **_IVL, algorithm="index",
+        ignore_overlaps=True, distance_col="dist",
+    )
+
+
 def q_doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index term statistics (the exact-integer core of TF-IDF /
     BM25): per-(doc, term) frequency + corpus document frequency, with
@@ -1310,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "doc_split_counts": q_doc_split_counts,
+        "nearest_nonoverlap": q_nearest_nonoverlap,
         "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25_topk,
         "overlap_count_50x": q_overlap_count_50x,
@@ -2113,6 +2127,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE d.df >= 2
           AND d.df <= floor(n.n_docs * 0.9)
     """,
+        "nearest_nonoverlap": f"""
+            WITH {reads}, {targets},
+            j AS (
+                SELECT r.contig AS contig, r.r_start, r.r_end,
+                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
+                       CASE WHEN r.r_start IS NULL THEN NULL
+                            WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                            ELSE 0 END AS dist
+                FROM (SELECT * FROM targets WHERE t_id % 25 = 0) t
+                LEFT JOIN reads r
+                ON r.contig = t.contig
+                   AND (r.r_end < t.t_start OR r.r_start > t.t_end)
+            )
+            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id,
+                   CAST(dist AS BIGINT) AS dist
+            FROM j
+            QUALIFY row_number() OVER (
+                PARTITION BY t_id
+                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
+            ) = 1
+        """,
         # simhash_docs, lsh_ann_topk: intentionally no oracle (rows-only) —
         # per-bit vote aggregation / seeded random hyperplanes are not
         # ANSI-SQL-expressible; unit tests pin their semantics instead.

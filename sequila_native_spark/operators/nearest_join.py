@@ -108,6 +108,9 @@ def nearest_join(
     check_bounds: bool | None = None,
     k: int | None = None,
     distance_col: str | None = None,
+    ignore_overlaps: bool = False,
+    ignore_upstream: bool = False,
+    ignore_downstream: bool = False,
 ) -> DataFrame:
     """For each right (probe) row return the ``k`` best left (build)
     intervals within the same equi-key group by ``(distance, start, end)``
@@ -126,6 +129,13 @@ def nearest_join(
     bounds when ``strict=True`` (strictness shrinks an end by 1 before
     distance, matching the join's own semantics).
 
+    ``ignore_overlaps`` / ``ignore_upstream`` / ``ignore_downstream``
+    (bedtools ``closest -io/-iu/-id``; strand-agnostic — upstream = lower
+    coordinates): drop that candidate class (every build interval is
+    exactly one of Overlapping, Upstream ``end < probe_start``, Downstream
+    ``start > probe_end`` w.r.t. a probe). Probes whose every candidate is
+    excluded emit a null-left row, like an empty key group. ``k=1`` only.
+
     Output columns: left columns (possibly null) then right columns, like the
     reference golden, plus ``distance_col`` when requested.
     """
@@ -142,6 +152,18 @@ def nearest_join(
             f"k={k} exceeds the supported cap (10000); the per-probe "
             f"candidate matrices scale with k"
         )
+    flags = None
+    if ignore_overlaps or ignore_upstream or ignore_downstream:
+        if ignore_overlaps and ignore_upstream and ignore_downstream:
+            raise ValueError(
+                "ignore_overlaps + ignore_upstream + ignore_downstream "
+                "excludes every candidate class"
+            )
+        if k != 1:
+            raise ValueError(
+                "ignore_* candidate-class flags support k=1 only"
+            )
+        flags = (bool(ignore_overlaps), bool(ignore_upstream), bool(ignore_downstream))
     raw = algorithm.strip().lower() if algorithm else None
     if raw in ("broadcast_probe", "probe_broadcast"):
         algo = "broadcast_probe"
@@ -169,23 +191,23 @@ def nearest_join(
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
 
     if algo == "naive":
-        out = _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+        out = _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     elif algo == "partitioned":
-        out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+        out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     elif algo == "broadcast_probe":
-        out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+        out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     else:
         try:
-            out = _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+            out = _index_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
         except BuildSideTooLargeError:
             # build too big to broadcast: transpose (broadcast the probe) if
             # the probe side fits, else shuffle both sides by key
             try:
-                out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+                out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
             except BuildSideTooLargeError:
                 if not l_keys:
                     raise
-                out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+                out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     if distance_col:
         shrink = 1 if strict else 0
         le_n = F.col(left_end) - F.lit(shrink)
@@ -212,11 +234,25 @@ def _distance_col(ls, le, rs, re):
     )
 
 
-def _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
+def _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
     probe = rb.withColumn(_PID, F.monotonically_increasing_id())
     cond = F.lit(True)
     for lk, rk in zip(l_keys, r_keys):
         cond = cond & (lb[lk] == probe[rk])
+    if flags is not None and any(flags):
+        # class exclusion lives INSIDE the join condition so probes whose
+        # every candidate is excluded still emit a null-left row
+        io, iu, idn = flags
+        allowed = F.lit(False)
+        if not io:
+            allowed = allowed | (
+                (lb[_LS] <= probe[_RE]) & (lb[_LE] >= probe[_RS])
+            )
+        if not iu:
+            allowed = allowed | (lb[_LE] < probe[_RS])
+        if not idn:
+            allowed = allowed | (lb[_LS] > probe[_RE])
+        cond = cond & allowed
     joined = probe.join(lb, cond, "left_outer")
     dist = _distance_col(lb[_LS], lb[_LE], probe[_RS], probe[_RE])
     w = Window.partitionBy(_PID).orderBy(
@@ -246,18 +282,28 @@ def _build_nearest_arrays(starts: np.ndarray, ends: np.ndarray):
     return starts, ends, runmax, argmax_first, order
 
 
-def _nearest_take(starts, ends, runmax, argmax_first, qs, qe) -> np.ndarray:
+def _nearest_take(starts, ends, runmax, argmax_first, qs, qe, flags=None) -> np.ndarray:
     """Core nearest kernel: for each probe ``[qs, qe]`` return the position
     (into the sorted build arrays) of the chosen build interval, or -1.
 
     Overlap-first (IRanges rule): the lex-min overlapping interval if any;
     else the true nearest across both flanks with the deterministic
     ``(distance, start, end)`` tie-break.
+
+    ``flags=(ignore_overlaps, ignore_upstream, ignore_downstream)`` is the
+    bedtools ``closest -io/-iu/-id`` extension: each build interval falls in
+    exactly one class w.r.t. a probe — Overlapping, Upstream (``end < qs``),
+    or Downstream (``start > qe``) — and a flag drops its class from the
+    candidate set; the winner is still the lexicographic ``(distance,
+    start, end)`` minimum of what remains (overlap-first falls out of
+    distance 0). ``None`` (all-false) keeps the fast two-flank path.
     """
     n, m = len(starts), len(qs)
     take = np.full(m, -1, dtype=np.int64)
     if n == 0 or m == 0:
         return take
+    if flags is not None and any(flags):
+        return _nearest_take_flagged(starts, ends, runmax, qs, qe, flags)
     # overlap-first: candidates per probe are ascending sorted positions, so
     # the FIRST per probe is the deterministic lex-min overlap
     cand, probe_rep = _probe_spans(starts, ends, runmax, qs, qe)
@@ -291,6 +337,82 @@ def _nearest_take(starts, ends, runmax, argmax_first, qs, qe) -> np.ndarray:
     winner = np.where(take_left, wl, wr)
     valid_any = has_l | has_r
     take[rest[valid_any]] = winner[valid_any]
+    return take
+
+
+def _nearest_take_flagged(starts, ends, runmax, qs, qe, flags) -> np.ndarray:
+    """Flagged variant of :func:`_nearest_take`: evaluate the three
+    candidate classes independently (Overlap / Upstream / Downstream) and
+    take the lexicographic ``(distance, start, end)`` minimum over the
+    classes the flags keep. All vectorized; the extra end-sorted structure
+    for the strict-upstream query is built only when needed."""
+    io, iu, idn = flags
+    n, m = len(starts), len(qs)
+    take = np.full(m, -1, dtype=np.int64)
+    INF = _I64_MAX
+    best_d = np.full(m, INF, dtype=np.int64)
+    best_s = np.full(m, INF, dtype=np.int64)
+    best_e = np.full(m, INF, dtype=np.int64)
+    best_p = np.full(m, -1, dtype=np.int64)
+
+    def consider(d, s, e, p):
+        better = (p >= 0) & (
+            (d < best_d)
+            | ((d == best_d) & ((s < best_s) | ((s == best_s) & (e < best_e))))
+        )
+        best_d[better] = d[better]
+        best_s[better] = s[better]
+        best_e[better] = e[better]
+        best_p[better] = p[better]
+
+    if not io:
+        # Overlap class: candidates arrive in ascending sorted position per
+        # probe, so the first per probe is the deterministic lex-min
+        cand, probe_rep = _probe_spans(starts, ends, runmax, qs, qe)
+        if cand.size:
+            uniq, first_idx = np.unique(probe_rep, return_index=True)
+            pos = cand[first_idx]
+            d = np.full(m, INF, dtype=np.int64)
+            s = np.full(m, INF, dtype=np.int64)
+            e = np.full(m, INF, dtype=np.int64)
+            p = np.full(m, -1, dtype=np.int64)
+            d[uniq] = 0
+            s[uniq] = starts[pos]
+            e[uniq] = ends[pos]
+            p[uniq] = pos
+            consider(d, s, e, p)
+    if not iu:
+        # Upstream class (end < qs): max end wins (min distance); ties on
+        # end break by min start via the first occurrence in (end, start)
+        # lexicographic order
+        eorder = np.lexsort((starts, ends))
+        e_sorted = ends[eorder]
+        new_e = np.concatenate(([True], e_sorted[1:] != e_sorted[:-1]))
+        first_eq = np.maximum.accumulate(
+            np.where(new_e, np.arange(n), -1)
+        )
+        j = np.searchsorted(e_sorted, qs, side="left") - 1
+        has = j >= 0
+        jj = np.maximum(j, 0)
+        pos_u = eorder[first_eq[jj]]
+        d = np.where(has, qs - e_sorted[jj], INF)
+        s = np.where(has, starts[pos_u], INF)
+        e = np.where(has, ends[pos_u], INF)
+        p = np.where(has, pos_u, -1)
+        consider(d, s, e, p)
+    if not idn:
+        # Downstream class (start > qe): first start after qe; ties on start
+        # break by min end (arrays are (start, end)-sorted)
+        hi = np.searchsorted(starts, qe, side="right")
+        has = hi < n
+        pos_d = np.minimum(hi, n - 1)
+        d = np.where(has, starts[pos_d] - qe, INF)
+        s = np.where(has, starts[pos_d], INF)
+        e = np.where(has, ends[pos_d], INF)
+        p = np.where(has, pos_d, -1)
+        consider(d, s, e, p)
+    good = best_p >= 0
+    take[good] = best_p[good]
     return take
 
 
@@ -381,7 +503,7 @@ def _nearest_out_schema(lb, rb, left_cols, right_cols) -> StructType:
     )
 
 
-def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
+def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
     """Cogroup-per-key nearest: the Partitioned-mode analogue.
 
     Shuffles both sides once on the equi-keys; each task builds the sorted
@@ -390,7 +512,7 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     index instead (same memory shape, full probe parallelism).
     """
     if not l_keys:
-        return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k)
+        return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
 
     # SQL equality: null build keys never match anything — drop them. Probe
     # rows with null keys stay: their group cogroups against an empty build
@@ -420,7 +542,7 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
             qe = r_pdf[_RE].to_numpy(np.int64, na_value=0)[ok]
             pos_ok = np.nonzero(ok)[0]
             if k == 1:
-                take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+                take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe, flags)
                 take_pos = np.full(m, -1, dtype=np.int64)
                 good = take >= 0
                 take_pos[pos_ok[good]] = order[take[good]]
@@ -462,7 +584,7 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
 _DIST = "__sq_dist"
 
 
-def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
+def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
     """Broadcast-probe nearest: scan the build side, reduce tiny candidates.
 
     Exactness of the two-level reduce: within one build batch the kernel
@@ -529,7 +651,7 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
                     grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
                 )
                 if k == 1:
-                    take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe)
+                    take = _nearest_take(starts, ends, runmax, argmax_first, qs, qe, flags)
                     good = take >= 0
                     if not good.any():
                         continue
@@ -569,7 +691,7 @@ def _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
     return rbid.join(F.broadcast(winners), _PID, "left").select(*out_cols)
 
 
-def _index_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
+def _index_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
     spark = lb.sparkSession
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
@@ -626,7 +748,8 @@ def _index_nearest(lb, rb, l_keys, r_keys, out_cols, k=1):
                     continue
                 if k == 1:
                     take = _nearest_take(
-                        starts, ends, runmax, argmax_first, qs_all[pos], qe_all[pos]
+                        starts, ends, runmax, argmax_first,
+                        qs_all[pos], qe_all[pos], flags,
                     )
                     good = take >= 0
                     if good.any():

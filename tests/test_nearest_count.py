@@ -321,3 +321,105 @@ def test_nearest_distance_col_strict(spark):
                          right_start="s", right_end="e",
                          strict=True, distance_col="distance").first()
     assert tight["distance"] == 1  # normalized [1,4] vs [5,7]: gap 1
+
+
+# --- bedtools closest -io / -iu / -id (candidate-class flags, r5) ----------
+
+_CL_BUILD = [
+    ("c", 10, 20), ("c", 10, 20), ("c", 30, 35), ("c", 100, 200),
+    ("c", 140, 150), ("c", 400, 401), ("c", 5, 500),
+    ("d", 50, 60),
+]
+_CL_PROBE = [
+    ("c", 15, 18),    # overlaps several; upstream none; downstream (30,35)
+    ("c", 25, 28),    # no overlap... (5,500) overlaps actually
+    ("c", 210, 390),  # inside (5,500); upstream (100,200); downstream (400,401)
+    ("c", 600, 610),  # nothing downstream
+    ("d", 10, 20),    # only (50,60) downstream
+    ("e", 1, 2),      # empty group -> null row always
+]
+
+
+def _closest_brute(flags):
+    io, iu, idn = flags
+    out = {}
+    for pi, (pc, ps, pe) in enumerate(_CL_PROBE):
+        best = None
+        for (bc, bs, be) in _CL_BUILD:
+            if bc != pc:
+                continue
+            if bs <= pe and be >= ps:
+                if io:
+                    continue
+                d = 0
+            elif be < ps:
+                if iu:
+                    continue
+                d = ps - be
+            else:
+                if idn:
+                    continue
+                d = bs - pe
+            cand = (d, bs, be)
+            if best is None or cand < best:
+                best = cand
+        out[pi] = None if best is None else (best[1], best[2])
+    return out
+
+
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize(
+    "flags",
+    [(True, False, False), (False, True, False), (False, False, True),
+     (True, True, False), (True, False, True), (False, True, True)],
+)
+def test_closest_class_flags_vs_brute(spark, algorithm, flags):
+    build = spark.createDataFrame(_CL_BUILD, "contig string, start int, end int")
+    probe = spark.createDataFrame(
+        [(c, s, e, i) for i, (c, s, e) in enumerate(_CL_PROBE)],
+        "contig string, p_start int, p_end int, pid int",
+    )
+    io, iu, idn = flags
+    out = nearest_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="p_start", right_end="p_end",
+        algorithm=algorithm,
+        ignore_overlaps=io, ignore_upstream=iu, ignore_downstream=idn,
+    )
+    got = {r["pid"]: (None if r["start"] is None else (r["start"], r["end"]))
+           for r in out.collect()}
+    assert got == _closest_brute(flags), (algorithm, flags)
+    # one row per probe, always
+    assert out.count() == len(_CL_PROBE)
+
+
+def test_closest_flags_validation(spark):
+    build = spark.createDataFrame(_CL_BUILD, "contig string, start int, end int")
+    probe = spark.createDataFrame(
+        _CL_PROBE, "contig string, p_start int, p_end int"
+    )
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    with pytest.raises(ValueError, match="every candidate class"):
+        nearest_join(build, probe, **kw, ignore_overlaps=True,
+                     ignore_upstream=True, ignore_downstream=True)
+    with pytest.raises(ValueError, match="k=1 only"):
+        nearest_join(build, probe, **kw, k=2, ignore_overlaps=True)
+
+
+def test_closest_io_with_distance_col(spark):
+    build = spark.createDataFrame(_CL_BUILD, "contig string, start int, end int")
+    probe = spark.createDataFrame(
+        [(c, s, e, i) for i, (c, s, e) in enumerate(_CL_PROBE)],
+        "contig string, p_start int, p_end int, pid int",
+    )
+    out = nearest_join(
+        build, probe, on="contig",
+        left_start="start", left_end="end",
+        right_start="p_start", right_end="p_end",
+        ignore_overlaps=True, distance_col="dist",
+    )
+    for r in out.collect():
+        if r["start"] is not None:
+            assert r["dist"] > 0  # -io never returns an overlap
