@@ -177,3 +177,104 @@ def test_k_nearest_algorithms_agree_with_naive(spark, tabs, k):
     for algo in ("index", "partitioned", "broadcast_probe"):
         got = rows_set(nearest_join(left, right, algorithm=algo, **args))
         assert got == want, (algo, k)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables, st.sampled_from([(0.5, None, False), (None, 0.5, False),
+                                (0.5, 0.5, True), (1.0, None, False)]))
+def test_fraction_algorithms_agree_with_naive(spark, tabs, frac):
+    # fraction predicates are a shared post-filter — every algorithm must
+    # agree with the naive predicate join under the same fractions
+    min_f, min_F, either = frac
+    lrows = [(c, s, s + ln) for c, s, ln in tabs[0]]
+    rrows = [(c, s, s + ln) for c, s, ln in tabs[1]]
+    left = spark.createDataFrame(lrows, "contig string, start int, end int")
+    right = spark.createDataFrame(rrows, "contig string, start int, end int")
+    kw = dict(min_frac_left=min_f, min_frac_right=min_F,
+              either=either and (min_f is not None and min_F is not None))
+
+    def run(algo):
+        return rows_set(
+            overlap_join(
+                left, right, on="contig",
+                left_start="start", left_end="end",
+                right_start="start", right_end="end",
+                algorithm=algo, **kw,
+            )
+        )
+
+    truth = run("naive")
+    assert run("binning") == truth
+    assert run("index") == truth
+    assert run("partitioned") == truth
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables, st.sampled_from([(True, False, False), (False, True, False),
+                                (False, False, True), (True, True, False)]))
+def test_closest_flags_algorithms_agree_with_naive(spark, tabs, flags):
+    # the flagged kernel (strict-upstream end-sorted view, downstream flank,
+    # optional overlap class) must agree with the naive left-outer join
+    # whose class exclusion sits in the join condition
+    io, iu, idn = flags
+    lrows = [(c, s, s + ln) for c, s, ln in tabs[0]]
+    rrows = [(c, s, s + ln) for c, s, ln in tabs[1]]
+    left = spark.createDataFrame(lrows, "contig string, start int, end int")
+    right = spark.createDataFrame(rrows, "contig string, start int, end int")
+
+    def run(algo):
+        return rows_set(
+            nearest_join(
+                left, right, on="contig",
+                left_start="start", left_end="end",
+                right_start="start", right_end="end",
+                algorithm=algo,
+                ignore_overlaps=io, ignore_upstream=iu, ignore_downstream=idn,
+            )
+        )
+
+    truth = run("naive")
+    assert run("index") == truth
+    assert run("partitioned") == truth
+    assert run("broadcast_probe") == truth
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables)
+def test_map_intervals_consistent_with_count_overlaps(spark, tabs):
+    # map's 'count' op over the binned pairs must equal count_overlaps with
+    # sides swapped (left keeps rows in map; right keeps rows in count)
+    from sequila_native_spark import count_overlaps, map_intervals
+
+    lrows = [(c, s, s + ln, i) for i, (c, s, ln) in enumerate(tabs[0])]
+    rrows = [(c, s, s + ln) for c, s, ln in tabs[1]]
+    left = spark.createDataFrame(lrows, "contig string, start int, end int, lid int")
+    right = spark.createDataFrame(rrows, "contig string, r_start int, r_end int")
+
+    m = map_intervals(
+        left, right, on="contig",
+        left_start="start", left_end="end",
+        right_start="r_start", right_end="r_end",
+        aggs={"n": ("count", None)},
+    )
+    c = count_overlaps(
+        right, left, on="contig",
+        left_start="r_start", left_end="r_end",
+        right_start="start", right_end="end",
+        count_col="n",
+    )
+    got_m = {r["lid"]: r["n"] for r in m.collect()}
+    got_c = {r["lid"]: r["n"] for r in c.collect()}
+    assert got_m == got_c
