@@ -752,8 +752,15 @@ def q_filtered_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked feature twins; normalization via ``normalize_text_sql``
     (byte-equal by unit pin). One scan, zero shuffle, pure Catalyst."""
     from sequila_native_spark.functions.text import filter_documents, normalize_text
+    from sequila_native_spark.util import ensure_parallel
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ensure_parallel: the documents table scans as ONE split at driver SFs,
+    # which would run the whole codegen'd feature chain single-task (15s+ at
+    # sf0.1, bench r5); at real scale the scan has many splits and this
+    # no-ops — same treatment as doc_fingerprints.
+    docs = ensure_parallel(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     kept = filter_documents(
         docs, "text",
         min_tokens=10, min_ttr_milli=100, min_stop_milli=10,

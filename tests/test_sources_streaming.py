@@ -280,3 +280,51 @@ def test_dedup_events_stream_equals_batch(spark, events_batch, tmp_path):
     q.awaitTermination(120)
     got = rows_set(spark.table("stream_dedup_out"))
     assert got == want
+
+
+def test_stateless_pipeline_ops_stream_equal_batch(spark, tmp_path):
+    # deterministic_sample / split_dataset / filter_documents are stateless
+    # projections+filters, so they run on streaming frames unchanged and
+    # select EXACTLY the batch row set (hash selection has no RNG state —
+    # df.sample would not even be allowed on a stream without state caveats)
+    import os
+
+    from sequila_native_spark.functions import (
+        deterministic_sample,
+        split_dataset,
+    )
+    from sequila_native_spark.functions.text import filter_documents
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog and keeps on "
+              "running through the field " * 2) if i % 3 else "x y")
+         for i in range(90)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    def transform(df):
+        kept = filter_documents(df, "text", min_ttr_milli=50)
+        kept = deterministic_sample(kept, 0.5, key="doc_id", seed=9)
+        return split_dataset(kept, {"train": 0.9, "heldout": 0.1},
+                             key="doc_id", seed=4)
+
+    batch = {(r["doc_id"], r["split"]) for r in transform(docs).collect()}
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    assert stream.isStreaming
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("stateless_ops_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["split"])
+           for r in spark.table("stateless_ops_out").collect()}
+    assert got == batch and len(batch) > 0
