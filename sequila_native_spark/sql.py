@@ -354,10 +354,35 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
-    r"|subtract)"
+    r"|subtract|makewindows|cluster|map)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
+
+
+def _parse_map_spec(spec: str) -> dict[str, tuple[str, str | None]]:
+    """Parse the sequila_map aggregate spec: ``'out=op:col;out2=count'``
+    (ops as in :func:`~sequila_native_spark.map_intervals`; ``count`` takes
+    no column)."""
+    aggs: dict[str, tuple[str, str | None]] = {}
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"sequila_map spec entries are 'out=op:col' or 'out=count', "
+                f"got {part!r}"
+            )
+        out_name, rhs = (x.strip() for x in part.split("=", 1))
+        if ":" in rhs:
+            op, col = (x.strip() for x in rhs.split(":", 1))
+            aggs[out_name] = (op, col)
+        else:
+            aggs[out_name] = (rhs, None)
+    if not aggs:
+        raise ValueError(f"sequila_map spec names no aggregates: {spec!r}")
+    return aggs
 
 
 def _tvf_args(raw: str) -> list[str]:
@@ -431,6 +456,46 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
         return [k for k in s.split(":") if k] or None
 
     def build(op: str, a: list[str]) -> DataFrame:
+        if op == "makewindows":
+            if not (5 <= len(a) <= 6):
+                raise ValueError(
+                    f"sequila_makewindows takes (table, on, start, end, "
+                    f"window, [step]), got {a!r}"
+                )
+            from sequila_native_spark.operators.merge_intervals import make_windows
+
+            step = int(a[5]) if len(a) == 6 else None
+            return make_windows(
+                spark.table(a[0]), keys(a[1]), a[2], a[3],
+                window=int(a[4]), step=step,
+            )
+        if op == "cluster":
+            if not (4 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_cluster takes (table, on, start, end, "
+                    f"[max_gap]), got {a!r}"
+                )
+            from sequila_native_spark.operators.merge_intervals import (
+                cluster_intervals,
+            )
+
+            gap = int(a[4]) if len(a) == 5 else 0
+            return cluster_intervals(
+                spark.table(a[0]), keys(a[1]), a[2], a[3], max_gap=gap
+            )
+        if op == "map":
+            if len(a) != 8:
+                raise ValueError(
+                    f"sequila_map takes (left, right, on, left_start, "
+                    f"left_end, right_start, right_end, "
+                    f"'out=op:col;...'), got {a!r}"
+                )
+            from sequila_native_spark.operators.map_intervals import map_intervals
+
+            return map_intervals(
+                spark.table(a[0]), spark.table(a[1]), keys(a[2]),
+                a[3], a[4], a[5], a[6], aggs=_parse_map_spec(a[7]),
+            )
         if op in ("merge", "complement", "depth_histogram"):
             if not (4 <= len(a) <= (5 if op == "merge" else 4)):
                 raise ValueError(
@@ -500,10 +565,12 @@ def sequila_sql(spark: SparkSession, sql: str, *, bin_width: int | None = None) 
     reference prints).
 
     ``sequila_merge`` / ``sequila_complement`` / ``sequila_depth_histogram``
-    / ``sequila_count_overlaps`` / ``sequila_coverage`` table functions in
-    FROM position route to the corresponding operators (see
+    / ``sequila_count_overlaps`` / ``sequila_coverage`` / ``sequila_subtract``
+    / ``sequila_makewindows`` / ``sequila_cluster`` / ``sequila_map`` table
+    functions in FROM position route to the corresponding operators (see
     :func:`expand_sequila_tvfs`) — SQL reach for the operator surface the
-    reference keeps API-only.
+    reference keeps API-only. ``sequila_map``'s last argument is the
+    aggregate spec, e.g. ``'n=count;total=sum:score'``.
     """
     sql = expand_sequila_tvfs(spark, sql)
     mode = SequilaConf.from_spark(spark).join_mode

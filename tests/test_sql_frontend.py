@@ -392,3 +392,60 @@ def test_tvf_code_match_still_rewrites_next_to_literal(spark, reads):
         FROM sequila_merge('sql_reads', 'contig', 'pos_start', 'pos_end') m
     """)
     assert got.count() > 0 and got.columns[0] == "tag"
+
+
+def test_tvf_makewindows_and_cluster(spark, reads):
+    from sequila_native_spark import cluster_intervals, make_windows
+
+    reads.createOrReplaceTempView("sql_reads")
+    got = sequila_sql(spark, """
+        SELECT * FROM sequila_makewindows('sql_reads', 'contig',
+                                          'pos_start', 'pos_end', 100, 50)
+    """)
+    want = make_windows(reads, "contig", "pos_start", "pos_end",
+                        window=100, step=50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = sequila_sql(spark, """
+        SELECT contig, cluster_id, count(*) AS n
+        FROM sequila_cluster('sql_reads', 'contig', 'pos_start', 'pos_end', 300)
+        GROUP BY contig, cluster_id
+    """)
+    want = (
+        cluster_intervals(reads, "contig", "pos_start", "pos_end", max_gap=300)
+        .groupBy("contig", "cluster_id").count()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tvf_map(spark, reads, targets):
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark import map_intervals
+
+    reads.withColumn("len", F.col("pos_end") - F.col("pos_start") + 1) \
+        .createOrReplaceTempView("sql_reads_v")
+    targets.createOrReplaceTempView("sql_targets")
+    got = sequila_sql(spark, """
+        SELECT * FROM sequila_map('sql_targets', 'sql_reads_v', 'contig',
+                                  'pos_start', 'pos_end', 'pos_start', 'pos_end',
+                                  'n=count;total=sum:len')
+    """)
+    want = map_intervals(
+        targets, spark.table("sql_reads_v"), "contig",
+        "pos_start", "pos_end", "pos_start", "pos_end",
+        aggs={"n": ("count", None), "total": ("sum", "len")},
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tvf_map_bad_spec(spark, reads, targets):
+    reads.createOrReplaceTempView("sql_reads")
+    targets.createOrReplaceTempView("sql_targets")
+    with pytest.raises(ValueError, match="spec entries"):
+        sequila_sql(spark, """
+            SELECT * FROM sequila_map('sql_targets', 'sql_reads', 'contig',
+                'pos_start', 'pos_end', 'pos_start', 'pos_end', 'nonsense')
+        """)
+    with pytest.raises(ValueError, match="sequila_map takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_map('a', 'b')")
