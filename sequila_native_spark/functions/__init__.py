@@ -50,6 +50,7 @@ from sequila_native_spark.functions.sampling import (
     sample_hash_sql,
     split_dataset,
     split_thresholds,
+    stratified_sample,
 )
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
@@ -75,6 +76,7 @@ __all__ = [
     "sample_hash_sql",
     "split_dataset",
     "split_thresholds",
+    "stratified_sample",
     "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents", "normalize_text",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",

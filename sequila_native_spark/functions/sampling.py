@@ -122,10 +122,20 @@ def mix_datasets(
     key: str = "doc_id",
     seed: int = 0,
     source_col: str = "source",
+    epoch_col: str | None = None,
 ) -> DataFrame:
-    """Weighted mixture: sample each source at its rate (``0..1``) and union
-    with a ``source_col`` tag — the dataset-mixing step of a training
-    pipeline (e.g. 100% curated + 30% web crawl), deterministic end to end.
+    """Weighted mixture: include each source at its weight and union with a
+    ``source_col`` tag — the dataset-mixing step of a training pipeline
+    (e.g. 100% curated + 30% web crawl + 2.5 epochs of a small high-quality
+    set), deterministic end to end.
+
+    Weights ≤ 1 subsample (``deterministic_sample``). Weights > 1
+    OVERSAMPLE deterministically: every row repeats ``floor(w)`` times and
+    one extra copy is included at rate ``w − floor(w)`` by the same hash
+    selection — expectation exactly ``w``, reproducible, no RNG state. The
+    repeat is a ``sequence``+``explode`` projection inside the scan tasks —
+    no shuffle. Pass ``epoch_col`` to expose the 0-based copy ordinal
+    (training loaders commonly shuffle by (epoch, key) downstream).
 
     Column contract: every source must share the same schema (the usual
     normalized-document shape); mismatches raise immediately rather than
@@ -137,7 +147,7 @@ def mix_datasets(
         raise ValueError("sources must name at least one dataset")
     frames = []
     base_cols = None
-    for i, (name, (df, rate)) in enumerate(sources.items()):
+    for i, (name, (df, weight)) in enumerate(sources.items()):
         if base_cols is None:
             base_cols = list(df.columns)
         elif list(df.columns) != base_cols:
@@ -145,9 +155,63 @@ def mix_datasets(
                 f"source {name!r} columns {df.columns} != first source's "
                 f"{base_cols}; align schemas before mixing"
             )
-        part = deterministic_sample(df, rate, key=key, seed=seed + i)
+        w = float(weight)
+        if w <= 0:
+            raise ValueError(f"source {name!r} weight must be positive, got {weight}")
+        if w <= 1.0:
+            part = deterministic_sample(df, w, key=key, seed=seed + i)
+            part = part.withColumn("__sq_epoch", F.lit(0).cast("int"))
+        else:
+            if key not in df.columns:
+                raise ValueError(f"sample key {key!r} not found in {df.columns}")
+            whole = int(w)
+            frac = w - whole
+            extra = (
+                sample_hash(F.col(key), seed + i) < F.lit(_check_rate(frac))
+            ).cast("int")
+            n_copies = (F.lit(whole) + extra).cast("int")
+            # explode must be the top-level expression of the projection
+            part = df.withColumn(
+                "__sq_epoch",
+                F.explode(F.sequence(F.lit(0).cast("int"), n_copies - 1)),
+            )
+        if epoch_col:
+            part = part.withColumnRenamed("__sq_epoch", epoch_col)
+        else:
+            part = part.drop("__sq_epoch")
         frames.append(part.withColumn(source_col, F.lit(name)))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    stratum_col: str,
+    key: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (class rebalancing: e.g.
+    keep 100% of a rare language, 5% of the dominant one). A row keeps its
+    stratum's rate threshold; strata missing from ``rates`` use
+    ``default_rate`` (0 = drop). Same hash selection as
+    :func:`deterministic_sample`, so all its stability properties hold,
+    per stratum — one codegen'd WHERE, zero shuffle.
+    """
+    if key not in df.columns:
+        raise ValueError(f"sample key {key!r} not found in {df.columns}")
+    if stratum_col not in df.columns:
+        raise ValueError(f"stratum column {stratum_col!r} not found in {df.columns}")
+    if not rates:
+        raise ValueError("rates must name at least one stratum")
+    thr = F.lit(_check_rate(default_rate))
+    expr = None
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        bound = F.lit(_check_rate(rate))
+        expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    thr = expr.otherwise(thr)
+    return df.where(sample_hash(F.col(key), seed) < thr)

@@ -108,3 +108,55 @@ def test_sampling_is_pure_catalyst(spark, ids):
     plan = formatted_plan(deterministic_sample(ids, 0.5))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert marker not in plan, marker
+
+
+def test_mix_oversampling_weights(spark, ids):
+    # weight 2.3: every row twice + a 0.3-rate third copy, deterministic
+    m = mix_datasets({"hq": (ids, 2.3)}, seed=1, epoch_col="epoch")
+    rows = m.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert set(per_key) == set(range(2000))  # nothing lost
+    n3 = 0
+    for k, eps in per_key.items():
+        assert sorted(eps) in ([0, 1], [0, 1, 2])
+        n3 += len(eps) == 3
+    # ~30% get the third copy; repeated run identical
+    assert 0.2 < n3 / 2000 < 0.4
+    again = {r["doc_id"]: r["epoch"] for r in
+             mix_datasets({"hq": (ids, 2.3)}, seed=1, epoch_col="epoch").collect()
+             if r["epoch"] == 2}
+    assert set(again) == {k for k, e in per_key.items() if len(e) == 3}
+    with pytest.raises(ValueError, match="positive"):
+        mix_datasets({"x": (ids, 0.0)})
+
+
+def test_stratified_sample(spark, ids):
+    from sequila_native_spark.functions import stratified_sample
+
+    labeled = ids.withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, "rare").otherwise("common")
+    )
+    out = stratified_sample(
+        labeled, {"rare": 1.0, "common": 0.1}, stratum_col="lang", seed=6
+    )
+    rows = out.collect()
+    n_rare = sum(1 for r in rows if r["lang"] == "rare")
+    n_common = sum(1 for r in rows if r["lang"] == "common")
+    assert n_rare == 200          # rate 1.0 keeps all
+    assert 100 < n_common < 280   # ~10% of 1800
+    # per-row decisions match deterministic_sample at the same seed
+    want_common = {
+        r["doc_id"] for r in deterministic_sample(
+            labeled.where(F.col("lang") == "common"), 0.1, seed=6
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows if r["lang"] == "common"} == want_common
+    # unknown strata use default_rate (0 = drop)
+    out2 = stratified_sample(
+        labeled, {"rare": 1.0}, stratum_col="lang", seed=6
+    )
+    assert {r["lang"] for r in out2.collect()} == {"rare"}
+    with pytest.raises(ValueError, match="stratum column"):
+        stratified_sample(labeled, {"a": 1.0}, stratum_col="nope")
