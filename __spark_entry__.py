@@ -714,6 +714,50 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite (VERDICT r5 item 2): events_dedup + events_json in one
+    row set. The replayed stream (1-in-3 duplicated — the at-least-once
+    shape) is key-deduped back to the original event set, then the JSON
+    ``props.$.k`` aggregation runs over the SURVIVORS — so a dedup defect
+    (lost or surviving duplicate rows) shifts both n_events and sum_k, and
+    the oracle is the plain-events JSON twin verbatim. Frees one 50-prefix
+    slot vs the two standalone rows (both q_ functions remain for bench)."""
+    from sequila_native_spark.streaming import dedup_events
+
+    ev = _events(spark, sf_dir)
+    replayed = ev.unionAll(ev.where(F.col("event_id") % 3 == 0))
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        dedup_events(replayed, "event_id")
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_events_stateful_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite (VERDICT r5 item 2): view_purchase_funnel +
+    events_running_totals as one tagged all-bigint union — the two batch
+    twins of the stateful streaming operators (stream-stream watermarked
+    funnel join; applyInPandasWithState running totals) under one driver
+    slot. Columns are normalized to (op, user_id, k1, k2, v); the oracle is
+    the two original twins aliased identically and UNION ALL'd."""
+    funnel = q_view_purchase_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        F.col("user_id"),
+        F.col("a_event_id").alias("k1"),
+        F.col("b_event_id").alias("k2"),
+        F.col("lag_seconds").alias("v"),
+    )
+    running = q_events_running_totals(spark, sf_dir).select(
+        F.lit("running").alias("op"),
+        F.col("user_id"),
+        F.col("event_id").alias("k1"),
+        F.col("ordinal").alias("k2"),
+        F.col("run_cents").alias("v"),
+    )
+    return funnel.unionAll(running)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -732,6 +776,25 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     feats = repetition_features(F.col("text"))
     return docs.select(F.col("doc_id"), *[v.alias(k) for k, v in feats.items()])
+
+
+def q_doc_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite (VERDICT r5 item 2): doc_text_stats +
+    doc_repetition_stats as ONE wide per-doc feature row — both feature
+    families come off a single documents scan (they were two scans as
+    standalone rows), pure Catalyst, zero shuffle. The oracle is the two
+    original twins' expressions merged into one SELECT. Frees one
+    50-prefix slot (both q_ functions remain for bench)."""
+    from sequila_native_spark.functions import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    rf = repetition_features(F.col("text"))
+    return docs.select(
+        F.col("doc_id"),
+        *[v.alias(k) for k, v in qf.items()],
+        *[v.alias(k) for k, v in rf.items()],
+    )
 
 
 def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,12 +1363,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume": q_brand_volume,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
-        "events_running_totals": q_events_running_totals,
-        "view_purchase_funnel": q_view_purchase_funnel,
-        "events_dedup": q_events_dedup,
-        "events_json": q_events_json,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_repetition_stats": q_doc_repetition_stats,
+        # r6 composites (VERDICT r5 item 2): events_running_totals +
+        # view_purchase_funnel → events_stateful_ops; events_dedup +
+        # events_json → events_type_stats; doc_text_stats +
+        # doc_repetition_stats → doc_feature_stats. Frees three slots for
+        # the past-cap exact-oracle promotions below.
+        "events_stateful_ops": q_events_stateful_ops,
+        "events_type_stats": q_events_type_stats,
+        "doc_feature_stats": q_doc_feature_stats,
         "doc_lang_dist": q_doc_lang_dist,
         "filtered_doc_stats": q_filtered_doc_stats,
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -1317,6 +1382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
+        # r6 promotions (VERDICT r5 item 2): previously past-cap with
+        # locally-verified exact oracles; the composite restructure above
+        # freed exactly three slots.
+        "doc_split_counts": q_doc_split_counts,
+        "nearest_nonoverlap": q_nearest_nonoverlap,
+        "doc_term_stats": q_doc_term_stats,
         # -- past-the-cap block: rows-only checks (no ANSI-SQL twin by
         # nature — seeded LSH, iterative k-means, recall harnesses;
         # semantics unit-pinned) ---------------------------------------------
@@ -1329,9 +1400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
-        "doc_split_counts": q_doc_split_counts,
-        "nearest_nonoverlap": q_nearest_nonoverlap,
-        "doc_term_stats": q_doc_term_stats,
         "doc_bm25_topk": q_doc_bm25_topk,
         "overlap_count_50x": q_overlap_count_50x,
     }
@@ -1877,11 +1945,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.p_brand
             ORDER BY p.p_brand
         """,
-        "events_dedup": """
-            -- replayed duplicates are exact copies, so key-dedup restores
-            -- the original event set
-            SELECT event_type, count(*) AS n_events
-            FROM events GROUP BY event_type
+        # events_type_stats (r6 composite): the replayed duplicates are
+        # exact copies, so key-dedup restores the original event set and the
+        # JSON aggregation over the survivors equals the plain-events twin.
+        "events_type_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -1891,31 +1963,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        "events_running_totals": """
-            SELECT event_id, user_id,
-                   CAST(row_number() OVER w AS BIGINT) AS ordinal,
-                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS run_cents
-            FROM events
-            WHERE user_id % 50 = 0
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        """,
-        "view_purchase_funnel": """
+        # events_stateful_ops (r6 composite): the two original stateful
+        # twins (funnel join; running totals) aliased to (op, user_id, k1,
+        # k2, v) and UNION ALL'd — expressions unchanged.
+        "events_stateful_ops": """
             WITH ev AS (
                 SELECT user_id, event_id, event_type,
                        date_trunc('second', ts) AS ts
                 FROM events
             )
-            SELECT a.user_id AS user_id,
-                   a.event_id AS a_event_id,
-                   b.event_id AS b_event_id,
-                   CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS lag_seconds
+            SELECT 'funnel' AS op,
+                   a.user_id AS user_id,
+                   a.event_id AS k1,
+                   b.event_id AS k2,
+                   CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS v
             FROM ev a JOIN ev b
             ON a.user_id = b.user_id
                AND a.event_type = 'view' AND b.event_type = 'purchase'
                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND
+            UNION ALL
+            SELECT 'running' AS op, user_id, event_id AS k1,
+                   CAST(row_number() OVER w AS BIGINT) AS k2,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS v
+            FROM events
+            WHERE user_id % 50 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # (ts, event_id) total order in BOTH stacked windows: ties in ts
         # alone could order differently between the lag pass and the
@@ -1946,23 +2021,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM s GROUP BY user_id, sid
         """,
-        "events_json": """
-            SELECT event_type,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                   count(*) AS n_events
-            FROM events
-            GROUP BY event_type
-        """,
-        "doc_repetition_stats": f"""
-            SELECT doc_id,
-                   {_REP_SQL['n_lines']} AS n_lines,
-                   {_REP_SQL['n_distinct_lines']} AS n_distinct_lines,
-                   {_REP_SQL['dup_line_milli']} AS dup_line_milli,
-                   {_REP_SQL['top_bigram_milli']} AS top_bigram_milli,
-                   {_REP_SQL['max_word_run']} AS max_word_run
-            FROM documents
-        """,
-        "doc_text_stats": f"""
+        # doc_feature_stats (r6 composite): the doc_text_stats and
+        # doc_repetition_stats twins' expressions merged into one SELECT —
+        # one wide feature row per doc, expressions unchanged.
+        "doc_feature_stats": f"""
             WITH t AS (
                 SELECT doc_id, text, string_split(lower(text), ' ') AS toks
                 FROM documents
@@ -1973,11 +2035,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
                        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
                        CAST(floor(len(list_distinct(toks)) * 1000.0 / len(toks)) AS BIGINT) AS ttr_milli,
-                       CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS stop_milli
+                       CAST(floor(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) * 1000.0 / len(toks)) AS BIGINT) AS stop_milli,
+                       {_REP_SQL['n_lines']} AS n_lines,
+                       {_REP_SQL['n_distinct_lines']} AS n_distinct_lines,
+                       {_REP_SQL['dup_line_milli']} AS dup_line_milli,
+                       {_REP_SQL['top_bigram_milli']} AS top_bigram_milli,
+                       {_REP_SQL['max_word_run']} AS max_word_run
                 FROM t
             )
             SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_distinct_tokens,
-                   ttr_milli, stop_milli, ttr_milli + stop_milli AS quality_milli
+                   ttr_milli, stop_milli, ttr_milli + stop_milli AS quality_milli,
+                   n_lines, n_distinct_lines, dup_line_milli,
+                   top_bigram_milli, max_word_run
             FROM f
         """,
         "doc_lang_dist": f"""

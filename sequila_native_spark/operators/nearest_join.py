@@ -89,6 +89,7 @@ from sequila_native_spark.session import SequilaConf, parse_algorithm
 from sequila_native_spark.util import ensure_parallel, stamp_row_id
 
 _PID = "__sq_probe_id"
+_SALT = "__sq_nearest_salt"
 _I64_MIN = np.iinfo(np.int64).min
 _I64_MAX = np.iinfo(np.int64).max
 
@@ -190,10 +191,11 @@ def nearest_join(
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
     rb = _with_bounds(right, r_start, r_end, _RS, _RE, strict, check)
 
+    salt = max(1, int(conf.nearest_salt))
     if algo == "naive":
         out = _naive_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     elif algo == "partitioned":
-        out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
+        out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags, salt)
     elif algo == "broadcast_probe":
         out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
     else:
@@ -207,7 +209,7 @@ def nearest_join(
             except BuildSideTooLargeError:
                 if not l_keys:
                     raise
-                out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
+                out = _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags, salt)
     if distance_col:
         shrink = 1 if strict else 0
         le_n = F.col(left_end) - F.lit(shrink)
@@ -503,13 +505,23 @@ def _nearest_out_schema(lb, rb, left_cols, right_cols) -> StructType:
     )
 
 
-def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
+def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None, salt=1):
     """Cogroup-per-key nearest: the Partitioned-mode analogue.
 
     Shuffles both sides once on the equi-keys; each task builds the sorted
     index for its key groups and probes it — no driver collect, no broadcast.
     Keyless calls degenerate to one group, so route them to the broadcast
     index instead (same memory shape, full probe parallelism).
+
+    ``salt`` > 1 (``spark.sequila.nearestSalt``): cogroup parallelism is
+    bounded by the distinct-key count, which for genomic contigs (~25) sits
+    far below a cluster's core count. Salting hash-splits each key's PROBES
+    into ``salt`` buckets and replicates the key's BUILD rows into every
+    bucket, so every probe still sees its key's full build set — results
+    are bit-identical to ``salt=1`` (k>1 and flags included) while the
+    cogroup fans out to ``n_keys x salt`` tasks. Cost: a ``salt x``
+    build-side shuffle; keep 1 when key cardinality already covers the
+    cores.
     """
     if not l_keys:
         return _index_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
@@ -518,6 +530,19 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None):
     # rows with null keys stay: their group cogroups against an empty build
     # side and emits null-left rows (matching the index path's behavior).
     lb = lb.na.drop(subset=list(l_keys))
+
+    if salt > 1:
+        # deterministic probe bucket (hash of the normalized bounds — no RNG,
+        # no row-id dependence, so retries and re-plans land identically);
+        # build rows explode to all buckets so each bucket is self-contained
+        lb = lb.withColumn(
+            _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        rb = rb.withColumn(
+            _SALT, F.pmod(F.hash(F.col(_RS), F.col(_RE)), F.lit(salt)).cast("int")
+        )
+        l_keys = [*l_keys, _SALT]
+        r_keys = [*r_keys, _SALT]
 
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]

@@ -34,6 +34,7 @@ CHECK_INT32_BOUNDS = "spark.sequila.checkInt32Bounds"
 MAX_BROADCAST_BUILD_ROWS = "spark.sequila.maxBroadcastBuildRows"
 BINNED_JOIN_PARTITIONS = "spark.sequila.binnedJoinPartitions"
 NEAREST_K = "spark.sequila.nearestK"
+NEAREST_SALT = "spark.sequila.nearestSalt"
 
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two
@@ -65,6 +66,17 @@ DEFAULT_BINNED_JOIN_PARTITIONS: int | str = "auto"
 # this join's ~100-200x output amplification (measured knee: see above).
 BINNED_JOIN_TARGET_BYTES = 1 << 20
 BINNED_JOIN_MAX_PARTITIONS = 4096
+# Probe-salting factor for the partitioned (cogroup) nearest join. The
+# cogroup's parallelism is bounded by the number of distinct equi-key groups
+# — for genomic data that is the contig count (~25), far below a cluster's
+# core count. salt=S splits each key's PROBES into S hash buckets and
+# replicates the key's BUILD rows to every bucket (exploded salt column), so
+# parallelism becomes n_keys x S at the cost of an S x build-side shuffle.
+# Each probe still sees its key's FULL build set, so results (k>1 and
+# candidate-class flags included) are bit-identical to salt=1. Default 1
+# (off): when key cardinality already exceeds the core count — the common
+# cluster case for high-cardinality keys — replication is pure overhead.
+DEFAULT_NEAREST_SALT = 1
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the
@@ -133,6 +145,7 @@ class SequilaConf:
     max_broadcast_build_rows: int = DEFAULT_MAX_BROADCAST_BUILD_ROWS
     binned_join_partitions: int | str = DEFAULT_BINNED_JOIN_PARTITIONS
     nearest_k: int = 1  # bedtools closest -k for the CoitreesNearest route
+    nearest_salt: int = DEFAULT_NEAREST_SALT  # cogroup probe-salt factor
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "SequilaConf":
@@ -179,6 +192,7 @@ class SequilaConf:
             ),
             binned_join_partitions=raw_parts,
             nearest_k=int(_get(NEAREST_K, "1")),
+            nearest_salt=int(_get(NEAREST_SALT, str(DEFAULT_NEAREST_SALT))),
         )
 
     def resolve_binned_join_partitions(self, spark: SparkSession, frames=()) -> int:

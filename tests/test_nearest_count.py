@@ -408,6 +408,31 @@ def test_closest_flags_validation(spark):
         nearest_join(build, probe, **kw, k=2, ignore_overlaps=True)
 
 
+@pytest.mark.parametrize("salt", [2, 5])
+def test_nearest_salt_bit_identical(spark, salt):
+    """spark.sequila.nearestSalt replicates build rows across probe hash
+    buckets — results must be bit-identical to salt=1, including k>1,
+    candidate-class flags, and empty-group null padding."""
+    build = spark.createDataFrame(_CL_BUILD, "contig string, start int, end int")
+    probe = spark.createDataFrame(
+        [(c, s, e, i) for i, (c, s, e) in enumerate(_CL_PROBE)],
+        "contig string, p_start int, p_end int, pid int",
+    )
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end",
+              algorithm="partitioned")
+    variants = [dict(), dict(k=2), dict(ignore_overlaps=True)]
+    try:
+        for extra in variants:
+            spark.conf.set("spark.sequila.nearestSalt", "1")
+            base = rows_set(nearest_join(build, probe, **kw, **extra))
+            spark.conf.set("spark.sequila.nearestSalt", str(salt))
+            salted = rows_set(nearest_join(build, probe, **kw, **extra))
+            assert salted == base, extra
+    finally:
+        spark.conf.unset("spark.sequila.nearestSalt")
+
+
 def test_closest_io_with_distance_col(spark):
     build = spark.createDataFrame(_CL_BUILD, "contig string, start int, end int")
     probe = spark.createDataFrame(
