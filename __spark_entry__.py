@@ -858,6 +858,37 @@ def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_delta_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite: full-corpus MinHash near-dups ('all') + corpus-delta
+    incremental near-dups ('delta': batch = doc_id%5==0 probed against
+    corpus = the rest, cross-side candidates only — no batch x batch, no
+    corpus x corpus) in one tagged row set. Both md5-family so the DuckDB
+    twin (shared base/banded CTEs, the delta restricted to cross-side
+    pairs) is bit-identical. Replaces the standalone minhash_near_dups
+    prefix row (its q_ function remains for bench)."""
+    from sequila_native_spark.functions import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    all_pairs = minhash_pairs(
+        docs, k=8, bands=4, threshold_milli=200, hash_family="md5"
+    )
+    delta = dedup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        k=8, bands=4, threshold_milli=200, hash_family="md5",
+    )
+    return all_pairs.select(
+        F.lit("all").alias("family"), "id_a", "id_b", "n_common", "n_union"
+    ).unionAll(
+        delta.select(
+            F.lit("delta").alias("family"),
+            F.col("batch_id").alias("id_a"),
+            F.col("corpus_id").alias("id_b"),
+            "n_common", "n_union",
+        )
+    )
+
+
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exhaustive inverted-index n-gram Jaccard — exact recall (a superset of
     # every LSH family's output at the same threshold)
@@ -1374,7 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_dist": q_doc_lang_dist,
         "filtered_doc_stats": q_filtered_doc_stats,
         "exact_dup_clusters": q_exact_dup_clusters,
-        "minhash_near_dups": q_minhash_near_dups,
+        # r6: minhash_near_dups ∪ corpus-delta incremental dedup (composite)
+        "minhash_delta_dups": q_minhash_delta_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2090,7 +2122,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS canonical_id
             FROM documents GROUP BY 1
         """,
-        "minhash_near_dups": f"""
+        # minhash_delta_dups (r6 composite): the full-corpus pair twin
+        # ('all', id_a < id_b) plus the corpus-delta twin ('delta': the same
+        # banded candidates restricted to CROSS-side (batch, corpus) pairs —
+        # batch = doc_id%5=0 probing corpus = the rest). Shared CTEs.
+        "minhash_delta_dups": f"""
             WITH base AS (
                 SELECT doc_id, {_SHINGLES_SQL} AS sh, {_MINHASH_SQL} AS sig
                 FROM documents
@@ -2105,11 +2141,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM banded a JOIN banded b
                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                    AND a.doc_id < b.doc_id
+            ),
+            dcand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+            ),
+            allp AS (
+                SELECT 'all' AS family, id_a, id_b FROM cand
+                UNION ALL
+                SELECT 'delta' AS family, id_a, id_b FROM dcand
             )
-            SELECT c.id_a, c.id_b,
+            SELECT c.family, c.id_a, c.id_b,
                    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
                    CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT) AS n_union
-            FROM cand c
+            FROM allp c
             JOIN base sa ON sa.doc_id = c.id_a
             JOIN base sb ON sb.doc_id = c.id_b
             WHERE len(list_intersect(sa.sh, sb.sh)) * 1000

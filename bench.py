@@ -152,6 +152,7 @@ def main() -> None:
         "events_running_totals",
         "view_purchase_funnel",
         "doc_text_stats",
+        "minhash_near_dups",
     ):
         qs.setdefault(name, getattr(entry, f"q_{name}"))
 

@@ -316,6 +316,44 @@ def _jaccard_counts(a: Column, b: Column, n: int) -> Column:
     return jac(a, b)
 
 
+def _band_frame(src, id_col, text_col, k, bands, n, hash_family) -> DataFrame:
+    """``(__sq_id, band_idx, band_hash)`` LSH banding of ``src``.
+
+    Signatures (k hash passes over every shingle) are the expensive part —
+    computed once, on the banding branch only; docs collide iff their band
+    slices are equal (``xxhash64`` of the numeric slice, whole-stage
+    codegen'd), which is the property the DuckDB twin reproduces by joining
+    on the slice itself.
+    """
+    r = k // bands
+    sig_col = (
+        minhash_signature_draws(F.col(text_col), k, n)
+        if hash_family == "md5"
+        else minhash_signature_vectorized(F.col(text_col), k, n)
+    )
+    base = src.select(
+        F.col(id_col).alias("__sq_id"),
+        sig_col.alias("__sq_sig"),
+    ).where(F.size("__sq_sig") > 0)
+
+    def band_hash(b):
+        band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
+        return F.xxhash64(band)
+
+    return base.select(
+        "__sq_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    band_hash(b).alias("band_hash"),
+                ),
+            )
+        ).alias("__sq_band"),
+    ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -350,40 +388,8 @@ def minhash_pairs(
         raise ValueError(f"bands={bands} must divide k={k}")
     if hash_family not in ("fast", "md5"):
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
-    r = k // bands
     src = ensure_parallel(df.select(id_col, text_col))
-    # signatures (k hash passes over every shingle) are the expensive part —
-    # computed once, on the banding branch only; verification re-shingles
-    # only the candidate pairs (see _jaccard_counts below)
-    sig_col = (
-        minhash_signature_draws(F.col(text_col), k, n)
-        if hash_family == "md5"
-        else minhash_signature_vectorized(F.col(text_col), k, n)
-    )
-    base = src.select(
-        F.col(id_col).alias("__sq_id"),
-        sig_col.alias("__sq_sig"),
-    ).where(F.size("__sq_sig") > 0)
-
-    def band_hash(b):
-        # whole-stage-codegen'd 64-bit hash of the numeric band slice; docs
-        # collide iff their band slices are equal, which is the property the
-        # DuckDB twin reproduces by joining on the slice itself
-        band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
-        return F.xxhash64(band)
-
-    banded = base.select(
-        "__sq_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    band_hash(b).alias("band_hash"),
-                ),
-            )
-        ).alias("__sq_band"),
-    ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
+    banded = _band_frame(src, id_col, text_col, k, bands, n, hash_family)
 
     # Bucket aggregation instead of a self-join: ONE shuffle of the banded
     # rows and ONE evaluation of the signature UDF (a self-join would carry
@@ -441,6 +447,94 @@ def minhash_pairs(
         .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
     )
     return verified.select("id_a", "id_b", "n_common", "n_union")
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold_milli: int = 200,
+    hash_family: str = "fast",
+    broadcast_batch: bool | None = None,
+) -> DataFrame:
+    """Asymmetric (incremental) near-dup: which BATCH docs duplicate a
+    CORPUS doc — the shape a production pipeline runs daily (today's crawl
+    vs everything already ingested). Same banded-LSH machinery as
+    :func:`minhash_pairs`, but only cross-side ``(batch, corpus)``
+    candidates are generated: band frames for each side equi-join on
+    ``(band_idx, band_hash)``, so no batch x batch and no corpus x corpus
+    pair ever exists in the plan — corpus-side cost is one signature scan +
+    one shuffle-by-band-hash, NOT quadratic in corpus size.
+
+    100 TB shape: the corpus band frame is the per-run recomputation of
+    what production would precompute once and store (band_hash-bucketed
+    parquet); the candidate equi-join then prunes to matching buckets.
+    ``broadcast_batch=True`` hints the banded batch side as a broadcast
+    join build (the daily-batch case: batch ≪ corpus ⇒ the corpus scan
+    streams with ZERO shuffle); ``False`` forces shuffle; ``None`` (default)
+    lets Catalyst/AQE decide from its size estimates.
+
+    Output: ``batch_id, corpus_id, n_common, n_union`` — exact-Jaccard
+    verified at ``threshold_milli``, integers only. Batch docs that should
+    be KEPT are one anti-join away::
+
+        keep = batch.join(pairs, batch.doc_id == pairs.batch_id, "left_anti")
+
+    (see :func:`filter_new_against_corpus`).
+    """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    bsrc = ensure_parallel(batch.select(id_col, text_col))
+    csrc = ensure_parallel(corpus.select(id_col, text_col))
+    bb = _band_frame(bsrc, id_col, text_col, k, bands, n, hash_family) \
+        .withColumnRenamed("__sq_id", "batch_id")
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    cb = _band_frame(csrc, id_col, text_col, k, bands, n, hash_family) \
+        .withColumnRenamed("__sq_id", "corpus_id")
+    if broadcast_batch is False:
+        cb = cb.hint("shuffle_hash")
+    cand = (
+        bb.join(cb, ["band_idx", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .transform(lambda d: lib_checkpoint(d, eager=True))
+    )
+    txt_b = bsrc.select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("__sq_tb"))
+    txt_c = csrc.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__sq_tc"))
+    return (
+        cand.join(txt_b, "batch_id")
+        .join(txt_c, "corpus_id")
+        .withColumn("__sq_j", _jaccard_counts(F.col("__sq_tb"), F.col("__sq_tc"), n))
+        .select("batch_id", "corpus_id",
+                F.col("__sq_j.n_common").alias("n_common"),
+                F.col("__sq_j.n_union").alias("n_union"))
+        .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
+    )
+
+
+def filter_new_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The production filter over :func:`dedup_against_corpus`: BATCH rows
+    (all original columns) with no near-duplicate in the corpus. One
+    anti-join on the verified pairs; corpus rows are never returned."""
+    pairs = dedup_against_corpus(batch, corpus, text_col, id_col, **kwargs)
+    return batch.join(
+        pairs.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col, "left_anti",
+    )
 
 
 # ---------------------------------------------------------------------------

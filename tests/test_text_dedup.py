@@ -638,3 +638,62 @@ def test_repetition_cap_validation(spark):
         repetition_features(F.col("text"), max_tokens=0)
     with _pytest.raises(ValueError, match="max_tokens"):
         repetition_features_sql("text", max_tokens=-5)
+
+
+# ---------------------------------------------------------------------------
+# corpus-delta (incremental) dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_against_corpus_matches_symmetric_restriction(spark, docs):
+    """The asymmetric API must equal the symmetric pair set restricted to
+    exactly-one-side-in-batch pairs (same signatures, same banding, same
+    verification) — reoriented as (batch_id, corpus_id)."""
+    from sequila_native_spark.functions import dedup_against_corpus
+
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 1)
+    delta = dedup_against_corpus(
+        batch, corpus, k=8, bands=4, threshold_milli=200
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]): (r["n_common"], r["n_union"])
+           for r in delta}
+
+    sym = minhash_pairs(docs, k=8, bands=4, threshold_milli=200).collect()
+    want = {}
+    for r in sym:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 2 == 0) != (b % 2 == 0):  # exactly one side in the batch
+            ba, co = (a, b) if a % 2 == 0 else (b, a)
+            want[(ba, co)] = (r["n_common"], r["n_union"])
+    assert got == want
+    # and no within-side pair ever appears
+    assert all(ba % 2 == 0 and co % 2 == 1 for ba, co in got)
+
+
+def test_dedup_against_corpus_broadcast_hint_identical(spark, docs):
+    from sequila_native_spark.functions import dedup_against_corpus
+
+    batch = docs.where(F.col("doc_id") <= 2)
+    corpus = docs.where(F.col("doc_id") > 2)
+    base = {tuple(r) for r in dedup_against_corpus(
+        batch, corpus, threshold_milli=200).collect()}
+    bcast = {tuple(r) for r in dedup_against_corpus(
+        batch, corpus, threshold_milli=200, broadcast_batch=True).collect()}
+    assert base == bcast
+
+
+def test_filter_new_against_corpus_keeps_novel_docs(spark, docs):
+    from sequila_native_spark.functions import (
+        dedup_against_corpus,
+        filter_new_against_corpus,
+    )
+
+    batch = docs.where(F.col("doc_id").isin(2, 3, 5))   # 2,3 dup doc 1; 5 novel
+    corpus = docs.where(F.col("doc_id").isin(1, 6, 7))
+    kept = filter_new_against_corpus(batch, corpus, threshold_milli=500)
+    assert {r["doc_id"] for r in kept.collect()} == {5}
+    # original columns survive
+    assert set(kept.columns) == set(batch.columns)
+    # sanity: the pairs the filter removed really exist
+    pairs = dedup_against_corpus(batch, corpus, threshold_milli=500)
+    assert {r["batch_id"] for r in pairs.collect()} == {2, 3}
