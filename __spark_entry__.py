@@ -956,6 +956,26 @@ def q_multimodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(feats, feats.where(F.col("vec_id") < 5), k=3)
 
 
+def q_multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 (VERDICT r5 item 6): perceptual-hash near-dup over binary
+    payloads — aHash through the pluggable codec registry, then the same
+    pigeonhole Hamming band join as SimHash (shared
+    ``hamming_band_pairs``). Rows-only: the even-resample aHash is not
+    ANSI-SQL material; the band join is the oracle-adjacent machinery
+    already proven by simhash semantics, and the hash itself is pinned
+    against a driver-side brute force in test_similarity_multimodal.py."""
+    from sequila_native_spark.functions import perceptual_dup_pairs
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # max_hamming=8: measured 7 pairs over 500 sf0.01 docs (distance floor 5)
+    # — non-trivial output without the quadratic tail of looser thresholds
+    pairs = perceptual_dup_pairs(docs, max_hamming=8)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("id_a") * 100000 + F.col("id_b")).alias("min_pair_key"),
+    )
+
+
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment dedup (A pasted inside B): winnowed-fingerprint inverted
     # index, ratio against EITHER side's fingerprint count — the asymmetric
@@ -1425,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics unit-pinned) ---------------------------------------------
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "multimodal_topk": q_multimodal_topk,
+        "multimodal_phash_dups": q_multimodal_phash_dups,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,

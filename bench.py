@@ -222,10 +222,12 @@ def main() -> None:
 
         t = run_50x()
         fifty = [round(t, 3)]
-        # linear scaling predicts ~5x the 10x row; a single sample well above
-        # that is a host noise burst more often than a regression — buy one
+        # intrinsic 50x/10x ratio measured 4.1-4.4x (r6, three-run floors);
+        # a first sample above 5x the 10x row is a warm-up artifact (JVM heap
+        # growth / C2 JIT at volume — reproduced: 84-113s first vs 59-63s
+        # repeats, same session, plan-shape warm) or a host burst — buy one
         # confirmation sample before recording a superlinear-looking trend
-        if t > 6.5 * timings.get("overlap_count_10x", t):
+        if t > 5.0 * timings.get("overlap_count_10x", t):
             t2 = run_50x()
             fifty.append(round(t2, 3))
             t = min(t, t2)

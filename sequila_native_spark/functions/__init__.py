@@ -21,6 +21,7 @@ from sequila_native_spark.functions.text import (
 )
 from sequila_native_spark.functions.dedup import (
     dedup_against_corpus,
+    hamming_band_pairs,
     dedup_clusters,
     dedup_keep_canonical,
     filter_new_against_corpus,
@@ -60,8 +61,11 @@ from sequila_native_spark.functions.multimodal import (
     encode_fake_image,
     extract_features,
     fake_image_decoder,
+    perceptual_dup_pairs,
+    perceptual_hash,
     register_decoder,
     register_featurizer,
+    register_perceptual_hasher,
     register_transformer,
     resize_media,
     unregister_decoder,
@@ -90,4 +94,6 @@ __all__ = [
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",
     "register_featurizer", "encode_fake_image", "fake_image_decoder",
+    "perceptual_hash", "perceptual_dup_pairs", "register_perceptual_hasher",
+    "hamming_band_pairs",
 ]

@@ -700,10 +700,41 @@ def simhash_pairs(
     for fewer/larger bands and must be opted into with ``approximate=True``
     (pairs whose differing bits spread across every band are then missed).
     """
+    h = simhash64(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("__sq_id"), F.col("simhash")
+    )
+    # 63 usable bits: simhash64 keeps the sign bit clear, so >63 chunks
+    # would add all-zero bands past bit 62 that match every row pair
+    return hamming_band_pairs(
+        h, "simhash", max_hamming=max_hamming, chunks=chunks,
+        approximate=approximate, n_bits=63,
+    )
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    *,
+    max_hamming: int = 8,
+    chunks: int | None = None,
+    approximate: bool = False,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit ``hash_col`` values are within Hamming
+    distance ``max_hamming`` — the pigeonhole band join shared by SimHash
+    text dedup and perceptual-hash multimodal dedup.
+
+    ``hashed`` must carry ``__sq_id`` and ``hash_col``. Split the hash into
+    ``chunks`` bands — two hashes within Hamming distance < ``chunks`` must
+    share at least one exact band (≤ ``max_hamming`` differing bits can
+    dirty at most ``max_hamming`` bands) — equi-join on
+    ``(band_idx, band_bits)``, then exact popcount verification. The recall
+    guarantee REQUIRES ``chunks > max_hamming``; fewer chunks must be opted
+    into with ``approximate=True``. ``n_bits`` caps the chunk count at the
+    hash's usable bit width.
+    """
     if chunks is None:
-        # 63 usable bits: >63 chunks would add all-zero bands past bit 62
-        # that match every row pair (quadratic candidate blowup)
-        chunks = min(max_hamming + 1, 63)
+        chunks = min(max_hamming + 1, n_bits)
     if max_hamming >= chunks and not approximate:
         raise ValueError(
             f"chunks={chunks} only guarantees recall for Hamming distance "
@@ -712,18 +743,16 @@ def simhash_pairs(
             f"max_hamming + 1"
         )
     width = max(1, 64 // chunks)
-    h = simhash64(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("__sq_id"), F.col("simhash")
-    )
+    h = hashed.select("__sq_id", F.col(hash_col).alias("__sq_hash"))
     banded = h.select(
         "__sq_id",
-        "simhash",
+        "__sq_hash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col("__sq_hash"), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_bits"),
                     )
@@ -731,7 +760,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("__sq_band"),
-    ).select("__sq_id", "simhash", "__sq_band.band_idx", "__sq_band.band_bits")
+    ).select("__sq_id", "__sq_hash", "__sq_band.band_idx", "__sq_band.band_bits")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -743,8 +772,8 @@ def simhash_pairs(
         .select(
             F.col("a.__sq_id").alias("id_a"),
             F.col("b.__sq_id").alias("id_b"),
-            F.col("a.simhash").alias("__sq_ha"),
-            F.col("b.simhash").alias("__sq_hb"),
+            F.col("a.__sq_hash").alias("__sq_ha"),
+            F.col("b.__sq_hash").alias("__sq_hb"),
         )
         .distinct()
     )

@@ -366,3 +366,153 @@ def sample_chunks(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash-style near-dup over decoded content)
+# ---------------------------------------------------------------------------
+#
+# Same pluggable boundary as decode/resize/featurize: a perceptual hasher is
+# ``bytes -> int`` (64-bit hash whose Hamming distance tracks content
+# similarity). The builtin hashers are aHash-style — resample the decoded
+# content to 64 evenly spaced samples and set bit i iff sample i >= the
+# sample mean — which is invariant under the deterministic test codec's
+# resize (fake_image_resize is itself an even resample, and even-spaced
+# sampling approximately commutes with itself). A real pHash (DCT of an 8x8
+# luma grid) plugs into the same registry once an image library exists.
+
+_PHASHERS: dict[str, Callable[[bytes], int]] = {}
+
+
+def register_perceptual_hasher(media_type: str, fn: Callable[[bytes], int]) -> None:
+    """Register/replace the perceptual hasher for ``media_type`` (or
+    ``family/*``). ``fn`` maps payload bytes to a 64-bit int hash."""
+    _PHASHERS[media_type] = fn
+
+
+def unregister_perceptual_hasher(media_type: str) -> None:
+    _PHASHERS.pop(media_type, None)
+
+
+def _ahash64(body: bytes) -> int:
+    """aHash over 64 evenly spaced byte samples: bit i set iff
+    sample_i >= mean(samples). Deterministic; returns 0 for empty input."""
+    if not body:
+        return 0
+    n = len(body)
+    samples = [body[min(i * n // 64, n - 1)] for i in range(64)]
+    mean = sum(samples) / 64.0
+    h = 0
+    for i, s in enumerate(samples):
+        if s >= mean:
+            h |= 1 << i
+    return h
+
+
+def byte_phash(raw: bytes) -> int:
+    """Generic perceptual hash over raw payload bytes (the model-free
+    baseline for any media type)."""
+    return _ahash64(bytes(raw))
+
+
+def fake_image_phash(raw: bytes) -> int:
+    """Perceptual hash through the deterministic test codec: validate the
+    FKIM header, hash the pixel body only — so the same content at a
+    different encoded size (fake_image_resize output) hashes nearby."""
+    fake_image_decoder(raw)  # validates magic + header
+    return _ahash64(bytes(raw)[8:])
+
+
+register_perceptual_hasher(FAKE_IMAGE_TYPE, fake_image_phash)
+register_perceptual_hasher("text/plain", byte_phash)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    out_col: str = "phash",
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Append a 64-bit perceptual hash per payload via Arrow-batched
+    ``mapInPandas`` (embarrassingly parallel — one pass, no shuffle).
+    Rows with no registered hasher (or a failing decode) get null;
+    ``strict=True`` raises instead, like ``decode_media_meta``."""
+    has_type = media_type_col in df.columns
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), True)]
+    )
+    hashers = dict(_PHASHERS)  # snapshot into the closure at plan time
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            types = pdf[media_type_col] if has_type else pd.Series(
+                [None] * len(pdf), index=pdf.index
+            )
+            vals = []
+            for raw, mt in zip(pdf[payload_col], types):
+                fn = _lookup_decoder(hashers, mt)  # same family/* fallback
+                if fn is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no perceptual hasher registered for media type "
+                            f"{mt!r}; register_perceptual_hasher() one or "
+                            f"call with strict=False"
+                        )
+                    vals.append(None)
+                    continue
+                try:
+                    h = fn(bytes(raw))
+                except Exception:
+                    if strict:
+                        raise
+                    vals.append(None)
+                    continue
+                # store as signed int64 (bit 63 becomes the sign bit)
+                vals.append(h - (1 << 64) if h >= (1 << 63) else h)
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="object")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def perceptual_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    *,
+    max_hamming: int = 8,
+    chunks: int | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Multimodal near-dup pairs by perceptual-hash Hamming distance —
+    completes the multimodal story beyond metadata: decode-aware hashing,
+    then the same pigeonhole band join as SimHash
+    (:func:`~sequila_native_spark.functions.dedup.hamming_band_pairs`), so
+    no all-pairs comparison ever exists in the plan. Rows whose hash is
+    null (no hasher / failed decode) are excluded.
+
+    Output: ``id_a < id_b, hamming`` (exact popcount verified).
+    """
+    from sequila_native_spark.functions.dedup import hamming_band_pairs
+    from sequila_native_spark.util import ensure_parallel
+
+    cols = [id_col, payload_col]
+    if media_type_col in df.columns:
+        cols.append(media_type_col)
+    hashed = (
+        perceptual_hash(
+            ensure_parallel(df.select(*cols)), payload_col, media_type_col
+        )
+        .where(F.col("phash").isNotNull())
+        .select(F.col(id_col).alias("__sq_id"), "phash")
+    )
+    return hamming_band_pairs(
+        hashed, "phash", max_hamming=max_hamming, chunks=chunks,
+        approximate=approximate, n_bits=64,
+    )

@@ -215,3 +215,120 @@ def test_extract_features_feeds_similarity(spark):
     # rank 1 is the query itself (cosine 1.0, deterministic id tie-break)
     best = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     assert best[0] in (0, 3, 6, 9) and best[1] in (1, 4, 7, 10)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup (round 6)
+# ---------------------------------------------------------------------------
+
+def _fake_images():
+    """Deterministic fake-image corpus: three content families (gradient,
+    sine-ish, blocky) + small perturbations + a resized copy per family."""
+    from sequila_native_spark.functions.multimodal import (
+        encode_fake_image,
+        fake_image_resize,
+    )
+
+    def gradient(n):
+        return bytes(i * 255 // (n - 1) for i in range(n))
+
+    def wave(n):
+        return bytes((128 + int(120 * __import__("math").sin(i / 7.0))) % 256
+                     for i in range(n))
+
+    def blocky(n):
+        return bytes((0 if (i // 50) % 2 else 230) for i in range(n))
+
+    rows = []
+    for fam, body_fn in enumerate([gradient, wave, blocky]):
+        base = encode_fake_image(40, 30, body_fn(1200))
+        rows.append((fam * 10, base))
+        # light perturbation: flip a few bytes mid-body
+        b = bytearray(base)
+        for p in range(300, 306):
+            b[p] = (b[p] + 90) % 256
+        rows.append((fam * 10 + 1, bytes(b)))
+        # resized to half dimensions through the codec
+        rows.append((fam * 10 + 2, fake_image_resize(base, {"width": 20, "height": 15})))
+    return rows
+
+
+def test_perceptual_pairs_match_bruteforce(spark):
+    from sequila_native_spark.functions.multimodal import (
+        FAKE_IMAGE_TYPE,
+        fake_image_phash,
+        perceptual_dup_pairs,
+    )
+
+    rows = _fake_images()
+    df = spark.createDataFrame(
+        [(i, bytearray(p), FAKE_IMAGE_TYPE) for i, p in rows],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in perceptual_dup_pairs(df, max_hamming=12).collect()}
+
+    hashes = {i: fake_image_phash(p) for i, p in rows}
+    want = {}
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(hashes[ids[x]] ^ hashes[ids[y]]).count("1")
+            if d <= 12:
+                want[(ids[x], ids[y])] = d
+    assert got == want
+    # the banded join must find every same-family (perturbed/resized) pair
+    assert all((f * 10, f * 10 + 2) in got or
+               bin(hashes[f * 10] ^ hashes[f * 10 + 2]).count("1") > 12
+               for f in range(3))
+
+
+def test_perceptual_hash_resize_invariance(spark):
+    """aHash through the codec must be stable under the codec's own resize:
+    same content, different encoded size, small Hamming distance."""
+    from sequila_native_spark.functions.multimodal import (
+        encode_fake_image,
+        fake_image_phash,
+        fake_image_resize,
+    )
+
+    body = bytes(i * 255 // 999 for i in range(1000))
+    orig = encode_fake_image(50, 20, body)
+    for w, h in [(25, 10), (10, 4), (100, 40)]:
+        resized = fake_image_resize(orig, {"width": w, "height": h})
+        d = bin(fake_image_phash(orig) ^ fake_image_phash(resized)).count("1")
+        assert d <= 8, (w, h, d)
+
+
+def test_perceptual_hash_null_for_unregistered_type(spark):
+    from sequila_native_spark.functions.multimodal import (
+        perceptual_dup_pairs,
+        perceptual_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd" * 50), "application/x-unknown"),
+         (2, bytearray(b"abcd" * 50), "application/x-unknown"),
+         (3, bytearray(b"abcd" * 50), "text/plain"),
+         (4, bytearray(b"abcd" * 50), "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    hashed = perceptual_hash(df).collect()
+    by_id = {r["doc_id"]: r["phash"] for r in hashed}
+    assert by_id[1] is None and by_id[2] is None
+    assert by_id[3] is not None and by_id[3] == by_id[4]
+    # null-hash rows never appear in pairs
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             perceptual_dup_pairs(df, max_hamming=4).collect()}
+    assert pairs == {(3, 4)}
+
+
+def test_perceptual_strict_raises(spark):
+    from sequila_native_spark.functions.multimodal import perceptual_hash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "application/x-unknown")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="no perceptual hasher"):
+        perceptual_hash(df, strict=True).collect()
