@@ -122,8 +122,21 @@ def bm25_topk(
 
     ``score(q, d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·len/avgdl))``
     with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` over the distinct
-    query terms. Returns ``(query_id, doc_id, rank, score)``; ties break on
-    ``doc_id`` so the output is deterministic.
+    query terms. ``N`` counts distinct ids over ALL docs — the same corpus
+    size the ``max_df_ratio`` ceiling uses — and empty documents enter
+    ``avgdl`` with length 0. Returns ``(query_id, doc_id, rank, score)``;
+    ties on the exact score break on ``doc_id`` so the output is
+    deterministic for a given set of scores.
+
+    NEAR-TIE CAVEAT: scores are IEEE-double sums, and the per-(query, doc)
+    summation order can vary with partitioning — two documents whose true
+    scores differ by less than the accumulated round-off (~1 ULP per
+    addend) could in principle swap ranks across repartitionings. The
+    ``(query_id, doc_id, rank)`` set is pinned invariant across
+    partitioning/row-order/shuffle-width perturbations for the test corpora
+    (tests/test_ranking.py::test_bm25_rank_set_partition_invariant); for
+    adversarial exact-tie corpora, treat ranks within a score epsilon as
+    unordered.
 
     Plan: inverted index (term postings) ⨝ broadcast query terms → per
     (query, doc) sum → window top-k. Only postings of query terms are
@@ -137,8 +150,15 @@ def bm25_topk(
     doclen = _terms(docs, id_col, text_col).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__dl")
     )
-    corpus = doclen.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    # N from the SAME source as term_stats' max_df_ratio ceiling (distinct
+    # ids over ALL docs — empty/whitespace-only documents count, with
+    # length 0 entering avgdl), so idf and the df ceiling can never see two
+    # different corpus sizes (advisor finding, r5)
+    n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
+    corpus = (
+        doclen.agg(F.sum("__dl").alias("__sumdl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("__n", (F.col("__sumdl") / F.col("__n")).alias("__avgdl"))
     )
     qterms = (
         _terms(queries, query_id_col, query_text_col)

@@ -31,7 +31,15 @@ HASH_SPACE = 1 << 32
 def sample_hash(col: Column, seed: int = 0) -> Column:
     """Deterministic uniform value in ``[0, 2**32)`` from ``(seed, value)``:
     ``int(md5(seed ':' value)[:8], 16)``. The DuckDB twin is
-    :func:`sample_hash_sql`."""
+    :func:`sample_hash_sql`.
+
+    CROSS-ENGINE GUARANTEE SCOPE: bit-identical Spark/DuckDB selection
+    holds for INTEGER and STRING keys, where ``CAST(x AS STRING)`` and
+    ``CAST(x AS VARCHAR)`` format identically. Double/decimal/timestamp
+    keys can format differently per engine (trailing zeros, exponent form,
+    timezone rendering) and would hash differently — normalize such keys to
+    a canonical string (or an integer, e.g. epoch micros) BEFORE hashing.
+    Within Spark alone, any key type is reproducible."""
     digest = F.md5(F.concat(F.lit(f"{int(seed)}:"), col.cast("string")))
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
 
@@ -87,6 +95,11 @@ def split_dataset(
         raise ValueError(f"output column {split_col!r} already exists")
     if not weights:
         raise ValueError("weights must name at least one split")
+    bad = {k: v for k, v in weights.items() if not float(v) > 0.0}
+    if bad:
+        # a negative weight would pass the sum check yet yield an
+        # out-of-range threshold with silently empty splits (advisor, r5)
+        raise ValueError(f"split weights must be > 0, got {bad}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")

@@ -106,3 +106,73 @@ def test_ranking_validation(spark, corpus, queries):
         bm25_topk(corpus, queries, k=0)
     with pytest.raises(ValueError, match="max_df_ratio"):
         term_stats(corpus, max_df_ratio=0.0)
+
+
+def test_bm25_empty_docs_share_one_corpus_size(spark, queries):
+    """Advisor finding (r5): with empty/whitespace-only documents, idf's N
+    and the max_df_ratio ceiling must use the SAME corpus size (all docs),
+    and empty docs enter avgdl with length 0."""
+    rows = DOCS + [(6, ""), (7, "   ")]
+    corpus7 = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(corpus7, queries, k=10).collect()
+    }
+    toks, df = _py_stats()
+    # whitespace-only doc 7 tokenizes to nothing under the engine's
+    # tokenizer; both 6 and 7 count toward N with length 0
+    n_docs = 7
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    for (qid, qtext) in QUERIES:
+        qterms = set(qtext.lower().split(" "))
+        for d, ts in toks.items():
+            want = bm25_score_py(ts, qterms, df, n_docs, avgdl)
+            if want > 0:
+                assert abs(out[(qid, d)] - want) < 1e-9, (qid, d)
+
+
+def test_bm25_rank_set_partition_invariant(spark):
+    """VERDICT r5 item 7: the (query_id, doc_id, rank) SET must not depend
+    on physical layout. Perturb partition count, row order, and shuffle
+    width; every variant must produce the identical rank set (scores are
+    float sums — the docstring's near-tie caveat — but for non-adversarial
+    corpora the set is stable, and this pins it)."""
+    import random
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "sun", "dog", "cat", "fox",
+             "lazy", "quick", "brown", "jumps", "river", "stone", "cloud"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(5, 40))))
+        for i in range(120)
+    ]
+    queries = spark.createDataFrame(
+        [(1, "lazy dog sun"), (2, "quick brown fox river"), (3, "cloud stone")],
+        "query_id int, query string",
+    )
+
+    def rank_set(docs_df):
+        return {
+            (r["query_id"], r["doc_id"], r["rank"])
+            for r in bm25_topk(docs_df, queries, k=7).collect()
+        }
+
+    base_df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = rank_set(base_df)
+    assert len(base) == 21  # 3 queries x k=7 on a corpus this dense
+
+    # partition-count perturbations
+    for nparts in (1, 7, 64):
+        assert rank_set(base_df.repartition(nparts)) == base, nparts
+    # row-order perturbation (reversed insert order + random shuffle)
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    assert rank_set(spark.createDataFrame(shuffled, "doc_id int, text string")) == base
+    # shuffle-width perturbation
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for width in ("5", "61"):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            assert rank_set(base_df) == base, width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -160,3 +160,14 @@ def test_stratified_sample(spark, ids):
     assert {r["lang"] for r in out2.collect()} == {"rare"}
     with pytest.raises(ValueError, match="stratum column"):
         stratified_sample(labeled, {"a": 1.0}, stratum_col="nope")
+
+
+def test_split_dataset_rejects_nonpositive_weights(spark):
+    from sequila_native_spark.functions import split_dataset
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    import pytest
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_dataset(df, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_dataset(df, {"a": 1.0, "b": 0.0})
