@@ -55,6 +55,26 @@ from sequila_native_spark.functions.sampling import (
     split_thresholds,
     stratified_sample,
 )
+from sequila_native_spark.functions.pii import (
+    pii_count,
+    pii_count_sql,
+    pii_counts,
+    pii_stats,
+    pii_stats_sql,
+    redact_pii,
+    redact_pii_sql,
+)
+from sequila_native_spark.functions.decontam import (
+    benchmark_ngrams,
+    contamination_report,
+    contamination_report_sql,
+    decontaminate,
+)
+from sequila_native_spark.functions.chunking import (
+    chunk_documents,
+    chunk_documents_sql,
+    chunk_starts,
+)
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
     decode_media_meta,
@@ -96,4 +116,9 @@ __all__ = [
     "register_featurizer", "encode_fake_image", "fake_image_decoder",
     "perceptual_hash", "perceptual_dup_pairs", "register_perceptual_hasher",
     "hamming_band_pairs",
+    "pii_count", "pii_count_sql", "pii_counts", "pii_stats", "pii_stats_sql",
+    "redact_pii", "redact_pii_sql",
+    "benchmark_ngrams", "contamination_report", "contamination_report_sql",
+    "decontaminate",
+    "chunk_documents", "chunk_documents_sql", "chunk_starts",
 ]

@@ -1,0 +1,214 @@
+"""PII redaction, benchmark decontamination, document chunking —
+cross-engine (Spark vs DuckDB) parity plus semantics pins."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    chunk_documents,
+    chunk_documents_sql,
+    contamination_report,
+    contamination_report_sql,
+    decontaminate,
+    pii_stats,
+    pii_stats_sql,
+    redact_pii,
+    redact_pii_sql,
+)
+from sequila_native_spark.functions.pii import PII_PATTERNS
+
+PII_TEXTS = [
+    (0, "reach me at john.doe+spam@mail.example.com or 10.0.42.7 thanks"),
+    (1, "card 1234-5678-9012-3456 ssn 123-45-6789 call +1 415-555-1234"),
+    (2, "no pii here just words 1.2 and ver 1.2.3"),
+    (3, "two mails a@b.co x@y.org ips 255.255.255.255 999.999.999.999"),
+    (4, ""),
+    (5, "edge .@a.bc 1.2.3.4.5 12-34-5678 +12 345-678-9012 end"),
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    c.executemany("INSERT INTO docs VALUES (?,?)", PII_TEXTS)
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(PII_TEXTS, "doc_id long, text string")
+
+
+def test_pii_stats_parity(spark, docs, con):
+    stats = pii_stats(F.col("text"))
+    got = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            *[v.alias(k) for k, v in stats.items()],
+            redact_pii(F.col("text")).alias("red"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    cols = ", ".join(f"{v} AS {k}" for k, v in pii_stats_sql("text").items())
+    want = con.execute(
+        f"SELECT doc_id, {cols}, {redact_pii_sql('text')} AS red "
+        f"FROM docs ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_pii_semantics_pinned(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in pii_stats(F.col("text")).items()]
+        ).collect()
+    }
+    assert rows[0]["n_email"] == 1 and rows[0]["n_ipv4"] == 1
+    assert (
+        rows[1]["n_credit_card"] == 1
+        and rows[1]["n_ssn"] == 1
+        and rows[1]["n_phone"] == 1
+    )
+    assert rows[2]["n_pii"] == 0 and rows[2]["redact_delta"] == 0
+    assert rows[3]["n_email"] == 2 and rows[3]["n_ipv4"] == 2
+    assert rows[4]["n_pii"] == 0
+
+
+def test_redaction_masks_every_match(spark, docs):
+    red = docs.select(redact_pii(F.col("text")).alias("t"))
+    for kind, pat in PII_PATTERNS.items():
+        leftover = red.where(
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))) > 0
+        ).count()
+        assert leftover == 0, f"{kind} still present after redaction"
+
+
+DOC_TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "the quick brown fox sleeps all day long"),       # shares 4-gram w/ 0
+    (3, "jumps over the lazy dog every single morning"),  # shares 5-gram w/ 0
+    (4, "completely unrelated words without any overlap at all"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def con2():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    c.executemany("INSERT INTO docs VALUES (?,?)", DOC_TEXTS)
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs2(spark):
+    return spark.createDataFrame(DOC_TEXTS, "doc_id long, text string")
+
+
+def test_contamination_report_parity(spark, docs2, con2):
+    bench = docs2.where("doc_id = 0")
+    corpus = docs2.where("doc_id > 0")
+    got = [
+        tuple(r)
+        for r in contamination_report(corpus, bench, n=4)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    want = con2.execute(
+        contamination_report_sql(
+            "(SELECT * FROM docs WHERE doc_id > 0)",
+            "(SELECT * FROM docs WHERE doc_id = 0)",
+            n=4,
+        )
+        + " ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert {g[0] for g in got} == {2, 3}  # the two constructed overlaps
+
+
+def test_decontaminate_drops_flagged_only(spark, docs2):
+    bench = docs2.where("doc_id = 0")
+    corpus = docs2.where("doc_id > 0")
+    clean = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=4).collect()
+    )
+    assert clean == [1, 4, 5]
+    # benchmark doc shares every n-gram with itself: self-check
+    assert decontaminate(bench, bench, n=4).count() == 0
+
+
+def test_contamination_ngram_width_monotone(spark, docs2):
+    bench = docs2.where("doc_id = 0")
+    corpus = docs2.where("doc_id > 0")
+    flagged = {
+        n: {r["doc_id"] for r in contamination_report(corpus, bench, n=n).collect()}
+        for n in (3, 4, 5, 6)
+    }
+    # wider n-grams can only shrink the flagged set
+    assert flagged[6] <= flagged[5] <= flagged[4] <= flagged[3]
+    assert flagged[5] == {3}  # "jumps over the lazy dog"
+
+
+CHUNK_TEXTS = [
+    (0, " ".join(f"t{i}" for i in range(10))),
+    (1, "one two three"),
+    (2, ""),
+    (3, " ".join(f"w{i % 7}" for i in range(23))),
+    (4, " ".join(f"x{i}" for i in range(8))),  # exactly one window
+]
+
+
+def test_chunk_documents_parity(spark):
+    sdf = spark.createDataFrame(CHUNK_TEXTS, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in chunk_documents(sdf, size=8, overlap=4)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    c = duckdb.connect()
+    c.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    c.executemany("INSERT INTO docs VALUES (?,?)", CHUNK_TEXTS)
+    want = c.execute(
+        chunk_documents_sql("docs", size=8, overlap=4)
+        + " ORDER BY doc_id, chunk_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_chunk_semantics(spark):
+    sdf = spark.createDataFrame(CHUNK_TEXTS, "doc_id long, text string")
+    rows = chunk_documents(sdf, size=8, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # len<=size -> exactly one chunk; empty text -> one 1-token ('' token) chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_tokens"] == 8
+    assert len(by_doc[2]) == 1
+    # 23 tokens, size 8 stride 4 -> starts 0,4,8,12,16 -> 5 chunks, last short
+    assert [r["chunk_id"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] == [0, 1, 2, 3, 4]
+    assert sorted(by_doc[3], key=lambda r: r["chunk_id"])[-1]["n_tokens"] == 7
+    # every token of the doc appears in some chunk; consecutive chunks overlap by 4
+    c0, c1 = (
+        sorted(by_doc[0], key=lambda r: r["chunk_id"])[0]["chunk_text"].split(" "),
+        sorted(by_doc[0], key=lambda r: r["chunk_id"])[1]["chunk_text"].split(" "),
+    )
+    assert c0[4:] == c1[:4]
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError):
+        chunk_documents_sql("docs", size=0, overlap=0)
+    with pytest.raises(ValueError):
+        chunk_documents_sql("docs", size=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents_sql("docs", size=8, overlap=-1)
