@@ -904,27 +904,52 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking (r6, LLM-pipeline layer): 64-token windows
-    with 8-token overlap over every document, profiled per source —
-    chunk count, total chunk tokens, deepest window index, and short
-    (final partial) windows. Chunk generation is in-scan Catalyst
-    (``sequence``+``slice``), the only shuffle is the groupBy."""
-    from sequila_native_spark.functions import chunk_documents
+    """Context-window prep (r6, LLM-pipeline layer) — tagged composite of
+    the two window shapes:
+
+    - ``op='chunk'``: 64-token windows / 8 overlap per document, profiled
+      per source (count, window tokens, deepest window, partial windows).
+      In-scan Catalyst (``sequence``+``slice``); shuffle only at the
+      groupBy.
+    - ``op='pack'``: sequence packing (concat-and-cut at 512 tokens over
+      the md5-ordered stream, 8 shards), profiled per shard (docs, stream
+      tokens, packs, straddling docs). Per-shard window cumsum — the
+      sharding is exactly what keeps the cumsum parallel at 100 TB.
+    """
+    from sequila_native_spark.functions import chunk_documents, pack_documents
 
     docs = _t(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, size=64, overlap=8)
-    return (
+    chunk_rows = (
         chunks.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
-            F.max("chunk_id").cast("bigint").alias("max_chunk_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.max("chunk_id").cast("bigint").alias("n_groups"),
             F.sum(F.when(F.col("n_tokens") < 64, 1).otherwise(0))
             .cast("bigint")
-            .alias("n_short_chunks"),
+            .alias("n_partial"),
+        )
+        .select(
+            F.lit("chunk").alias("op"), F.col("source").alias("key"),
+            "n_items", "tokens", "n_groups", "n_partial",
         )
     )
+    packs = pack_documents(docs, capacity=512, shards=8)
+    pack_rows = packs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        (F.max("last_pack") + 1).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("first_pack") < F.col("last_pack"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_partial"),
+    ).select(
+        F.lit("pack").alias("op"),
+        F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias("key"),
+        "n_items", "tokens", "n_groups", "n_partial",
+    )
+    return chunk_rows.unionByName(pack_rows)
 
 
 def q_interval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
     from sequila_native_spark.functions import (
         chunk_documents_sql,
         contamination_report_sql,
+        pack_documents_sql,
         pii_stats_sql,
     )
 
@@ -2517,14 +2543,22 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN cont t ON c.source = t.source
         """,
         "doc_chunk_stats": f"""
-            WITH ch AS ({chunk_documents_sql("documents", size=64, overlap=8)})
-            SELECT d.source, count(*) AS n_chunks,
-                   CAST(sum(c.n_tokens) AS BIGINT) AS chunk_tokens,
-                   CAST(max(c.chunk_id) AS BIGINT) AS max_chunk_id,
+            WITH ch AS ({chunk_documents_sql("documents", size=64, overlap=8)}),
+            pk AS ({pack_documents_sql("documents", capacity=512, shards=8)})
+            SELECT 'chunk' AS op, d.source AS key, count(*) AS n_items,
+                   CAST(sum(c.n_tokens) AS BIGINT) AS tokens,
+                   CAST(max(c.chunk_id) AS BIGINT) AS n_groups,
                    CAST(sum(CASE WHEN c.n_tokens < 64 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_short_chunks
+                        AS BIGINT) AS n_partial
             FROM ch c JOIN documents d ON c.doc_id = d.doc_id
             GROUP BY d.source
+            UNION ALL
+            SELECT 'pack' AS op, 'shard_' || shard AS key, count(*) AS n_items,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                   CAST(max(last_pack) + 1 AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN first_pack < last_pack THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_partial
+            FROM pk GROUP BY shard
         """,
         # simhash_docs, lsh_ann_topk: intentionally no oracle (rows-only) —
         # per-bit vote aggregation / seeded random hyperplanes are not

@@ -74,6 +74,8 @@ from sequila_native_spark.functions.chunking import (
     chunk_documents,
     chunk_documents_sql,
     chunk_starts,
+    pack_documents,
+    pack_documents_sql,
 )
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
@@ -121,4 +123,5 @@ __all__ = [
     "benchmark_ngrams", "contamination_report", "contamination_report_sql",
     "decontaminate",
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
+    "pack_documents", "pack_documents_sql",
 ]

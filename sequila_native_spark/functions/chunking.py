@@ -102,3 +102,106 @@ def chunk_documents_sql(
                array_to_string(t[s + 1 : s + {size}], ' ') AS chunk_text
         FROM st
     """
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence packing (concat-and-cut): lay the corpus out as one token
+    stream and cut it every ``capacity`` tokens — the standard prep step
+    for training on fixed context windows. Per document:
+
+    ``(id_col, shard, n_tokens, start_tok, first_pack, last_pack,
+    pack_offset)`` where ``start_tok`` is the document's offset in its
+    shard's token stream, ``first_pack``/``last_pack`` the pack indices it
+    lands in (a document straddles packs when ``first_pack < last_pack``)
+    and ``pack_offset`` its position inside ``first_pack``.
+
+    Document order is the deterministic md5 hash order of
+    :func:`~sequila_native_spark.functions.sampling.sample_hash` — the
+    reproducible global shuffle a training pipeline needs (retry- and
+    partitioning-stable, unlike ``df.orderBy(rand())``).
+
+    100 TB design: a single global cumulative sum would serialize on one
+    partition, so the stream is sharded by hash into ``shards`` independent
+    token streams (pack ids are per-shard); each shard's window sort runs
+    on its own partition and shards scale with the cluster. One shuffle
+    (the window partitionBy), pure Catalyst."""
+    from pyspark.sql import Window
+
+    from .sampling import sample_hash
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    h = sample_hash(F.col(id_col), seed)
+    base = df.select(
+        F.col(id_col),
+        (h % shards).alias("shard"),
+        h.alias("_h"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_tok"),
+        F.floor((cum - F.col("n_tokens")) / capacity).cast("bigint").alias("first_pack"),
+        F.floor((cum - 1) / capacity).cast("bigint").alias("last_pack"),
+        ((cum - F.col("n_tokens")) % capacity).alias("pack_offset"),
+    )
+
+
+def pack_documents_sql(
+    rel: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    capacity: int = 2048,
+    shards: int = 32,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`pack_documents` (bit-identical md5 order via
+    ``sample_hash_sql``; the window ORDER BY ``(hash, id)`` is total for
+    unique ids, so the cumulative sums agree exactly)."""
+    from .sampling import sample_hash_sql
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    h = sample_hash_sql(id_expr, seed)
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id,
+                   {h} % {shards} AS shard,
+                   {h} AS _h,
+                   len(string_split({text_expr}, ' ')) AS n_tokens
+            FROM {rel}
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY _h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM base
+        )
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_tok,
+               CAST((cum - n_tokens) // {capacity} AS BIGINT) AS first_pack,
+               CAST((cum - 1) // {capacity} AS BIGINT) AS last_pack,
+               CAST((cum - n_tokens) % {capacity} AS BIGINT) AS pack_offset
+        FROM c
+    """

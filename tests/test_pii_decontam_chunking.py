@@ -212,3 +212,60 @@ def test_chunk_validation():
         chunk_documents_sql("docs", size=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents_sql("docs", size=8, overlap=-1)
+
+
+def test_pack_documents_parity_and_laws(spark):
+    from sequila_native_spark.functions import pack_documents, pack_documents_sql
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1)))
+             for i in range(200)]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in pack_documents(sdf, capacity=100, shards=4).collect()
+    )
+    c = duckdb.connect()
+    c.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    c.executemany("INSERT INTO docs VALUES (?,?)", texts)
+    want = sorted(
+        tuple(w)
+        for w in c.execute(
+            pack_documents_sql("docs", capacity=100, shards=4)
+        ).fetchall()
+    )
+    assert got == want
+
+    rows = pack_documents(sdf, capacity=100, shards=4).collect()
+    # token conservation per shard: max(start_tok + n_tokens) == sum(n_tokens)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        total = sum(r["n_tokens"] for r in rs)
+        assert max(r["start_tok"] + r["n_tokens"] for r in rs) == total
+        # stream is gapless: sorted start_toks tile exactly
+        spans = sorted((r["start_tok"], r["n_tokens"]) for r in rs)
+        pos = 0
+        for s, n in spans:
+            assert s == pos
+            pos += n
+        # pack math consistent with offsets
+        for r in rs:
+            assert r["first_pack"] == r["start_tok"] // 100
+            assert r["last_pack"] == (r["start_tok"] + r["n_tokens"] - 1) // 100
+            assert r["pack_offset"] == r["start_tok"] % 100
+
+
+def test_pack_documents_stability_and_validation(spark):
+    from sequila_native_spark.functions import pack_documents
+
+    texts = [(i, " ".join("x" for _ in range(i % 30 + 1))) for i in range(100)]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string")
+    a = sorted(tuple(r) for r in pack_documents(sdf, capacity=64).collect())
+    b = sorted(
+        tuple(r) for r in pack_documents(sdf.repartition(7), capacity=64).collect()
+    )
+    assert a == b  # repartition-stable (md5 order, not physical order)
+    with pytest.raises(ValueError):
+        pack_documents(sdf, capacity=0)
+    with pytest.raises(ValueError):
+        pack_documents(sdf, capacity=64, shards=0)
