@@ -79,6 +79,9 @@ HEADLINE = [
     "lsh_ann_topk",               # LSH-bucketed approximate top-k
     "ivf_ann_topk",               # IVF (k-means cells) approximate top-k
     "doc_text_stats",             # text quality features
+    "doc_pii_stats",              # PII detect/redact (regex chains, r6)
+    "decontaminated_counts",      # benchmark decontamination (r6)
+    "doc_chunk_stats",            # chunking + sequence packing (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with
