@@ -36,6 +36,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import DEFAULT_FIXED_BIN_WIDTH, SequilaConf
 
@@ -348,13 +349,21 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_coverage('reads', 'targets', 'contig',
 #                                    'r_start', 'r_end', 't_start', 't_end')
 #
+# LLM-pipeline table functions (r6) follow the same shape:
+#
+#     SELECT * FROM sequila_chunk('docs', 'text', 'doc_id', 64, 8)
+#     SELECT * FROM sequila_pack('docs', 'text', 'doc_id', 2048, 32)
+#     SELECT * FROM sequila_redact('docs', 'text')
+#     SELECT * FROM sequila_decontaminate('docs', 'bench', 'text', 'doc_id', 8)
+#
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
 # expressions — project/rename in a view first if needed.
 
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
-    r"|subtract|makewindows|cluster|map)"
+    r"|subtract|makewindows|cluster|map"
+    r"|chunk|pack|redact|decontaminate)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -495,6 +504,59 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             return map_intervals(
                 spark.table(a[0]), spark.table(a[1]), keys(a[2]),
                 a[3], a[4], a[5], a[6], aggs=_parse_map_spec(a[7]),
+            )
+        if op == "chunk":
+            if not (3 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_chunk takes (table, text, id, [size], "
+                    f"[overlap]), got {a!r}"
+                )
+            from sequila_native_spark.functions.chunking import chunk_documents
+
+            return chunk_documents(
+                spark.table(a[0]), text_col=a[1], id_col=a[2],
+                size=int(a[3]) if len(a) > 3 else 64,
+                overlap=int(a[4]) if len(a) > 4 else 8,
+            )
+        if op == "pack":
+            if not (3 <= len(a) <= 6):
+                raise ValueError(
+                    f"sequila_pack takes (table, text, id, [capacity], "
+                    f"[shards], [seed]), got {a!r}"
+                )
+            from sequila_native_spark.functions.chunking import pack_documents
+
+            return pack_documents(
+                spark.table(a[0]), text_col=a[1], id_col=a[2],
+                capacity=int(a[3]) if len(a) > 3 else 2048,
+                shards=int(a[4]) if len(a) > 4 else 32,
+                seed=int(a[5]) if len(a) > 5 else 0,
+            )
+        if op == "redact":
+            if len(a) != 2:
+                raise ValueError(
+                    f"sequila_redact takes (table, text_col), got {a!r}"
+                )
+            from sequila_native_spark.functions.pii import redact_pii
+
+            df = spark.table(a[0])
+            if a[1] not in df.columns:
+                raise ValueError(
+                    f"sequila_redact: column {a[1]!r} not in {df.columns}"
+                )
+            return df.withColumn(a[1], redact_pii(F.col(a[1])))
+        if op == "decontaminate":
+            if not (4 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_decontaminate takes (docs, benchmark, text, "
+                    f"id, [n]), got {a!r}"
+                )
+            from sequila_native_spark.functions.decontam import decontaminate
+
+            return decontaminate(
+                spark.table(a[0]), spark.table(a[1]),
+                text_col=a[2], id_col=a[3],
+                n=int(a[4]) if len(a) == 5 else 8,
             )
         if op in ("merge", "complement", "depth_histogram"):
             if not (4 <= len(a) <= (5 if op == "merge" else 4)):

@@ -269,3 +269,60 @@ def test_pack_documents_stability_and_validation(spark):
         pack_documents(sdf, capacity=0)
     with pytest.raises(ValueError):
         pack_documents(sdf, capacity=64, shards=0)
+
+
+def test_llm_tvfs(spark):
+    """sequila_chunk / sequila_pack / sequila_redact / sequila_decontaminate
+    table functions agree with their Python APIs."""
+    from sequila_native_spark.functions import (
+        chunk_documents,
+        decontaminate,
+        pack_documents,
+        pii_stats,
+        redact_pii,
+    )
+    from sequila_native_spark.sql import sequila_sql
+
+    texts = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(i % 25 + 1)))
+             for i in range(60)]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string")
+    sdf.createOrReplaceTempView("tvf_docs")
+    sdf.where("doc_id % 9 = 0").createOrReplaceTempView("tvf_bench")
+    sdf.where("doc_id % 9 != 0").createOrReplaceTempView("tvf_corpus")
+
+    got = sequila_sql(
+        spark, "SELECT * FROM sequila_chunk('tvf_docs', 'text', 'doc_id', 8, 4)"
+    ).collect()
+    want = chunk_documents(sdf, size=8, overlap=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = sequila_sql(
+        spark, "SELECT * FROM sequila_pack('tvf_docs', 'text', 'doc_id', 64, 4)"
+    ).collect()
+    want = pack_documents(sdf, capacity=64, shards=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got = sequila_sql(
+        spark,
+        "SELECT count(*) AS n FROM "
+        "sequila_decontaminate('tvf_corpus', 'tvf_bench', 'text', 'doc_id', 3)",
+    ).collect()[0]["n"]
+    want = decontaminate(
+        sdf.where("doc_id % 9 != 0"), sdf.where("doc_id % 9 = 0"), n=3
+    ).count()
+    assert got == want
+
+    pii_df = spark.createDataFrame(
+        [(0, "mail a@b.co here"), (1, "clean")], "doc_id long, text string"
+    )
+    pii_df.createOrReplaceTempView("tvf_pii")
+    red = sequila_sql(
+        spark, "SELECT text FROM sequila_redact('tvf_pii', 'text') ORDER BY doc_id"
+    ).collect()
+    assert red[0]["text"] == "mail <EMAIL> here"
+    assert red[1]["text"] == "clean"
+
+    with pytest.raises(ValueError):
+        sequila_sql(spark, "SELECT * FROM sequila_redact('tvf_pii', 'nope')")
+    with pytest.raises(ValueError):
+        sequila_sql(spark, "SELECT * FROM sequila_chunk('tvf_docs')")
