@@ -146,18 +146,9 @@ def main() -> None:
     # composites; the bench keeps timing the ORIGINAL shapes so per-query
     # numbers stay comparable across rounds.
     qs = dict(entry.queries())
-    for name in (
-        "nearest_partitioned",
-        "overlap_small_build_index",
-        "overlap_partitioned_selective",
-        "coverage_per_target",
-        "reads_outside_targets",
-        "events_running_totals",
-        "view_purchase_funnel",
-        "doc_text_stats",
-        "minhash_near_dups",
-    ):
-        qs.setdefault(name, getattr(entry, f"q_{name}"))
+    for name in HEADLINE:
+        if name not in qs:
+            qs[name] = getattr(entry, f"q_{name}")
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

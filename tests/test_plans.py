@@ -200,3 +200,65 @@ def test_fraction_filter_stays_in_join_stage(spark, reads, targets):
     n_ex = lambda df: formatted_plan(df).count("Exchange")
     assert n_ex(oj_frac) == n_ex(oj_plain)
     assert not has_nested_loop_join(oj_frac)
+
+
+def test_pii_plan_pure_codegen_no_shuffle(spark):
+    # detection + redaction are one codegen'd Project over the scan:
+    # zero Python stages, zero exchanges
+    from sequila_native_spark.functions import pii_stats, redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select(
+        redact_pii(F.col("text")).alias("red"),
+        *[v.alias(k) for k, v in pii_stats(F.col("text")).items()],
+    )
+    plan = formatted_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "Exchange" not in plan
+
+
+def test_chunk_plan_in_scan_no_python(spark):
+    # chunk generation is in-scan (generate over the projected token array):
+    # no Python, no exchange before a consumer aggregates
+    from sequila_native_spark.functions import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = chunk_documents(docs, size=32, overlap=4)
+    plan = formatted_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    # the eval-set gram table must broadcast; the corpus side must not be
+    # hash-exchanged for the flagging join
+    from sequila_native_spark.functions import contamination_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = contamination_report(
+        docs.where("doc_id % 17 != 0"), docs.where("doc_id % 17 = 0"), n=4
+    )
+    assert has_broadcast_hash_join(rep)
+    plan = formatted_plan(rep)
+    # only the post-join groupBy may exchange (hashpartitioning on doc_id);
+    # the corpus scan side of the join itself stays exchange-free
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_pack_plan_single_shuffle_no_python(spark):
+    # one exchange (the per-shard window partitioning), zero Python
+    from sequila_native_spark.functions import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_documents(docs, capacity=256, shards=8)
+    plan = formatted_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange") == 1
