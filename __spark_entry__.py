@@ -870,8 +870,15 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the complement identity. Benchmark n-gram set is broadcast; the corpus
     is never shuffled for flagging."""
     from sequila_native_spark.functions import contamination_report, decontaminate
+    from sequila_native_spark.util import ensure_parallel
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # ensure_parallel: the sf0.01/sf0.1 documents parquet scans as ONE
+    # split, which would run the whole corpus-side gram explode single-task
+    # (6.3 of the row's 7.5 s at sf0.1, measured); no-op at real scale —
+    # same treatment as filtered_doc_stats / doc_fingerprints.
+    docs = ensure_parallel(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     bench = docs.where(F.col("doc_id") % 17 == 0)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     rep = contamination_report(corpus, bench, n=4)
@@ -884,7 +891,7 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clean = (
-        decontaminate(corpus, bench, n=4)
+        decontaminate(corpus, bench, n=4, flagged=rep)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_clean"))
     )

@@ -252,7 +252,11 @@ def test_decontam_benchmark_side_broadcasts(spark):
 
 
 def test_pack_plan_single_shuffle_no_python(spark):
-    # one exchange (the per-shard window partitioning), zero Python
+    # one exchange (the per-shard window partitioning), zero Python.
+    # formatted mode prints each node twice (tree + numbered details), so
+    # count the numbered-detail headers, not the raw substring.
+    import re
+
     from sequila_native_spark.functions import pack_documents
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -261,4 +265,4 @@ def test_pack_plan_single_shuffle_no_python(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
-    assert plan.count("Exchange") == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
