@@ -217,11 +217,15 @@ def main() -> None:
         t = run_50x()
         fifty = [round(t, 3)]
         # intrinsic 50x/10x ratio measured 4.1-4.4x (r6, three-run floors);
-        # a first sample above 5x the 10x row is a warm-up artifact (JVM heap
+        # a sample above 5x the 10x row is a warm-up artifact (JVM heap
         # growth / C2 JIT at volume — reproduced: 84-113s first vs 59-63s
-        # repeats, same session, plan-shape warm) or a host burst — buy one
-        # confirmation sample before recording a superlinear-looking trend
-        if t > 5.0 * timings.get("overlap_count_10x", t):
+        # repeats, same session, plan-shape warm) or a host burst — buy up
+        # to TWO confirmation samples before recording a superlinear-looking
+        # trend (r6: one of three clean runs had BOTH of its two samples
+        # inflated, recording 5.98x against a same-session floor of 4.3x)
+        while (
+            t > 5.0 * timings.get("overlap_count_10x", t) and len(fifty) < 3
+        ):
             t2 = run_50x()
             fifty.append(round(t2, 3))
             t = min(t, t2)
