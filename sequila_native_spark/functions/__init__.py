@@ -69,6 +69,7 @@ from sequila_native_spark.functions.decontam import (
     contamination_report,
     contamination_report_sql,
     decontaminate,
+    match_contaminated,
 )
 from sequila_native_spark.functions.chunking import (
     chunk_documents,
@@ -121,7 +122,7 @@ __all__ = [
     "pii_count", "pii_count_sql", "pii_counts", "pii_stats", "pii_stats_sql",
     "redact_pii", "redact_pii_sql",
     "benchmark_ngrams", "contamination_report", "contamination_report_sql",
-    "decontaminate",
+    "decontaminate", "match_contaminated",
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
     "pack_documents", "pack_documents_sql",
 ]

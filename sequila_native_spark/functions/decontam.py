@@ -88,6 +88,39 @@ def decontaminate(
     )
 
 
+def match_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Aggregation-free contamination filter: keep (``how='left_semi'``)
+    or drop (``how='left_anti'``) documents sharing an n-gram with the
+    benchmark, via a broadcast join on an ``array_contains`` condition.
+
+    No groupBy and no state — this is the STREAMING-safe variant (a
+    watermarkless stream can run it in append mode; the benchmark side is
+    static, the usual production shape for eval sets). The join is a
+    broadcast nested-loop per (row, gram) membership probe — fine for
+    real eval-set gram counts (10^4-10^6 against a broadcast array scan);
+    for huge benchmark sets on BATCH data prefer
+    :func:`contamination_report` + :func:`decontaminate`, whose equi-join
+    shuffles hit rows only.
+    """
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
+    grams = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
+    # materialize the document's gram array as a COLUMN before the join:
+    # a nested-loop join evaluates its condition per (row, gram) pair, and
+    # an inline shingles() there would recompute the whole shingle set per
+    # pair (measured: >180x slower at sf0.01)
+    helper = "__match_grams"
+    with_grams = docs.withColumn(helper, shingles(F.col(text_col), n))
+    cond = F.array_contains(F.col(helper), F.col("gram"))
+    return with_grams.join(grams, cond, how).drop(helper)
+
+
 def contamination_report_sql(
     docs_rel: str,
     benchmark_rel: str,

@@ -326,3 +326,29 @@ def test_llm_tvfs(spark):
         sequila_sql(spark, "SELECT * FROM sequila_redact('tvf_pii', 'nope')")
     with pytest.raises(ValueError):
         sequila_sql(spark, "SELECT * FROM sequila_chunk('tvf_docs')")
+
+
+def test_match_contaminated_agrees_with_report(spark, docs2):
+    from sequila_native_spark.functions import match_contaminated
+
+    bench = docs2.where("doc_id = 0")
+    corpus = docs2.where("doc_id > 0")
+    for n in (3, 4, 5):
+        via_join = {
+            r["doc_id"]
+            for r in match_contaminated(corpus, bench, n=n).collect()
+        }
+        via_report = {
+            r["doc_id"]
+            for r in contamination_report(corpus, bench, n=n).collect()
+        }
+        assert via_join == via_report
+        kept = {
+            r["doc_id"]
+            for r in match_contaminated(
+                corpus, bench, n=n, how="left_anti"
+            ).collect()
+        }
+        assert kept == {r["doc_id"] for r in corpus.collect()} - via_report
+    with pytest.raises(ValueError):
+        match_contaminated(corpus, bench, how="inner")

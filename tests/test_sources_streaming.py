@@ -328,3 +328,54 @@ def test_stateless_pipeline_ops_stream_equal_batch(spark, tmp_path):
     got = {(r["doc_id"], r["split"])
            for r in spark.table("stateless_ops_out").collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_prep_ops_stream_equal_batch(spark, tmp_path):
+    # r6 prep ops on streams: redact_pii and chunk_documents are stateless
+    # (project + generate) and run on streaming frames unchanged;
+    # decontamination flags a stream against a STATIC benchmark (the
+    # production shape: eval sets are static, the corpus streams in) via the
+    # same broadcast gram join. All three select exactly the batch row set.
+    from sequila_native_spark.functions import (
+        chunk_documents,
+        match_contaminated,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 11}" for j in range(i % 20 + 3))
+          + (f" mail u{i}@x.io" if i % 4 == 0 else ""))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 9 = 0")
+    corpus = docs.where("doc_id % 9 != 0")
+    src = str(tmp_path / "prep_src")
+    corpus.write.mode("overwrite").parquet(src)
+
+    def transform(df):
+        # match_contaminated is the aggregation-free (hence watermark-free)
+        # streaming variant; contamination_report would need a watermark
+        flagged = match_contaminated(df, bench, n=3, how="left_semi")
+        return chunk_documents(
+            flagged.select("doc_id", redact_pii(F.col("text")).alias("text")),
+            size=6, overlap=2,
+        )
+
+    batch = {tuple(r) for r in transform(corpus).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    assert stream.isStreaming
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("prep_ops_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("prep_ops_out").collect()}
+    assert got == batch and len(batch) > 0
+    # redaction really happened on the stream
+    assert all("@" not in r[3] for r in got)  # chunk_text is col 4
