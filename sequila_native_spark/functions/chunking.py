@@ -57,7 +57,13 @@ def chunk_documents(
     chunk_text)`` rows. ``chunk_id`` is the 0-based window index;
     ``n_tokens`` counts the (possibly shorter) final window. Tokens are
     whitespace words, original case (chunking must not alter content)."""
-    stride = _check(size, overlap)
+    _check(size, overlap)
+    reserved = {"chunk_id", "n_tokens", "chunk_text", "_pos", "s", "_t"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a chunk output/helper column "
+            f"({sorted(reserved)}); rename it first"
+        )
     toks = F.split(F.col(text_col), " ")
     starts = chunk_starts(toks, size, overlap)
     exploded = df.select(
@@ -140,6 +146,13 @@ def pack_documents(
         raise ValueError(f"capacity must be positive, got {capacity}")
     if shards <= 0:
         raise ValueError(f"shards must be positive, got {shards}")
+    reserved = {"shard", "n_tokens", "start_tok", "first_pack", "last_pack",
+                "pack_offset", "_h"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a pack output/helper column "
+            f"({sorted(reserved)}); rename it first"
+        )
     h = sample_hash(F.col(id_col), seed)
     base = df.select(
         F.col(id_col),

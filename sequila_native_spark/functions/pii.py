@@ -56,12 +56,23 @@ def pii_count_sql(expr: str, kind: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pat}'))"
 
 
+def _check_kinds(kinds: list[str] | None) -> list[str]:
+    if kinds is None:
+        return list(PII_PATTERNS)
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kind(s) {unknown}; known: {list(PII_PATTERNS)}"
+        )
+    return list(kinds)
+
+
 def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
     """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``), applying
     classes in :data:`PII_PATTERNS` order. A chained ``regexp_replace`` —
     one codegen stage, no UDF."""
     out = col
-    for kind in kinds if kinds is not None else list(PII_PATTERNS):
+    for kind in _check_kinds(kinds):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
 
@@ -71,7 +82,7 @@ def redact_pii_sql(expr: str, kinds: list[str] | None = None) -> str:
     replaces the first match unless passed the ``'g'`` flag; Spark's is
     global by default — the twin pins the global behavior."""
     out = expr
-    for kind in kinds if kinds is not None else list(PII_PATTERNS):
+    for kind in _check_kinds(kinds):
         pat = PII_PATTERNS[kind].replace("'", "''")
         out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
     return out

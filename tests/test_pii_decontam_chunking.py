@@ -352,3 +352,24 @@ def test_match_contaminated_agrees_with_report(spark, docs2):
         assert kept == {r["doc_id"] for r in corpus.collect()} - via_report
     with pytest.raises(ValueError):
         match_contaminated(corpus, bench, how="inner")
+
+
+def test_api_guards(spark):
+    from sequila_native_spark.functions import redact_pii_sql
+    from sequila_native_spark.functions.pii import pii_count
+
+    with pytest.raises(ValueError):
+        redact_pii_sql("text", kinds=["email", "nope"])
+    with pytest.raises(KeyError):
+        pii_count(F.lit("x"), "nope")
+
+
+def test_id_col_collision_guards(spark):
+    from sequila_native_spark.functions import chunk_documents, pack_documents
+
+    df = spark.createDataFrame([(1, "a b")], "chunk_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, id_col="chunk_id")
+    df2 = spark.createDataFrame([(1, "a b")], "shard long, text string")
+    with pytest.raises(ValueError):
+        pack_documents(df2, id_col="shard")
