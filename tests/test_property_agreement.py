@@ -278,3 +278,104 @@ def test_map_intervals_consistent_with_count_overlaps(spark, tabs):
     got_m = {r["lid"]: r["n"] for r in m.collect()}
     got_c = {r["lid"]: r["n"] for r in c.collect()}
     assert got_m == got_c
+
+
+# --- r6 prep-op laws under random corpora -------------------------------
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd1", "x@y.io", "10.0.0.1", ""]),
+        min_size=0, max_size=40,
+    ).map(" ".join),
+    min_size=1, max_size=20,
+)
+
+chunk_params = st.tuples(
+    st.integers(min_value=1, max_value=12),   # size
+    st.integers(min_value=0, max_value=11),   # overlap (clamped < size)
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_texts, chunk_params)
+def test_chunk_laws_random(spark, texts, params):
+    from sequila_native_spark.functions import chunk_documents
+
+    size, overlap = params
+    overlap = min(overlap, size - 1)
+    stride = size - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        expect_chunks = 1 + -(-max(n - size, 0) // stride)  # ceil div
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert len(chunks) == expect_chunks
+        # reconstruction: stitching chunk heads + final tail == the doc
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_text"].split(" ")[:stride])
+        rebuilt.extend(chunks[-1]["chunk_text"].split(" "))
+        # the last chunk may re-cover tokens emitted by earlier heads
+        assert rebuilt[-len(toks):] == toks if len(rebuilt) >= len(toks) else False
+        # every chunk except possibly the last is exactly `size` tokens
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == size
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_texts, st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=4))
+def test_pack_laws_random(spark, texts, capacity, shards):
+    from sequila_native_spark.functions import pack_documents
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = pack_documents(df, capacity=capacity, shards=shards).collect()
+    assert len(rows) == len(texts)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        spans = sorted((r["start_tok"], r["n_tokens"]) for r in rs)
+        pos = 0
+        for s, n in spans:
+            assert s == pos  # gapless tiling
+            pos += n
+        for r in rs:
+            assert r["first_pack"] == r["start_tok"] // capacity
+            assert r["last_pack"] == (r["start_tok"] + r["n_tokens"] - 1) // capacity
+            assert r["pack_offset"] == r["start_tok"] % capacity
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_texts)
+def test_redact_idempotent_random(spark, texts):
+    # redaction placeholders contain no digits/@, so redact∘redact == redact
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.functions import redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    assert [r["t"] for r in once.collect()] == [r["t"] for r in twice.collect()]
