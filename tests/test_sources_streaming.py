@@ -379,3 +379,52 @@ def test_prep_ops_stream_equal_batch(spark, tmp_path):
     assert got == batch and len(batch) > 0
     # redaction really happened on the stream
     assert all("@" not in r[3] for r in got)  # chunk_text is col 4
+
+
+def test_read_documents_jsonl(spark, tmp_path):
+    import json as _json
+
+    from sequila_native_spark.sources import (
+        read_documents_jsonl,
+        read_documents_parquet,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    recs = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "url": "http://a"},
+        {"doc_id": 2, "text": "", "lang": "de", "url": "http://b"},
+        {"doc_id": 3, "text": "drei vier fünf", "url": "http://c"},
+    ]
+    with open(src / "part0.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(_json.dumps(r) + "\n")
+
+    out = read_documents_jsonl(
+        spark, str(src), extra_fields={"lang": "lang", "url": "source"}
+    ).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert out[0]["text"] == "hello world" and out[0]["n_chars"] == 11
+    assert out[2]["lang"] is None and out[2]["source"] == "http://c"
+
+    # id derivation from a unique field: deterministic and distinct
+    derived = read_documents_jsonl(
+        spark, str(src), id_field=None, id_from="url"
+    ).collect()
+    ids = sorted(r["doc_id"] for r in derived)
+    assert len(set(ids)) == 3 and all(i >= 0 for i in ids)
+    again = sorted(
+        r["doc_id"]
+        for r in read_documents_jsonl(
+            spark, str(src), id_field=None, id_from="url"
+        ).collect()
+    )
+    assert ids == again
+
+    with pytest.raises(ValueError):
+        read_documents_jsonl(spark, str(src), id_field=None)
+
+    # canonical parquet reader round-trips the driver shape
+    docs = read_documents_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert docs.count() > 0
