@@ -379,3 +379,83 @@ def test_redact_idempotent_random(spark, texts):
     once = df.select(redact_pii(F.col("text")).alias("t"))
     twice = once.select(redact_pii(F.col("t")).alias("t"))
     assert [r["t"] for r in once.collect()] == [r["t"] for r in twice.collect()]
+
+
+# --- r6 cross-engine fuzz: random text through BOTH engines -------------
+
+fuzz_text = st.lists(
+    st.sampled_from([
+        "a", "b9", "x@y.io", "u.v+w@mail.co", "10.0.0.1", "999.1.2.3",
+        "123-45-6789", "4111-1111-1111-1111", "+1 415-555-0000",
+        ".", "@", "-", "1.2", "", "двойной", "@@", "a@b", "1-2-3",
+    ]),
+    min_size=0, max_size=25,
+).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(fuzz_text, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=9))
+def test_prep_ops_cross_engine_fuzz(spark, texts, size):
+    """pii_stats / redact_pii / chunk_documents / pack_documents agree
+    byte-for-byte between Spark (Java regex, Catalyst) and DuckDB (RE2,
+    its own SQL engine) on adversarial random input — the portability
+    claims, fuzzed rather than example-pinned."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.functions import (
+        chunk_documents, chunk_documents_sql,
+        pack_documents, pack_documents_sql,
+        pii_stats, pii_stats_sql, redact_pii, redact_pii_sql,
+    )
+
+    rows = list(enumerate(texts))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", rows)
+
+    stats = pii_stats(F.col("text"))
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            "doc_id", *[v.alias(k) for k, v in stats.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    )
+    cols = ", ".join(f"{v} AS {k}" for k, v in pii_stats_sql("text").items())
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            f"SELECT doc_id, {cols}, {redact_pii_sql('text')} AS red FROM docs"
+        ).fetchall()
+    )
+    assert got == want
+
+    overlap = size // 2
+    got = sorted(
+        tuple(r) for r in chunk_documents(sdf, size=size, overlap=overlap).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            chunk_documents_sql("docs", size=size, overlap=overlap)
+        ).fetchall()
+    )
+    assert got == want
+
+    got = sorted(
+        tuple(r) for r in pack_documents(sdf, capacity=3 * size, shards=3).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            pack_documents_sql("docs", capacity=3 * size, shards=3)
+        ).fetchall()
+    )
+    assert got == want
