@@ -1489,10 +1489,9 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + nested sample, both hash-based
     (md5 key-space partition — reproducible across runs/engines/partitions,
-    unlike ``df.sample``'s per-partition RNG). Sits past the driver's
-    50-slot cap (rows-only there); its DuckDB oracle is exact and checked
-    every round by tools/check_oracle.py — upgrades automatically if the
-    cap rises."""
+    unlike ``df.sample``'s per-partition RNG). Driver-checked inside the
+    ``doc_sampling_ops`` composite (r6), where its rows carry a ``split:``
+    tag and its exact DuckDB twin is UNION ALL'd verbatim."""
     from sequila_native_spark.functions import sample_hash, split_dataset
     from sequila_native_spark.functions.sampling import HASH_SPACE
 
@@ -1505,6 +1504,61 @@ def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(quarter, 1).otherwise(0)).cast("bigint").alias("n_quarter"),
     )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+
+
+def q_doc_budget_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (r6): keep the longest documents per source
+    until a 700-token budget is spent, and globally until a 9000-token
+    budget — the greedy knapsack step of corpus curation. The global path
+    is the two-level bucketed cumulative sum (functions/curation.py): no
+    single-partition window ever sees the full row stream."""
+    from sequila_native_spark.functions import select_within_budget
+
+    toks = _doc_tokens(spark, sf_dir)
+    per_src = select_within_budget(
+        toks, 700, "n_tokens", "n_chars", "doc_id", partition_by="source"
+    )
+    glob = select_within_budget(toks, 9000, "n_tokens", "n_chars", "doc_id")
+    return (
+        per_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("metric"),
+        )
+        .select(
+            F.concat(F.lit("budget_src:"), F.col("source")).alias("op"),
+            "n_docs",
+            "metric",
+        )
+        .unionAll(
+            glob.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("metric"),
+            ).select(F.lit("budget_global").alias("op"), "n_docs", "metric")
+        )
+    )
+
+
+def q_doc_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite: deterministic split/sample counts (the former
+    ``doc_split_counts`` row, tag-prefixed) ∪ token-budget curation rows
+    (per-source and global ``select_within_budget``) — one tagged row set,
+    two operator families, twins UNION ALL'd verbatim in the oracle."""
+    splits = q_doc_split_counts(spark, sf_dir).select(
+        F.concat(F.lit("split:"), F.col("split")).alias("op"),
+        "n_docs",
+        F.col("n_quarter").alias("metric"),
+    )
+    return splits.unionAll(q_doc_budget_selected(spark, sf_dir))
 
 
 _NEAREST_COLS = ["contig", "r_start", "r_end", "contig_r", "t_start", "t_end", "t_id"]
@@ -1624,8 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # r6 promotions (VERDICT r5 item 2): previously past-cap with
         # locally-verified exact oracles; the composite restructure above
-        # freed exactly three slots.
-        "doc_split_counts": q_doc_split_counts,
+        # freed exactly three slots. doc_split_counts later widened into
+        # the doc_sampling_ops composite (+ token-budget curation rows).
+        "doc_sampling_ops": q_doc_sampling_ops,
         "nearest_nonoverlap": q_nearest_nonoverlap,
         "doc_term_stats": q_doc_term_stats,
         # r6 additions (LLM-pipeline layer, exact oracles): PII
@@ -1647,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_budget_selected": q_doc_budget_selected,
         "overlap_count_50x": q_overlap_count_50x,
     }
 
@@ -2445,17 +2501,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash-split twin: identical integer thresholds (split_thresholds)
         # and the identical md5('seed:key')[:8] selection hash
-        "doc_split_counts": """
+        "doc_sampling_ops": """
             WITH h AS (
                 SELECT doc_id, CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv, CAST(concat('0x', substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS qv
                 FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, source, n_chars,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ),
+            src_sel AS (
+                SELECT source, n_tokens FROM (
+                    SELECT source, n_tokens, sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS cum FROM toks
+                ) WHERE cum <= 700
+            ),
+            glob_sel AS (
+                SELECT n_tokens FROM (
+                    SELECT n_tokens, sum(n_tokens) OVER (
+                        ORDER BY n_chars DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS cum FROM toks
+                ) WHERE cum <= 9000
             )
-            SELECT CASE WHEN hv < 3435973836 THEN 'train'
+            SELECT 'split:' || CASE WHEN hv < 3435973836 THEN 'train'
                         WHEN hv < 3865470566 THEN 'val'
-                        ELSE 'test' END AS split,
+                        ELSE 'test' END AS op,
                    count(*) AS n_docs,
-                   CAST(sum(CASE WHEN qv < 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter
+                   CAST(sum(CASE WHEN qv < 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS metric
             FROM h GROUP BY 1
+            UNION ALL
+            SELECT 'budget_src:' || source AS op, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS metric
+            FROM src_sel GROUP BY 1
+            UNION ALL
+            SELECT 'budget_global' AS op, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS metric
+            FROM glob_sel
         """,
         "doc_term_stats": """
         WITH occ AS (

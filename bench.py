@@ -14,7 +14,7 @@ Self-interpreting extras (VERDICT r4 items 2 and 6):
   the artifact itself.
 - ``anchors``: four queries whose code hasn't changed since r3, their r3
   reference floors, the current/reference ratio per anchor, and the
-  geometric-mean host ``drift``. ``queries_normalized`` = raw / drift:
+  median-ratio host ``drift``. ``queries_normalized`` = raw / drift:
   cross-round comparisons should use these.
 - ``throughput``: output-pairs/sec for the uniform flagship vs the
   output-matched skew row — the skew-immunity claim as a checkable number

@@ -55,6 +55,10 @@ from sequila_native_spark.functions.sampling import (
     split_thresholds,
     stratified_sample,
 )
+from sequila_native_spark.functions.curation import (
+    select_within_budget,
+    select_within_budget_sql,
+)
 from sequila_native_spark.functions.pii import (
     pii_count,
     pii_count_sql,
@@ -106,6 +110,7 @@ __all__ = [
     "split_dataset",
     "split_thresholds",
     "stratified_sample",
+    "select_within_budget", "select_within_budget_sql",
     "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents", "normalize_text",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",

@@ -355,6 +355,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_pack('docs', 'text', 'doc_id', 2048, 32)
 #     SELECT * FROM sequila_redact('docs', 'text')
 #     SELECT * FROM sequila_decontaminate('docs', 'bench', 'text', 'doc_id', 8)
+#     SELECT * FROM sequila_budget('docs', 9000, 'n_tokens', 'score', 'doc_id')
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -363,7 +364,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
-    r"|chunk|pack|redact|decontaminate)"
+    r"|chunk|pack|redact|decontaminate|budget)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -545,6 +546,23 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                     f"sequila_redact: column {a[1]!r} not in {df.columns}"
                 )
             return df.withColumn(a[1], redact_pii(F.col(a[1])))
+        if op == "budget":
+            if not (5 <= len(a) <= 7):
+                raise ValueError(
+                    f"sequila_budget takes (table, budget, cost, order, "
+                    f"tiebreak, [partition_by], [ascending]), got {a!r}"
+                )
+            from sequila_native_spark.functions.curation import (
+                select_within_budget,
+            )
+
+            return select_within_budget(
+                spark.table(a[0]), int(a[1]),
+                cost_col=a[2], order_col=a[3], tiebreak_col=a[4],
+                partition_by=(a[5] or None) if len(a) > 5 else None,
+                ascending=(a[6].lower() in ("true", "1", "asc"))
+                if len(a) > 6 else False,
+            )
         if op == "decontaminate":
             if not (4 <= len(a) <= 5):
                 raise ValueError(
