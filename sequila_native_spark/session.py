@@ -22,6 +22,7 @@ our ``index`` implementation.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -62,9 +63,18 @@ DEFAULT_MAX_BROADCAST_BUILD_ROWS = 8_000_000
 # through the operators), so no data pass is paid. 0 disables the explicit
 # repartition and inherits the session shuffle width.
 DEFAULT_BINNED_JOIN_PARTITIONS: int | str = "auto"
-# ~1 MB of pre-explode input per task: tiny for a scan-bound join, right for
-# this join's ~100-200x output amplification (measured knee: see above).
-BINNED_JOIN_TARGET_BYTES = 1 << 20
+# Width law: width = sqrt(total_pre_explode_bytes / 4096), i.e. optimal
+# bytes-per-task GROWS with total size rather than staying constant. Two
+# serialized single-session A/Bs at the scale-trend rows (r6) pinned it:
+# the 10x row (~240 MB est) wants ~240 parts (240: 13.1-14.5 s vs 128:
+# 20.3-22.2 s vs 480: 18-23 s) while the 50x row (~1.2 GB est) wants ~590
+# (590: 68-89 s vs 512: 79-103 s vs ~1180 [old 1MB-linear law]: 113 s vs
+# 2361: 83-116 s). A linear bytes/task target cannot fit both points;
+# sqrt(total/4096) gives 248 and 554 — both at the measured knee. The
+# shape makes sense for an emission-bound join: per-task fixed overhead
+# grows with width while per-task spill risk grows with total/width, and
+# the balance point moves as sqrt.
+BINNED_JOIN_WIDTH_SQ_BYTES = 4096
 BINNED_JOIN_MAX_PARTITIONS = 4096
 # Probe-salting factor for the partitioned (cogroup) nearest join. The
 # cogroup's parallelism is bounded by the number of distinct equi-key groups
@@ -220,7 +230,7 @@ class SequilaConf:
                 width,
                 min(
                     BINNED_JOIN_MAX_PARTITIONS,
-                    -(-total // BINNED_JOIN_TARGET_BYTES),
+                    math.isqrt(total // BINNED_JOIN_WIDTH_SQ_BYTES),
                 ),
             )
         return width

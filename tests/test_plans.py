@@ -115,9 +115,11 @@ def test_binned_join_width_scales_with_input_size(spark):
     the 50x scale-trend row superlinear)."""
     from pyspark.sql import functions as F
 
+    import math
+
     from sequila_native_spark.session import (
         BINNED_JOIN_MAX_PARTITIONS,
-        BINNED_JOIN_TARGET_BYTES,
+        BINNED_JOIN_WIDTH_SQ_BYTES,
         SequilaConf,
     )
 
@@ -134,10 +136,12 @@ def test_binned_join_width_scales_with_input_size(spark):
     )
     got = conf.resolve_binned_join_partitions(spark, (big,))
     est = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    assert est > BINNED_JOIN_TARGET_BYTES * floor  # fixture really is big
+    # fixture really is big: sqrt law exceeds the cluster floor
+    assert math.isqrt(est // BINNED_JOIN_WIDTH_SQ_BYTES) > floor
     assert floor < got <= BINNED_JOIN_MAX_PARTITIONS
     assert got == min(
-        BINNED_JOIN_MAX_PARTITIONS, -(-est // BINNED_JOIN_TARGET_BYTES)
+        BINNED_JOIN_MAX_PARTITIONS,
+        math.isqrt(est // BINNED_JOIN_WIDTH_SQ_BYTES),
     )
 
     # explicit integer knob is honored verbatim
