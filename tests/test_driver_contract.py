@@ -1,0 +1,51 @@
+"""Driver-contract invariants for `__spark_entry__.py` (no Spark needed).
+
+The driver's correctness gate checks a 50-query prefix of `queries()`
+against `oracle_sql()` twins — slot engineering (composites, promotions)
+must never push an oracle-bearing query past the cap or leave an
+oracle-less row inside it. These checks are static and instant, so a
+restructure that breaks the layout fails fast instead of one round later
+in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+DRIVER_CAP = 50
+
+
+def test_oracle_prefix_is_exactly_the_cap():
+    qs = list(entry.queries().keys())
+    osql = entry.oracle_sql()
+    assert len(qs) >= DRIVER_CAP
+    prefix = qs[:DRIVER_CAP]
+    missing = [k for k in prefix if k not in osql]
+    assert not missing, (
+        f"queries inside the driver's {DRIVER_CAP}-slot oracle prefix "
+        f"without an oracle_sql twin: {missing}"
+    )
+    # past-cap entries are rows-only by design; an oracle there means a
+    # promotion was forgotten (or the composite absorbing it regressed)
+    stranded = [k for k in qs[DRIVER_CAP:] if k in osql]
+    assert not stranded, f"oracle-bearing queries past the cap: {stranded}"
+
+
+def test_every_query_is_callable():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
+
+
+def test_orphan_oracles_are_known_composite_members():
+    """Oracles whose standalone query key was absorbed into a composite
+    row keep their SQL around for tooling; anything else unexplained in
+    oracle_sql() is a typo waiting to ship."""
+    qs = set(entry.queries().keys())
+    known_absorbed = {
+        # interval_set_ops composite (r6)
+        "reads_minus_targets", "read_coverage_gaps", "merged_read_runs",
+        # doc_feature_stats carries per-doc lang_pred (r6)
+        "doc_lang_dist",
+    }
+    orphans = {k for k in entry.oracle_sql() if k not in qs}
+    assert orphans <= known_absorbed, orphans - known_absorbed
