@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_pii_stats",              # PII detect/redact (regex chains, r6)
     "decontaminated_counts",      # benchmark decontamination (r6)
     "doc_chunk_stats",            # chunking + sequence packing (r6)
+    "doc_budget_selected",        # token-budget curation, two-level cumsum (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with
