@@ -56,6 +56,8 @@ from sequila_native_spark.functions.sampling import (
     stratified_sample,
 )
 from sequila_native_spark.functions.curation import (
+    select_top_fraction,
+    select_top_fraction_sql,
     select_within_budget,
     select_within_budget_sql,
 )
@@ -111,6 +113,7 @@ __all__ = [
     "split_thresholds",
     "stratified_sample",
     "select_within_budget", "select_within_budget_sql",
+    "select_top_fraction", "select_top_fraction_sql",
     "tokens", "token_count", "quality_features", "repetition_features", "lang_id", "fingerprint", "filter_documents", "normalize_text",
     "exact_dedup_clusters", "dedup_keep_canonical", "minhash_signature",
     "minhash_signature_draws", "minhash_signature_draws_sql",

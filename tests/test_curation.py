@@ -13,6 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sequila_native_spark.functions import (
+    select_top_fraction,
+    select_top_fraction_sql,
     select_within_budget,
     select_within_budget_sql,
 )
@@ -171,6 +173,66 @@ def test_validation(spark):
         select_within_budget(df, 10, "cost", "score", "id", buckets=0)
     with pytest.raises(ValueError, match="order_bounds"):
         select_within_budget(df, 10, "cost", "score", "id", order_bounds=(5, 1))
+
+
+def test_top_fraction_matches_derived_budget(spark):
+    """select_top_fraction == select_within_budget at budget
+    floor(frac * total), globally and per group."""
+    df = _docs(spark, ROWS)
+    total = sum(r[3] for r in ROWS)
+    for frac in [0.0, 0.25, 0.5, 1.0]:
+        got = {
+            (r["id"], r["cum_cost"])
+            for r in select_top_fraction(
+                df, frac, "cost", "score", "id", buckets=4
+            ).collect()
+        }
+        want = {
+            (r["id"], r["cum_cost"])
+            for r in select_within_budget(
+                df, int(frac * total), "cost", "score", "id", buckets=4
+            ).collect()
+        }
+        assert got == want, frac
+    # per-group: each group's threshold from its own total
+    got = {}
+    for r in select_top_fraction(
+        df, 0.5, "cost", "score", "id", partition_by="grp"
+    ).collect():
+        got.setdefault(r["grp"], set()).add((r["id"], r["cum_cost"]))
+    for g in ["a", "b", "c"]:
+        g_total = sum(r[3] for r in ROWS if r[1] == g)
+        want = set(_greedy([r for r in ROWS if r[1] == g], int(0.5 * g_total)))
+        assert got.get(g, set()) == want, g
+
+
+def test_top_fraction_duckdb_twin(spark):
+    df = _docs(spark, ROWS)
+    spark_rows = sorted(
+        (r["id"], r["cum_cost"])
+        for r in select_top_fraction(
+            df, 0.4, "cost", "score", "id", buckets=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},'{g}',{s},{c})" for i, g, s, c in ROWS)
+        + ") v(id, grp, score, cost)"
+    )
+    sql = select_top_fraction_sql("t", 0.4, "cost", "score", "id", select="id")
+    duck = sorted(
+        (r[0], int(r[1])) for r in con.execute(f"SELECT * FROM {sql}").fetchall()
+    )
+    assert spark_rows == duck
+
+
+def test_top_fraction_validation(spark):
+    df = _docs(spark, ROWS)
+    with pytest.raises(ValueError, match="fraction"):
+        select_top_fraction(df, 1.5, "cost", "score", "id")
+    with pytest.raises(ValueError, match="fraction"):
+        select_top_fraction_sql("t", -0.1, "cost", "score", "id")
 
 
 def test_budget_tvf(spark):
