@@ -64,6 +64,18 @@ from sequila_native_spark.functions.dedup import (
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 _REP_SQL = repetition_features_sql("text")
+# Hashed linear quality classifier (classify.py): synthetic stand-in model
+# scored inside the doc_feature_stats scan (inline strategy — zero joins).
+_QC_BUCKETS, _QC_SEED, _QC_WSEED = 512, 23, 7
+from sequila_native_spark.functions.classify import (  # noqa: E402
+    score_exprs_sql as _score_exprs_sql,
+    synthetic_quality_weights_sql as _synthetic_weights_sql,
+)
+
+_QC_N_SQL, _QC_S_SQL = _score_exprs_sql(
+    "text", buckets=_QC_BUCKETS, seed=_QC_SEED
+)
+_QC_WARR_SQL = _synthetic_weights_sql(_QC_BUCKETS, _QC_WSEED)
 _SHINGLES_SQL = shingles_sql("text", 3)
 _MINHASH_SQL = minhash_signature_draws_sql("text", 8, 3)
 
@@ -788,17 +800,36 @@ def q_doc_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r6: also carries per-doc ``lang_pred`` — strictly stronger than the
     standalone ``doc_lang_dist`` aggregate (the distribution is a GROUP BY
-    away), freeing that slot too while keeping lang_id oracle-checked."""
+    away), freeing that slot too while keeping lang_id oracle-checked.
+
+    r6 widening: ``qc_grams`` / ``qc_score_milli`` — the hashed linear
+    quality classifier (classify.py, fasttext-shaped model inference) under
+    the deterministic synthetic model, inline strategy: the weight vector is
+    an in-plan array literal and the score evaluates inside this same scan
+    (still zero joins / zero shuffles / zero Python). Exact-integer oracle
+    via the per-row DuckDB twin (score_exprs_sql)."""
     from sequila_native_spark.functions import repetition_features
+    from sequila_native_spark.functions.classify import (
+        score_columns,
+        synthetic_weights_py,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     qf = quality_features(F.col("text"))
     rf = repetition_features(F.col("text"))
+    qc_n, qc_s = score_columns(
+        synthetic_weights_py(_QC_BUCKETS, _QC_WSEED),
+        _QC_BUCKETS,
+        F.col("text"),
+        seed=_QC_SEED,
+    )
     return docs.select(
         F.col("doc_id"),
         lang_id(F.col("text")).alias("lang_pred"),
         *[v.alias(k) for k, v in qf.items()],
         *[v.alias(k) for k, v in rf.items()],
+        qc_n.alias("qc_grams"),
+        qc_s.alias("qc_score_milli"),
     )
 
 
@@ -2340,6 +2371,9 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, text, string_split(lower(text), ' ') AS toks
                 FROM documents
+            ), warr AS (
+                SELECT list(weight_milli ORDER BY bucket) AS __qw
+                FROM ({_QC_WARR_SQL})
             ), f AS (
                 SELECT doc_id,
                        {lang_id_sql("text")} AS lang_pred,
@@ -2353,14 +2387,17 @@ def oracle_sql() -> dict[str, str]:
                        {_REP_SQL['n_distinct_lines']} AS n_distinct_lines,
                        {_REP_SQL['dup_line_milli']} AS dup_line_milli,
                        {_REP_SQL['top_bigram_milli']} AS top_bigram_milli,
-                       {_REP_SQL['max_word_run']} AS max_word_run
-                FROM t
+                       {_REP_SQL['max_word_run']} AS max_word_run,
+                       {_QC_N_SQL} AS qc_grams,
+                       {_QC_S_SQL} AS qc_score_milli
+                FROM t, warr
             )
             SELECT doc_id, lang_pred, n_chars, n_tokens, n_bpe_tokens,
                    n_distinct_tokens,
                    ttr_milli, stop_milli, ttr_milli + stop_milli AS quality_milli,
                    n_lines, n_distinct_lines, dup_line_milli,
-                   top_bigram_milli, max_word_run
+                   top_bigram_milli, max_word_run,
+                   qc_grams, qc_score_milli
             FROM f
         """,
         "doc_lang_dist": f"""

@@ -215,6 +215,20 @@ def main() -> None:
                 "overwrite").format("noop").save()
             return time.time() - t0
 
+        # Untimed volume warm-up: the first 50x sample has measured 1.5-2.3x
+        # its own floor (155 s vs 68 s, r6 run 1) because ~40 small queries
+        # ran since the last large-volume join — heap shrunk back, C2 state
+        # for the hot kernel aged out, page cache partially evicted. One
+        # untimed 10x pass (~13 s) re-warms all three far cheaper than the
+        # 60-90 s the spiked first sample plus its confirmation resamples
+        # burn, and makes the recorded samples measure the JOIN, not the JVM.
+        try:
+            drop_stale_persisted()
+            qs["overlap_count_10x"](spark, sf_dir).write.mode(
+                "overwrite").format("noop").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed path reports real errors
+
         t = run_50x()
         fifty = [round(t, 3)]
         # intrinsic 50x/10x ratio measured 4.1-4.4x (r6, three-run floors);

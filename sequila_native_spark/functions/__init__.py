@@ -77,6 +77,17 @@ from sequila_native_spark.functions.decontam import (
     decontaminate,
     match_contaminated,
 )
+from sequila_native_spark.functions.classify import (
+    classify_documents,
+    gram_array,
+    hash_bucket,
+    score_columns,
+    score_documents,
+    score_documents_sql,
+    score_exprs_sql,
+    synthetic_quality_weights,
+    synthetic_quality_weights_sql,
+)
 from sequila_native_spark.functions.chunking import (
     chunk_documents,
     chunk_documents_sql,
@@ -133,4 +144,7 @@ __all__ = [
     "decontaminate", "match_contaminated",
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
     "pack_documents", "pack_documents_sql",
+    "classify_documents", "gram_array", "hash_bucket", "score_columns",
+    "score_documents", "score_documents_sql", "score_exprs_sql",
+    "synthetic_quality_weights", "synthetic_quality_weights_sql",
 ]
