@@ -1501,6 +1501,25 @@ def q_doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier over the documents corpus —
+    BROADCAST strategy (the any-model-size path: explode grams in-scan,
+    broadcast the weight table, one map-side-combinable groupBy(doc)).
+    Rows-only here; the inline strategy's identical scores are hash-
+    oracle-checked in-prefix inside doc_feature_stats (both strategies
+    pinned equal in tests/test_classify.py)."""
+    from sequila_native_spark.functions import (
+        classify_documents,
+        synthetic_quality_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = synthetic_quality_weights(spark, 4096, _QC_WSEED)
+    return classify_documents(
+        docs, w, buckets=4096, seed=_QC_SEED, threshold_milli=0
+    )
+
+
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 per query over the documents corpus, querying with the
     first 5 documents' first 8 tokens (self-retrieval shape: each query's
@@ -1733,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_quality_scores": q_doc_quality_scores,
         "doc_budget_selected": q_doc_budget_selected,
         "overlap_count_50x": q_overlap_count_50x,
     }

@@ -83,6 +83,7 @@ HEADLINE = [
     "decontaminated_counts",      # benchmark decontamination (r6)
     "doc_chunk_stats",            # chunking + sequence packing (r6)
     "doc_budget_selected",        # token-budget curation, two-level cumsum (r6)
+    "doc_quality_scores",         # hashed linear classifier, broadcast model (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with
