@@ -162,8 +162,12 @@ def score_documents(
     ``score_milli = Σ_gram weight_milli[bucket(gram)]`` (exact bigint).
 
     ``weights`` is the model: ``(bucket, weight_milli)``; buckets absent
-    from the table weigh 0 (a pruned model is a sparse table). Every input
-    document appears in the output — gramless docs score (0, 0).
+    from the table weigh 0 (a pruned model is a sparse table), and each
+    bucket must appear AT MOST ONCE — duplicates would double-count through
+    the broadcast join (the inline strategy rejects them eagerly; the
+    broadcast strategy trusts the model table, as validating lazily would
+    force an extra job per call). Every input document appears in the
+    output — gramless docs score (0, 0).
     """
     if strategy not in ("broadcast", "inline"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -175,11 +179,15 @@ def score_documents(
                 f"inline strategy embeds the weight vector in the plan; "
                 f"{buckets} buckets > {MAX_INLINE_BUCKETS} — use broadcast"
             )
-        by_bucket = dict(
-            weights.select("bucket", "weight_milli").toPandas().itertuples(
-                index=False, name=None
+        rows = weights.select("bucket", "weight_milli").toPandas()
+        by_bucket = dict(rows.itertuples(index=False, name=None))
+        if len(by_bucket) != len(rows):
+            dup = rows["bucket"][rows["bucket"].duplicated()].tolist()
+            raise ValueError(
+                f"weights table has duplicate buckets {dup[:5]} — a model "
+                f"must have one weight per bucket (the broadcast strategy "
+                f"would double-count these)"
             )
-        )
         bad = [b for b in by_bucket if not (0 <= int(b) < buckets)]
         if bad:
             raise ValueError(f"weight buckets out of range: {bad[:5]}")

@@ -356,6 +356,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_redact('docs', 'text')
 #     SELECT * FROM sequila_decontaminate('docs', 'bench', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_budget('docs', 9000, 'n_tokens', 'score', 'doc_id')
+#     SELECT * FROM sequila_quality('docs', 'model', 'text', 'doc_id', 4096)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -364,7 +365,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
-    r"|chunk|pack|redact|decontaminate|budget)"
+    r"|chunk|pack|redact|decontaminate|budget|quality)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -562,6 +563,22 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 partition_by=(a[5] or None) if len(a) > 5 else None,
                 ascending=(a[6].lower() in ("true", "1", "asc"))
                 if len(a) > 6 else False,
+            )
+        if op == "quality":
+            if not (5 <= len(a) <= 7):
+                raise ValueError(
+                    f"sequila_quality takes (docs, weights, text, id, "
+                    f"buckets, [seed], [threshold_milli]), got {a!r}"
+                )
+            from sequila_native_spark.functions.classify import (
+                classify_documents,
+            )
+
+            return classify_documents(
+                spark.table(a[0]), spark.table(a[1]),
+                text_col=a[2], id_col=a[3], buckets=int(a[4]),
+                seed=int(a[5]) if len(a) > 5 else 0,
+                threshold_milli=int(a[6]) if len(a) > 6 else 0,
             )
         if op == "decontaminate":
             if not (4 <= len(a) <= 5):

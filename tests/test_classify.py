@@ -195,3 +195,69 @@ def test_input_validation(spark, corpus, weights):
             buckets=BUCKETS,
             strategy="inline",
         )
+
+
+def test_quality_tvf(spark, corpus, weights):
+    """sequila_quality table function agrees with the Python API and
+    validates its arity."""
+    import pytest as _pytest
+
+    from sequila_native_spark.sql import sequila_sql
+
+    corpus.createOrReplaceTempView("tvf_q_docs")
+    weights.createOrReplaceTempView("tvf_q_model")
+    got = sequila_sql(
+        spark,
+        "SELECT doc_id, score_milli, keep FROM "
+        f"sequila_quality('tvf_q_docs', 'tvf_q_model', 'text', 'doc_id', "
+        f"{BUCKETS}, {SEED}, 50)",
+    ).collect()
+    want = classify_documents(
+        corpus, weights, buckets=BUCKETS, seed=SEED, threshold_milli=50
+    ).collect()
+    key = lambda r: (r["doc_id"], r["score_milli"], r["keep"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    with _pytest.raises(ValueError, match="sequila_quality takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_quality('tvf_q_docs')")
+
+
+def test_inline_scoring_stream_equals_batch(spark, tmp_path):
+    """The inline strategy is a stateless projection (no joins, no aggs), so
+    it runs on a streaming frame unchanged and scores the exact batch rows —
+    the shape of a quality gate in a streaming ingest pipeline."""
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    w = synthetic_quality_weights(spark, BUCKETS, WSEED)
+    batch = {
+        (r["doc_id"], r["n_grams"], r["score_milli"])
+        for r in score_documents(
+            docs, w, buckets=BUCKETS, seed=SEED, strategy="inline"
+        ).collect()
+    }
+    src = str(tmp_path / "cls_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id int, text string").parquet(src)
+    out = score_documents(
+        stream, w, buckets=BUCKETS, seed=SEED, strategy="inline"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cls_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_grams"], r["score_milli"])
+        for r in spark.table("cls_stream_out").collect()
+    }
+    assert got == batch and len(batch) == len(DOCS)
+
+
+def test_inline_rejects_duplicate_buckets(spark, corpus):
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 9)], "bucket int, weight_milli long"
+    )
+    with pytest.raises(ValueError, match="duplicate buckets"):
+        score_documents(corpus, dup, buckets=BUCKETS, strategy="inline")
