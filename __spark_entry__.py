@@ -1390,6 +1390,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-capable corpus-delta near-dup gate (r6): the stateless
+    stream-static plan of ``stream_dedup_against_corpus`` run on batch
+    input with the SAME split as the oracle-checked ``minhash_delta_dups``
+    delta branch. Rows-only here; correctness chain: this plan == the
+    batch delta API row-for-row (tests/test_text_dedup.py), and that API's
+    identical (batch, corpus) split is hash-checked against DuckDB inside
+    the in-prefix minhash_delta_dups row. md5 family for exact parity with
+    that chain."""
+    from sequila_native_spark.functions import stream_dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return stream_dedup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        k=8, bands=4, threshold_milli=200, hash_family="md5",
+    )
+
+
 def q_minhash_family_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall delta between the md5 (oracle-parity) and vectorized ``fast``
     MinHash families at driver scale. Both verify exact Jaccard on their
@@ -1754,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_budget_selected": q_doc_budget_selected,
+        "stream_corpus_gate": q_stream_corpus_gate,
         "overlap_count_50x": q_overlap_count_50x,
     }
 

@@ -20,11 +20,13 @@ from sequila_native_spark.functions.text import (
     winnow_fingerprints,
 )
 from sequila_native_spark.functions.dedup import (
+    corpus_band_index,
     dedup_against_corpus,
     hamming_band_pairs,
     dedup_clusters,
     dedup_keep_canonical,
     filter_new_against_corpus,
+    stream_dedup_against_corpus,
     exact_dedup_clusters,
     minhash_pairs,
     minhash_signature,
@@ -130,6 +132,7 @@ __all__ = [
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",
     "dedup_against_corpus", "filter_new_against_corpus",
+    "corpus_band_index", "stream_dedup_against_corpus",
     "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "attach_binary", "decode_media_meta", "sample_chunks",

@@ -316,41 +316,48 @@ def _jaccard_counts(a: Column, b: Column, n: int) -> Column:
     return jac(a, b)
 
 
-def _band_frame(src, id_col, text_col, k, bands, n, hash_family) -> DataFrame:
-    """``(__sq_id, band_idx, band_hash)`` LSH banding of ``src``.
-
-    Signatures (k hash passes over every shingle) are the expensive part —
-    computed once, on the banding branch only; docs collide iff their band
-    slices are equal (``xxhash64`` of the numeric slice, whole-stage
-    codegen'd), which is the property the DuckDB twin reproduces by joining
-    on the slice itself.
-    """
-    r = k // bands
-    sig_col = (
+def _sig_col(text_col: str, k: int, n: int, hash_family: str) -> Column:
+    """The signature column for a hash family — shared by every banding
+    entry point so candidate sets agree across the symmetric, delta, and
+    streaming operators."""
+    return (
         minhash_signature_draws(F.col(text_col), k, n)
         if hash_family == "md5"
         else minhash_signature_vectorized(F.col(text_col), k, n)
     )
+
+
+def _band_structs(sig_col_name: str, k: int, bands: int) -> Column:
+    """``array<struct(band_idx, band_hash)>`` over a signature column.
+
+    Docs collide iff their band slices are equal (``xxhash64`` of the
+    numeric slice, whole-stage codegen'd) — the property the DuckDB twin
+    reproduces by joining on the slice itself."""
+    r = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.xxhash64(
+                F.slice(F.col(sig_col_name), (b * r + 1).cast("int"), r)
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def _band_frame(src, id_col, text_col, k, bands, n, hash_family) -> DataFrame:
+    """``(__sq_id, band_idx, band_hash)`` LSH banding of ``src``.
+
+    Signatures (k hash passes over every shingle) are the expensive part —
+    computed once, on the banding branch only.
+    """
     base = src.select(
         F.col(id_col).alias("__sq_id"),
-        sig_col.alias("__sq_sig"),
+        _sig_col(text_col, k, n, hash_family).alias("__sq_sig"),
     ).where(F.size("__sq_sig") > 0)
-
-    def band_hash(b):
-        band = F.slice(F.col("__sq_sig"), (b * r + 1).cast("int"), r)
-        return F.xxhash64(band)
-
     return base.select(
         "__sq_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    band_hash(b).alias("band_hash"),
-                ),
-            )
-        ).alias("__sq_band"),
+        F.explode(_band_structs("__sq_sig", k, bands)).alias("__sq_band"),
     ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
 
 
@@ -534,6 +541,146 @@ def filter_new_against_corpus(
     return batch.join(
         pairs.select(F.col("batch_id").alias(id_col)).distinct(),
         id_col, "left_anti",
+    )
+
+
+def corpus_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """The static probe-side index for :func:`stream_dedup_against_corpus`:
+    ``(corpus_id, __sq_csig, band_idx, band_hash)`` — the corpus banding
+    WITH the full signature carried, so a probing row can later tell WHICH
+    bands matched without touching the corpus text.
+
+    100 TB shape: compute once per corpus version and persist bucketed by
+    ``band_hash`` (``df.write.bucketBy(B, "band_hash")``); every subsequent
+    ingest micro-batch / daily batch probes it with a bucket-pruned equi-join
+    instead of re-signing the corpus. Size: ``bands`` rows × (k longs + 2
+    keys) per doc — text stays in the corpus table.
+    """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    if corpus.isStreaming:
+        raise ValueError("corpus side must be a static DataFrame")
+    src = ensure_parallel(corpus.select(id_col, text_col))
+    base = src.select(
+        F.col(id_col).alias("corpus_id"),
+        _sig_col(text_col, k, n, hash_family).alias("__sq_csig"),
+    ).where(F.size("__sq_csig") > 0)
+    return base.select(
+        "corpus_id", "__sq_csig",
+        F.explode(_band_structs("__sq_csig", k, bands)).alias("__sq_band"),
+    ).select("corpus_id", "__sq_csig",
+             "__sq_band.band_idx", "__sq_band.band_hash")
+
+
+def stream_dedup_against_corpus(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold_milli: int = 200,
+    hash_family: str = "fast",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming-capable corpus-delta near-dup: verified ``(batch_id,
+    corpus_id, n_common, n_union)`` pairs for a (possibly streaming) ``docs``
+    frame probed against a STATIC corpus — the continuous-ingest shape of
+    :func:`dedup_against_corpus`.
+
+    Everything here is stateless or stream-static, so it runs under
+    Structured Streaming in append mode with NO state store and NO
+    watermark: signature + banding are per-row projections, the candidate
+    join and the corpus-text join are stream-static equi-joins, and
+    verification is a per-pair Arrow UDF.
+
+    The batch path dedupes band-collision candidates with ``distinct()`` —
+    a stateful agg a stream can't afford. Here each pair is emitted exactly
+    once WITHOUT state: both sides carry their full signature through the
+    join, so the row knows every band the pair collides in
+    (``slice(bsig) == slice(csig)`` per band, pure codegen) and only the
+    row joined on the SMALLEST matching band survives. A pair whose bucket
+    match was a pure ``xxhash64`` collision (slices unequal) has no matching
+    band and is dropped — strictly tighter than the batch candidate set,
+    identical after exact-Jaccard verification.
+
+    Batch ``docs`` input runs the same plan and equals
+    :func:`dedup_against_corpus` row-for-row (pinned in tests) — which is
+    itself oracle-checked against DuckDB, so the streaming gate inherits the
+    correctness chain. For a keep/drop FILTER on the stream, run this inside
+    ``foreachBatch`` with :func:`filter_new_against_corpus` (per-doc anti
+    semantics need a batch boundary).
+
+    ``corpus_index``: pass a persisted :func:`corpus_band_index` frame to
+    skip re-signing the corpus (it must have been built with the same
+    ``k/bands/n/hash_family``); default builds it from ``corpus`` in-plan.
+    """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    if corpus.isStreaming:
+        raise ValueError("corpus side must be a static DataFrame")
+    if corpus_index is None:
+        corpus_index = corpus_band_index(
+            corpus, text_col, id_col,
+            k=k, bands=bands, n=n, hash_family=hash_family,
+        )
+    else:
+        need = {"corpus_id", "__sq_csig", "band_idx", "band_hash"}
+        if not need <= set(corpus_index.columns):
+            raise ValueError(
+                f"corpus_index missing columns {sorted(need - set(corpus_index.columns))}"
+                f" — build it with corpus_band_index()"
+            )
+        if corpus_index.isStreaming:
+            raise ValueError("corpus_index must be a static DataFrame")
+
+    bsrc = ensure_parallel(docs.select(id_col, text_col))
+    probe = bsrc.select(
+        F.col(id_col).alias("batch_id"),
+        F.col(text_col).alias("__sq_tb"),
+        _sig_col(text_col, k, n, hash_family).alias("__sq_bsig"),
+    ).where(F.size("__sq_bsig") > 0).select(
+        "batch_id", "__sq_tb", "__sq_bsig",
+        F.explode(_band_structs("__sq_bsig", k, bands)).alias("__sq_band"),
+    ).select("batch_id", "__sq_tb", "__sq_bsig",
+             "__sq_band.band_idx", "__sq_band.band_hash")
+
+    r = k // bands
+    matching_bands = F.filter(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.slice(F.col("__sq_bsig"), (b * r + 1).cast("int"), r)
+        == F.slice(F.col("__sq_csig"), (b * r + 1).cast("int"), r),
+    )
+    cand = (
+        probe.join(corpus_index, ["band_idx", "band_hash"])
+        .where(F.col("band_idx") == F.array_min(matching_bands))
+        .select("batch_id", "__sq_tb", "corpus_id")
+    )
+    ctext = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__sq_tc")
+    )
+    return (
+        cand.join(ctext, "corpus_id")
+        .withColumn("__sq_j", _jaccard_counts(F.col("__sq_tb"), F.col("__sq_tc"), n))
+        .select("batch_id", "corpus_id",
+                F.col("__sq_j.n_common").alias("n_common"),
+                F.col("__sq_j.n_union").alias("n_union"))
+        .where(F.col("n_common") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
     )
 
 

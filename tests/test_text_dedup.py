@@ -697,3 +697,84 @@ def test_filter_new_against_corpus_keeps_novel_docs(spark, docs):
     # sanity: the pairs the filter removed really exist
     pairs = dedup_against_corpus(batch, corpus, threshold_milli=500)
     assert {r["batch_id"] for r in pairs.collect()} == {2, 3}
+
+
+def test_stream_dedup_batch_mode_equals_delta_api(spark, docs):
+    """On batch input the streaming-capable gate must equal
+    dedup_against_corpus row-for-row — the link that lets the streaming op
+    inherit the delta API's DuckDB oracle chain."""
+    from sequila_native_spark.functions import (
+        dedup_against_corpus,
+        stream_dedup_against_corpus,
+    )
+
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 1)
+    for fam in ("fast", "md5"):
+        want = {tuple(r) for r in dedup_against_corpus(
+            batch, corpus, k=8, bands=4, threshold_milli=200,
+            hash_family=fam).collect()}
+        got = {tuple(r) for r in stream_dedup_against_corpus(
+            batch, corpus, k=8, bands=4, threshold_milli=200,
+            hash_family=fam).collect()}
+        assert got == want and want  # non-vacuous: fixture has cross dups
+
+
+def test_stream_dedup_emits_each_pair_exactly_once(spark, docs):
+    """Identical texts collide in EVERY band; the min-matching-band filter
+    must still emit the pair once (the stateless replacement for the batch
+    path's distinct())."""
+    from sequila_native_spark.functions import stream_dedup_against_corpus
+
+    batch = docs.where(F.col("doc_id") == 2)   # exact dup of corpus doc 1
+    corpus = docs.where(F.col("doc_id") == 1)
+    rows = stream_dedup_against_corpus(
+        batch, corpus, k=8, bands=4, threshold_milli=200).collect()
+    assert [(r["batch_id"], r["corpus_id"]) for r in rows] == [(2, 1)]
+
+
+def test_stream_dedup_streaming_equals_batch(spark, docs, tmp_path):
+    """availableNow over parquet == batch plan: zero state, no watermark —
+    the candidate and text joins are stream-static, everything else is a
+    per-row projection."""
+    from sequila_native_spark.functions import stream_dedup_against_corpus
+
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 1)
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, threshold_milli=200).collect()}
+
+    src = str(tmp_path / "gate_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_dedup_against_corpus(stream, corpus, threshold_milli=200)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("gate_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("gate_out").collect()}
+    assert got == want and want
+
+
+def test_stream_dedup_prebuilt_index_and_guards(spark, docs):
+    from sequila_native_spark.functions import (
+        corpus_band_index,
+        stream_dedup_against_corpus,
+    )
+
+    batch = docs.where(F.col("doc_id") <= 3)
+    corpus = docs.where(F.col("doc_id") > 3)
+    idx = corpus_band_index(corpus, k=8, bands=4)
+    base = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, threshold_milli=200).collect()}
+    reused = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, threshold_milli=200, corpus_index=idx).collect()}
+    assert base == reused
+
+    with pytest.raises(ValueError, match="must divide"):
+        stream_dedup_against_corpus(batch, corpus, k=8, bands=3)
+    with pytest.raises(ValueError, match="corpus_index missing columns"):
+        stream_dedup_against_corpus(
+            batch, corpus, corpus_index=idx.drop("__sq_csig"))
+    with pytest.raises(ValueError, match="hash_family"):
+        corpus_band_index(corpus, hash_family="sha9")
