@@ -357,6 +357,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_decontaminate('docs', 'bench', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_budget('docs', 9000, 'n_tokens', 'score', 'doc_id')
 #     SELECT * FROM sequila_quality('docs', 'model', 'text', 'doc_id', 4096)
+#     SELECT * FROM sequila_corpus_gate('batch', 'corpus', 'text', 'doc_id', 200)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -365,7 +366,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
-    r"|chunk|pack|redact|decontaminate|budget|quality)"
+    r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -579,6 +580,22 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 text_col=a[2], id_col=a[3], buckets=int(a[4]),
                 seed=int(a[5]) if len(a) > 5 else 0,
                 threshold_milli=int(a[6]) if len(a) > 6 else 0,
+            )
+        if op == "corpus_gate":
+            if not (4 <= len(a) <= 6):
+                raise ValueError(
+                    f"sequila_corpus_gate takes (batch, corpus, text, id, "
+                    f"[threshold_milli], [hash_family]), got {a!r}"
+                )
+            from sequila_native_spark.functions.dedup import (
+                stream_dedup_against_corpus,
+            )
+
+            return stream_dedup_against_corpus(
+                spark.table(a[0]), spark.table(a[1]),
+                text_col=a[2], id_col=a[3],
+                threshold_milli=int(a[4]) if len(a) > 4 else 200,
+                hash_family=a[5] if len(a) > 5 else "fast",
             )
         if op == "decontaminate":
             if not (4 <= len(a) <= 5):

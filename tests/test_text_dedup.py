@@ -778,3 +778,23 @@ def test_stream_dedup_prebuilt_index_and_guards(spark, docs):
             batch, corpus, corpus_index=idx.drop("__sq_csig"))
     with pytest.raises(ValueError, match="hash_family"):
         corpus_band_index(corpus, hash_family="sha9")
+
+
+def test_corpus_gate_tvf(spark, docs):
+    """sequila_corpus_gate TVF == the Python API; arity validated."""
+    from sequila_native_spark.functions import stream_dedup_against_corpus
+    from sequila_native_spark.sql import sequila_sql
+
+    docs.where(F.col("doc_id") % 2 == 0).createOrReplaceTempView("gate_batch")
+    docs.where(F.col("doc_id") % 2 == 1).createOrReplaceTempView("gate_corpus")
+    got = {tuple(r) for r in sequila_sql(
+        spark,
+        "SELECT * FROM sequila_corpus_gate('gate_batch', 'gate_corpus', "
+        "'text', 'doc_id', 200)",
+    ).collect()}
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        spark.table("gate_batch"), spark.table("gate_corpus"),
+        threshold_milli=200).collect()}
+    assert got == want and want
+    with pytest.raises(ValueError, match="sequila_corpus_gate takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_corpus_gate('gate_batch')")
