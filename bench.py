@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_chunk_stats",            # chunking + sequence packing (r6)
     "doc_budget_selected",        # token-budget curation, two-level cumsum (r6)
     "doc_quality_scores",         # hashed linear classifier, broadcast model (r6)
+    "stream_corpus_gate",         # stream-static near-dup gate, min-band dedup (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with
