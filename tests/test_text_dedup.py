@@ -798,3 +798,25 @@ def test_corpus_gate_tvf(spark, docs):
     assert got == want and want
     with pytest.raises(ValueError, match="sequila_corpus_gate takes"):
         sequila_sql(spark, "SELECT * FROM sequila_corpus_gate('gate_batch')")
+
+
+def test_stream_dedup_runs_with_zero_state_operators(spark, docs, tmp_path):
+    """The statelessness claim, asserted from the engine: the streaming
+    gate's progress reports NO state operators (no distinct, no stream-stream
+    join, no watermarked agg) — micro-batch cost can never accrete state."""
+    from sequila_native_spark.functions import stream_dedup_against_corpus
+
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "stateless_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_dedup_against_corpus(stream, corpus, threshold_milli=200)
+    q = (out.writeStream.format("memory").queryName("stateless_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses, "query produced no progress events"
+    for p in progresses:
+        assert p["stateOperators"] in ([], None) or not p["stateOperators"], \
+            p["stateOperators"]
