@@ -1148,8 +1148,29 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold_milli=300
+    """r6 composite: within-block ('all': label-blocked self-pairs) ∪
+    corpus-delta ('delta': batch = vec_id%5==0 broadcast-probed against the
+    rest, EXACT — cross-side pairs only, the embedding analogue of
+    minhash_delta_dups). One tagged row set, both branches exact cosine, so
+    the DuckDB twin is the same pair SQL with the side restriction."""
+    from sequila_native_spark.functions import embedding_dups_against_corpus
+
+    emb = _t(spark, sf_dir, "embeddings")
+    all_pairs = near_dup_pairs(emb, block_col="label", threshold_milli=300)
+    delta = embedding_dups_against_corpus(
+        emb.where(F.col("vec_id") % 5 == 0),
+        emb.where(F.col("vec_id") % 5 != 0),
+        threshold_milli=300,
+    )
+    return all_pairs.select(
+        F.lit("all").alias("family"), "id_a", "id_b", "cos_milli"
+    ).unionAll(
+        delta.select(
+            F.lit("delta").alias("family"),
+            F.col("batch_id").alias("id_a"),
+            F.col("corpus_id").alias("id_b"),
+            "cos_milli",
+        )
     )
 
 
@@ -1406,6 +1427,30 @@ def q_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 == 0),
         docs.where(F.col("doc_id") % 5 != 0),
         k=8, bands=4, threshold_milli=200, hash_family="md5",
+    )
+
+
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6): embedding k-means clusters → within-cluster cosine
+    pairs → keep the centroid-farthest member of each duplicate group.
+    Rows-only: the quantizer is iterative k-means (seeded but not
+    SQL-expressible); the n_cells=1 exact case is brute-force-pinned in
+    tests/test_similarity_multimodal.py. Summarized per cluster so the row
+    count is bounded and stable-schema."""
+    from sequila_native_spark.functions import semantic_dedup
+
+    flags = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=16, threshold_milli=900, seed=7,
+    )
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.min("cent_sim_milli").alias("min_cent_sim_milli"),
+        )
+        .orderBy("cluster")
     )
 
 
@@ -1770,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_budget_selected": q_doc_budget_selected,
@@ -2560,13 +2606,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 5
         """,
+        # r6 composite: within-label pairs ('all') ∪ corpus-delta ('delta':
+        # batch = vec_id%5==0 vs the rest, cross-side pairs only) — same
+        # cosine expression both branches
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+            SELECT 'all' AS family, a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(floor(list_dot_product(a.v, b.v)
                         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
                         * 1000) AS BIGINT) AS cos_milli
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE floor(list_dot_product(a.v, b.v)
+                  / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                  * 1000) >= 300
+            UNION ALL
+            SELECT 'delta' AS family, a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_dot_product(a.v, b.v)
+                        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                        * 1000) AS BIGINT) AS cos_milli
+            FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
             WHERE floor(list_dot_product(a.v, b.v)
                   / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
                   * 1000) >= 300

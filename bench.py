@@ -85,6 +85,8 @@ HEADLINE = [
     "doc_budget_selected",        # token-budget curation, two-level cumsum (r6)
     "doc_quality_scores",         # hashed linear classifier, broadcast model (r6)
     "stream_corpus_gate",         # stream-static near-dup gate, min-band dedup (r6)
+    "embedding_near_dups",        # blocked pairs ∪ broadcast corpus-delta (r6)
+    "semantic_dedup_keep",        # SemDeDup: clustered cosine dedup (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -39,9 +39,11 @@ from sequila_native_spark.functions.dedup import (
 from sequila_native_spark.functions.similarity import (
     cosine,
     cosine_topk,
+    embedding_dups_against_corpus,
     ivf_ann_topk,
     lsh_ann_topk,
     near_dup_pairs,
+    semantic_dedup,
 )
 from sequila_native_spark.functions.ranking import (
     bm25_topk,
@@ -135,6 +137,7 @@ __all__ = [
     "corpus_band_index", "stream_dedup_against_corpus",
     "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
+    "embedding_dups_against_corpus", "semantic_dedup",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

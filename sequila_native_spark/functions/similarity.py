@@ -10,6 +10,12 @@
 - :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH buckets
   (deterministic seeded planes) → candidates from bucket equi-join →
   exact re-rank of candidates only.
+- :func:`embedding_dups_against_corpus` — incremental (corpus-delta)
+  near-dup: broadcast the new batch, scan the corpus once (exact), or
+  equi-join on a caller-supplied block/LSH column when the batch is large.
+- :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023): cluster, compare
+  within clusters only, keep the centroid-farthest member of each
+  duplicate group.
 
 Rank output is integers; scores are exposed integer-scaled (``*_milli``)
 where included.
@@ -112,6 +118,183 @@ def near_dup_pairs(
         pairs.withColumn("cos_milli", cos_milli)
         .where(F.col("cos_milli") >= threshold_milli)
         .select("id_a", "id_b", F.col("__sq_blk").alias(block_col), "cos_milli")
+    )
+
+
+def embedding_dups_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_milli: int = 300,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Incremental (corpus-delta) embedding near-dup: every ``batch`` vector
+    whose cosine with some ``corpus`` vector clears the threshold. Only
+    cross-side pairs are produced — no batch×batch, no corpus×corpus — the
+    shape an ingest pipeline runs per increment (the embedding analogue of
+    ``dedup.dedup_against_corpus``).
+
+    Output: ``batch_id, corpus_id, cos_milli`` (``floor(cos*1000)``).
+
+    Two physical strategies:
+
+    - ``block_col=None`` (default): the batch is BROADCAST and the corpus
+      scanned once — an EXACT answer with zero shuffle on the corpus side.
+      This is the right plan whenever the increment fits a broadcast
+      (daily crawl batch vs a 100 TB corpus: the corpus never moves, cost
+      is one scan × |batch| fused multiply-adds, embarrassingly parallel).
+    - ``block_col=<col>``: both frames must already carry the column (e.g.
+      an LSH bucket from :func:`add_lsh_bucket` with SHARED seed/planes, or
+      a shard/label); pairs are found with an equi-join on it. Trades
+      exactness (bucket misses) for a batch too large to broadcast.
+    """
+    b = batch.select(
+        F.col(id_col).alias("batch_id"),
+        *( [F.col(block_col).alias("__sq_blk_b")] if block_col else [] ),
+        _as_double(F.col(vec_col)).alias("__sq_bv"),
+    )
+    c = ensure_parallel(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            *( [F.col(block_col).alias("__sq_blk_c")] if block_col else [] ),
+            _as_double(F.col(vec_col)).alias("__sq_cv"),
+        )
+    )
+    if block_col is None:
+        pairs = c.crossJoin(F.broadcast(b))
+    else:
+        pairs = c.join(b, F.col("__sq_blk_c") == F.col("__sq_blk_b"))
+    cos_milli = F.floor(
+        cosine(F.col("__sq_bv"), F.col("__sq_cv")) * 1000
+    ).cast("bigint")
+    return (
+        pairs.withColumn("cos_milli", cos_milli)
+        .where(F.col("cos_milli") >= threshold_milli)
+        .select("batch_id", "corpus_id", "cos_milli")
+    )
+
+
+def _assign_cells_with_sim(
+    df: DataFrame,
+    centers: np.ndarray,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cluster, cent_sim_milli) — nearest spherical centroid per vector
+    plus the cosine to it, one Arrow pass."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bc = df.sparkSession.sparkContext.broadcast(centers)
+    out_schema = StructType(
+        [
+            StructField("__sq_id", df.schema[id_col].dataType, True),
+            StructField("__sq_cell", LongType(), False),
+            StructField("cent_sim_milli", LongType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value  # already unit-normalized by the trainer
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ c.T
+            cell = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(mat)), cell]
+            yield pd.DataFrame(
+                {
+                    "__sq_id": pdf[id_col].to_numpy(),
+                    "__sq_cell": cell.astype(np.int64),
+                    "cent_sim_milli": np.floor(best * 1000).astype(np.int64),
+                }
+            )
+
+    return ensure_parallel(df.select(id_col, vec_col)).mapInPandas(
+        assign, schema=out_schema
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    threshold_milli: int = 950,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare pairs only
+    WITHIN a cluster, and among semantic duplicates keep the example with
+    the LOWEST similarity to its cluster centroid (the most marginal — the
+    paper's choice, which slightly beats random/max on downstream quality).
+
+    Output: one row per input — ``id_col, cluster, cent_sim_milli, keep``.
+    ``keep=false`` marks rows judged redundant; filtering on ``keep`` is
+    the dedup, keeping the flags is the audit.
+
+    Pairwise keep rule: for each within-cluster pair with
+    ``cos ≥ threshold``, the member with the HIGHER centroid similarity is
+    dropped (ties break to the higher id). On a fully-connected duplicate
+    group this keeps exactly the centroid-farthest member; on chains it is
+    the standard greedy approximation (every row that loses any pair is
+    dropped).
+
+    100 TB shape: the quadratic term lives inside clusters — ``n_cells``
+    is the dial (the paper runs ~100k clusters at web scale), the pair join
+    is an equi-join on the cluster id (AQE skew-join splits hot clusters),
+    and centroid training is a bounded driver-side sample
+    (:func:`_train_centroids`), O(1) in the corpus.
+    """
+    centers = _train_centroids(df, vec_col, n_cells, seed)
+    assigned = _assign_cells_with_sim(df, centers, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("__sq_id"), _as_double(F.col(vec_col)).alias("__sq_v")
+    )
+    t = ensure_parallel(
+        assigned.join(vecs, "__sq_id"), ["__sq_cell"]
+    ).select("__sq_id", "__sq_cell", "cent_sim_milli", "__sq_v")
+
+    a = t.select(
+        F.col("__sq_id").alias("id_a"),
+        F.col("__sq_cell").alias("__sq_cell"),
+        F.col("cent_sim_milli").alias("cent_a"),
+        F.col("__sq_v").alias("__sq_va"),
+    )
+    b = t.select(
+        F.col("__sq_id").alias("id_b"),
+        F.col("__sq_cell").alias("__sq_cell_b"),
+        F.col("cent_sim_milli").alias("cent_b"),
+        F.col("__sq_v").alias("__sq_vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__sq_cell") == F.col("__sq_cell_b")) & (F.col("id_a") < F.col("id_b")),
+    ).where(
+        F.floor(cosine(F.col("__sq_va"), F.col("__sq_vb")) * 1000).cast("bigint")
+        >= threshold_milli
+    )
+    loser = (
+        F.when(F.col("cent_a") > F.col("cent_b"), F.col("id_a"))
+        .when(F.col("cent_a") < F.col("cent_b"), F.col("id_b"))
+        .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+    )
+    drops = pairs.select(loser.alias("__sq_id")).distinct().withColumn(
+        "__sq_drop", F.lit(True)
+    )
+    return (
+        assigned.join(drops, "__sq_id", "left")
+        .select(
+            F.col("__sq_id").alias(id_col),
+            F.col("__sq_cell").alias("cluster"),
+            "cent_sim_milli",
+            F.coalesce(~F.col("__sq_drop"), F.lit(True)).alias("keep"),
+        )
     )
 
 

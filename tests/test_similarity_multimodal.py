@@ -332,3 +332,114 @@ def test_perceptual_strict_raises(spark):
     )
     with pytest.raises(Exception, match="no perceptual hasher"):
         perceptual_hash(df, strict=True).collect()
+
+
+# ---------------------------------------------------------------- r6: delta + SemDeDup
+
+
+def test_embedding_dups_against_corpus_exact_vs_brute_force(spark):
+    from sequila_native_spark.functions import embedding_dups_against_corpus
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    out = embedding_dups_against_corpus(batch, corpus, threshold_milli=300)
+    got = {(r["batch_id"], r["corpus_id"]): r["cos_milli"] for r in out.collect()}
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = {}
+    for i in range(len(ids)):
+        if ids[i] % 5 != 0:
+            continue
+        for j in range(len(ids)):
+            if ids[j] % 5 == 0:
+                continue
+            cm = int(np.floor(sims[i, j] * 1000))
+            if cm >= 300:
+                want[(int(ids[i]), int(ids[j]))] = cm
+    assert set(got) == set(want)
+    # milli scores may differ ±1 at ULP boundaries between numpy's fused
+    # order and Spark's aggregate fold — pin within one
+    assert all(abs(got[k] - want[k]) <= 1 for k in got)
+    # asymmetry: no batch x batch, no corpus x corpus pair can appear
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)
+
+
+def test_embedding_dups_against_corpus_blocked_path(spark, vecs):
+    from sequila_native_spark.functions import embedding_dups_against_corpus
+
+    batch = vecs.where(F.col("vec_id").isin(1, 4))
+    corpus = vecs.where(~F.col("vec_id").isin(1, 4))
+    exact = embedding_dups_against_corpus(batch, corpus, threshold_milli=990)
+    blocked = embedding_dups_against_corpus(
+        batch, corpus, threshold_milli=990, block_col="label"
+    )
+    e = {(r["batch_id"], r["corpus_id"]) for r in exact.collect()}
+    b = {(r["batch_id"], r["corpus_id"]) for r in blocked.collect()}
+    # exact finds the cross-block identical pair (1, 5); label-blocking hides it
+    assert (1, 5) in e and (1, 2) in e
+    assert b == {(1, 2)}
+    assert b <= e  # blocking only ever loses pairs
+
+
+def test_semantic_dedup_single_cell_matches_brute_force(spark):
+    """n_cells=1 ⇒ every pair is compared: the keep set must equal the
+    Python brute-force of the same greedy rule (drop the higher-centroid-sim
+    member of every duplicate pair, ties to higher id)."""
+    from sequila_native_spark.functions import semantic_dedup
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    out = semantic_dedup(emb, n_cells=1, threshold_milli=900, seed=7).collect()
+    got_keep = {r["vec_id"] for r in out if r["keep"]}
+    cent = {r["vec_id"]: r["cent_sim_milli"] for r in out}
+    assert len(out) == emb.count()  # one row per input, always
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    drops = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            ia, ib = int(ids[i]), int(ids[j])
+            if ia >= ib:
+                continue
+            if int(np.floor(sims[i, j] * 1000)) >= 900:
+                ca, cb = cent[ia], cent[ib]
+                drops.add(ia if ca > cb else ib if cb > ca else max(ia, ib))
+    want_keep = {int(x) for x in ids} - drops
+    assert got_keep == want_keep
+    assert drops == {int(r["vec_id"]) for r in out if not r["keep"]}
+
+
+def test_semantic_dedup_keeps_low_centroid_sim_member(spark):
+    """The SemDeDup policy on a clean duplicate group: the member farthest
+    from the centroid survives, all closer duplicates drop."""
+    from sequila_native_spark.functions import semantic_dedup
+
+    # group A: three near-identical vectors + one offset copy (farther from
+    # the centroid of the cluster); group B: a lone orthogonal vector
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9999, 0.002, 0.0, 0.0]),
+        (3, [0.9998, 0.004, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, n_cells=1, threshold_milli=999, seed=3
+    ).collect()}
+    dup_group = [out[i] for i in (1, 2, 3)]
+    keepers = [r["vec_id"] for r in dup_group if r["keep"]]
+    assert len(keepers) == 1
+    min_cent = min(r["cent_sim_milli"] for r in dup_group)
+    kept = out[keepers[0]]
+    assert kept["cent_sim_milli"] == min_cent
+    assert out[10]["keep"]  # lone vector untouched
