@@ -1439,9 +1439,11 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded and stable-schema."""
     from sequila_native_spark.functions import semantic_dedup
 
+    # threshold 400 milli: the synthetic embeddings have ~59 (sf0.01) /
+    # ~920 (sf0.1) such pairs, so the drop path genuinely exercises
     flags = semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
-        n_cells=16, threshold_milli=900, seed=7,
+        n_cells=16, threshold_milli=400, seed=7,
     )
     return (
         flags.groupBy("cluster")
