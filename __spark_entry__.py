@@ -1456,6 +1456,28 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r6): hashed-n-gram importance model
+    (target = the English documents, raw = the whole corpus) scored through
+    the classifier broadcast path, then deterministic Gumbel-top-k
+    resampling. Rows-only: the model weights pass through ln(); the count
+    tables, given-model scoring, and selection law are pinned in
+    tests/test_dsir.py (python-reference parity, repartition stability,
+    ∝-weight selection statistics)."""
+    from sequila_native_spark.functions import (
+        dsir_resample, dsir_score, dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), buckets=512, seed=3
+    )
+    scored = dsir_score(docs, w, buckets=512, seed=3)
+    return dsir_resample(scored, 20, seed=9).select(
+        "doc_id", "n_grams", "score_milli", "resample_key_milli"
+    )
+
+
 def q_minhash_family_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall delta between the md5 (oracle-parity) and vectorized ``fast``
     MinHash families at driver scale. Both verify exact Jaccard on their
@@ -1818,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "doc_dsir_selected": q_doc_dsir_selected,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_budget_selected": q_doc_budget_selected,

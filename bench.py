@@ -87,6 +87,7 @@ HEADLINE = [
     "stream_corpus_gate",         # stream-static near-dup gate, min-band dedup (r6)
     "embedding_near_dups",        # blocked pairs ∪ broadcast corpus-delta (r6)
     "semantic_dedup_keep",        # SemDeDup: clustered cosine dedup (r6)
+    "doc_dsir_selected",          # DSIR importance resampling (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

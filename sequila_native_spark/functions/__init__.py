@@ -45,6 +45,12 @@ from sequila_native_spark.functions.similarity import (
     near_dup_pairs,
     semantic_dedup,
 )
+from sequila_native_spark.functions.dsir import (
+    dsir_resample,
+    dsir_score,
+    dsir_weights,
+    hashed_ngram_counts,
+)
 from sequila_native_spark.functions.ranking import (
     bm25_topk,
     term_stats,
@@ -138,6 +144,7 @@ __all__ = [
     "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "embedding_dups_against_corpus", "semantic_dedup",
+    "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",
