@@ -1456,6 +1456,24 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-capable embedding near-dup gate (r6): the stateless
+    stream-static LSH plan of ``stream_embedding_gate`` run on batch input
+    with the SAME (batch, corpus) split as the exact 'delta' branch of the
+    oracle-checked ``embedding_near_dups`` row. Rows-only (seeded planes);
+    correctness chain: batch == LSH-candidate brute force and stream ==
+    batch, both pinned in tests/test_similarity_multimodal.py; the output
+    is a subset of the hash-checked exact delta by the blocked-subset law."""
+    from sequila_native_spark.functions import stream_embedding_gate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return stream_embedding_gate(
+        emb.where(F.col("vec_id") % 5 == 0),
+        emb.where(F.col("vec_id") % 5 != 0),
+        threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+    )
+
+
 def q_doc_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (r6): hashed-n-gram importance model
     (target = the English documents, raw = the whole corpus) scored through
@@ -1841,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_family_delta": q_minhash_family_delta,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "doc_dsir_selected": q_doc_dsir_selected,
+        "stream_embedding_gate": q_stream_embedding_gate,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_quality_scores": q_doc_quality_scores,
         "doc_budget_selected": q_doc_budget_selected,

@@ -88,6 +88,7 @@ HEADLINE = [
     "embedding_near_dups",        # blocked pairs ∪ broadcast corpus-delta (r6)
     "semantic_dedup_keep",        # SemDeDup: clustered cosine dedup (r6)
     "doc_dsir_selected",          # DSIR importance resampling (r6)
+    "stream_embedding_gate",      # stateless stream-static embedding gate (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -44,6 +44,8 @@ from sequila_native_spark.functions.similarity import (
     lsh_ann_topk,
     near_dup_pairs,
     semantic_dedup,
+    stream_embedding_gate,
+    vector_bucket_index,
 )
 from sequila_native_spark.functions.dsir import (
     dsir_resample,
@@ -145,6 +147,7 @@ __all__ = [
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "embedding_dups_against_corpus", "semantic_dedup",
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
+    "stream_embedding_gate", "vector_bucket_index",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

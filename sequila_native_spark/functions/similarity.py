@@ -503,21 +503,31 @@ def _multi_table_buckets(
     n_tables: int,
     seed: int,
     dim: int,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, table, bucket) rows for every LSH table — ONE Arrow pass instead
-    of one UDF invocation per table."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    of one UDF invocation per table. With ``keep_vec`` each row also carries
+    the vector (as double) and the FULL per-table bucket array — what the
+    streaming gate needs to verify pairs and dedupe multi-table collisions
+    without a second join."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
 
     planes = np.stack(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (n_tables, n_planes, dim)
-    out_schema = StructType(
-        [
-            StructField(out_id, df.schema[id_col].dataType, True),
-            StructField("__sq_table", LongType(), False),
-            StructField("__sq_bkt", LongType(), False),
+    fields = [
+        StructField(out_id, df.schema[id_col].dataType, True),
+        StructField("__sq_table", LongType(), False),
+        StructField("__sq_bkt", LongType(), False),
+    ]
+    if keep_vec:
+        fields += [
+            StructField(f"{out_id}_vec", ArrayType(DoubleType()), False),
+            StructField(f"{out_id}_bkts", ArrayType(LongType()), False),
         ]
-    )
+    out_schema = StructType(fields)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -530,15 +540,137 @@ def _multi_table_buckets(
             buckets = (signs * weights).sum(axis=2)
             n = len(pdf)
             ids = np.tile(pdf[id_col].to_numpy(), n_tables)
-            yield pd.DataFrame(
-                {
-                    out_id: ids,
-                    "__sq_table": np.repeat(np.arange(n_tables, dtype=np.int64), n),
-                    "__sq_bkt": buckets.reshape(-1),
-                }
-            )
+            out = {
+                out_id: ids,
+                "__sq_table": np.repeat(np.arange(n_tables, dtype=np.int64), n),
+                "__sq_bkt": buckets.reshape(-1),
+            }
+            if keep_vec:
+                vecs = list(mat)
+                bkt_lists = list(buckets.T)  # row i → its n_tables buckets
+                out[f"{out_id}_vec"] = vecs * n_tables
+                out[f"{out_id}_bkts"] = bkt_lists * n_tables
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def vector_bucket_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The static probe-side index for :func:`stream_embedding_gate`:
+    ``(corpus_id, __sq_table, __sq_bkt, corpus_id_vec, corpus_id_bkts)`` —
+    multi-table sign-LSH buckets with the vector and the full per-table
+    bucket array carried, so a probing row can verify cosine and dedupe
+    multi-table collisions without touching the corpus again.
+
+    100 TB shape: compute once per corpus version and persist bucketed by
+    ``(__sq_table, __sq_bkt)``; every ingest probes it with a bucket-pruned
+    equi-join instead of re-hashing the corpus.
+    """
+    if corpus.isStreaming:
+        raise ValueError("corpus side must be a static DataFrame")
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer embedding dim from an empty corpus")
+        dim = first["d"]
+    return _multi_table_buckets(
+        ensure_parallel(corpus.select(id_col, vec_col)), "corpus_id",
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
+    )
+
+
+def stream_embedding_gate(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_milli: int = 300,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming-capable embedding near-dup gate: ``(batch_id, corpus_id,
+    cos_milli)`` pairs for a (possibly streaming) ``batch`` probed against a
+    STATIC corpus via multi-table sign-LSH — the continuous-ingest shape of
+    :func:`embedding_dups_against_corpus`'s blocked path (recall bounded by
+    the LSH tables; the broadcast path stays the exact batch answer).
+
+    Stateless by the same design as ``dedup.stream_dedup_against_corpus``:
+    bucket assignment is a per-row Arrow projection, the candidate join is
+    a stream-static equi-join on ``(table, bucket)``, and multi-table
+    collision dedup needs no ``distinct()`` — both sides carry their full
+    per-table bucket arrays, so the joined row recomputes every table the
+    pair collides in (pure codegen) and only the row joined on the SMALLEST
+    matching table survives. Exactly-once pair emission, no state store, no
+    watermark; append mode.
+
+    ``corpus_index``: pass a persisted :func:`vector_bucket_index` frame
+    (same ``n_planes/n_tables/seed``) to skip re-hashing the corpus.
+    """
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_index")
+        corpus_index = vector_bucket_index(
+            corpus, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+            n_tables=n_tables, seed=seed, dim=dim,
+        )
+    else:
+        need = {"corpus_id", "__sq_table", "__sq_bkt",
+                "corpus_id_vec", "corpus_id_bkts"}
+        if not need <= set(corpus_index.columns):
+            raise ValueError(
+                f"corpus_index missing columns "
+                f"{sorted(need - set(corpus_index.columns))} — build it "
+                f"with vector_bucket_index()"
+            )
+        if corpus_index.isStreaming:
+            raise ValueError("corpus_index must be a static DataFrame")
+    if dim is None:
+        src = corpus if corpus is not None else None
+        if src is not None and not src.isStreaming:
+            first = src.select(F.size(vec_col).alias("d")).first()
+            dim = first["d"] if first is not None else None
+    if dim is None:
+        # streaming probe side can't be sampled for the dim — read it from
+        # the index instead (static by construction)
+        first = corpus_index.select(F.size("corpus_id_vec").alias("d")).first()
+        if first is None:
+            raise ValueError("empty corpus_index — cannot infer embedding dim")
+        dim = first["d"]
+
+    probe = _multi_table_buckets(
+        batch.select(id_col, vec_col), "batch_id",
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
+    )
+    joined = probe.join(corpus_index, ["__sq_table", "__sq_bkt"])
+    matching = F.filter(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.element_at(F.col("batch_id_bkts"), (t + 1).cast("int"))
+        == F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int")),
+    )
+    cos_milli = F.floor(
+        cosine(F.col("batch_id_vec"), F.col("corpus_id_vec")) * 1000
+    ).cast("bigint")
+    return (
+        joined.where(F.col("__sq_table") == F.array_min(matching))
+        .withColumn("cos_milli", cos_milli)
+        .where(F.col("cos_milli") >= threshold_milli)
+        .select("batch_id", "corpus_id", "cos_milli")
+    )
 
 
 def lsh_ann_topk(

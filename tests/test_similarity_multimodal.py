@@ -443,3 +443,93 @@ def test_semantic_dedup_keeps_low_centroid_sim_member(spark):
     kept = out[keepers[0]]
     assert kept["cent_sim_milli"] == min_cent
     assert out[10]["keep"]  # lone vector untouched
+
+
+def test_stream_embedding_gate_batch_equals_lsh_candidate_brute_force(spark):
+    """On batch input the gate must emit EXACTLY the pairs that (a) share a
+    bucket in >=1 LSH table (same deterministic planes) and (b) clear the
+    cosine threshold — each pair once."""
+    import numpy as np
+    from sequila_native_spark.functions import stream_embedding_gate
+    from sequila_native_spark.functions.similarity import _hyperplanes
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    out = stream_embedding_gate(
+        batch, corpus, threshold_milli=300, n_planes=6, n_tables=4, seed=11
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in out}
+    assert len(got) == len(out), "pair emitted more than once"
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    dim = mat.shape[1]
+    planes = [_hyperplanes(dim, 6, 11 + t) for t in range(4)]
+    w = 1 << np.arange(6, dtype=np.int64)
+    bkts = np.stack([(((mat @ p.T) > 0) * w).sum(axis=1) for p in planes])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    want = set()
+    for i in range(len(ids)):
+        if ids[i] % 5 != 0:
+            continue
+        for j in range(len(ids)):
+            if ids[j] % 5 == 0:
+                continue
+            if not any(bkts[t, i] == bkts[t, j] for t in range(4)):
+                continue
+            if int(np.floor(sims[i, j] * 1000)) >= 300:
+                want.add((int(ids[i]), int(ids[j])))
+    assert got == want
+
+
+def test_stream_embedding_gate_stream_equals_batch(spark, tmp_path):
+    from sequila_native_spark.functions import (
+        stream_embedding_gate, vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    want = {
+        (r["batch_id"], r["corpus_id"], r["cos_milli"])
+        for r in stream_embedding_gate(
+            batch, corpus_index=idx, threshold_milli=300,
+            n_planes=6, n_tables=4, seed=11,
+        ).collect()
+    }
+
+    src = str(tmp_path / "emb_gate_src")
+    # several files => several micro-batch splits under availableNow
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_embedding_gate(
+        stream, corpus_index=idx, threshold_milli=300,
+        n_planes=6, n_tables=4, seed=11,
+    )
+    q = (out.writeStream.format("memory").queryName("emb_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["batch_id"], r["corpus_id"], r["cos_milli"])
+        for r in spark.table("emb_gate").collect()
+    }
+    assert got == want and want
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses
+    for p in progresses:  # the statelessness claim, from the engine
+        assert not p["stateOperators"], p["stateOperators"]
+
+
+def test_stream_embedding_gate_validation(spark, vecs):
+    from sequila_native_spark.functions import stream_embedding_gate
+
+    with pytest.raises(ValueError, match="corpus or corpus_index"):
+        stream_embedding_gate(vecs)
+    with pytest.raises(ValueError, match="missing columns"):
+        stream_embedding_gate(vecs, corpus_index=vecs.select("vec_id"))
