@@ -358,6 +358,10 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_budget('docs', 9000, 'n_tokens', 'score', 'doc_id')
 #     SELECT * FROM sequila_quality('docs', 'model', 'text', 'doc_id', 4096)
 #     SELECT * FROM sequila_corpus_gate('batch', 'corpus', 'text', 'doc_id', 200)
+#     SELECT * FROM sequila_dsir('raw', 'target', 'text', 'doc_id', 512, 20)
+#     SELECT * FROM sequila_semdedup('emb', 'vec_id', 'embedding', 32, 950)
+#     SELECT * FROM sequila_embedding_gate('batch', 'corpus', 'vec_id',
+#                                          'embedding', 300)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -366,7 +370,8 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
-    r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate)"
+    r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate"
+    r"|dsir|semdedup|embedding_gate)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -596,6 +601,58 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 text_col=a[2], id_col=a[3],
                 threshold_milli=int(a[4]) if len(a) > 4 else 200,
                 hash_family=a[5] if len(a) > 5 else "fast",
+            )
+        if op == "dsir":
+            if not (6 <= len(a) <= 7):
+                raise ValueError(
+                    f"sequila_dsir takes (raw, target, text, id, buckets, "
+                    f"n, [seed]), got {a!r}"
+                )
+            from sequila_native_spark.functions.dsir import (
+                dsir_resample, dsir_score, dsir_weights,
+            )
+
+            raw, target = spark.table(a[0]), spark.table(a[1])
+            buckets = int(a[4])
+            seed = int(a[6]) if len(a) > 6 else 0
+            w = dsir_weights(
+                raw, target, buckets=buckets, text_col=a[2], seed=seed
+            )
+            scored = dsir_score(
+                raw, w, buckets=buckets, text_col=a[2], id_col=a[3],
+                seed=seed,
+            )
+            return dsir_resample(scored, int(a[5]), id_col=a[3], seed=seed)
+        if op == "semdedup":
+            if not (3 <= len(a) <= 6):
+                raise ValueError(
+                    f"sequila_semdedup takes (table, id, vec, [n_cells], "
+                    f"[threshold_milli], [seed]), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import (
+                semantic_dedup,
+            )
+
+            return semantic_dedup(
+                spark.table(a[0]), id_col=a[1], vec_col=a[2],
+                n_cells=int(a[3]) if len(a) > 3 else 32,
+                threshold_milli=int(a[4]) if len(a) > 4 else 950,
+                seed=int(a[5]) if len(a) > 5 else 42,
+            )
+        if op == "embedding_gate":
+            if not (4 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_embedding_gate takes (batch, corpus, id, vec, "
+                    f"[threshold_milli]), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import (
+                embedding_dups_against_corpus,
+            )
+
+            return embedding_dups_against_corpus(
+                spark.table(a[0]), spark.table(a[1]),
+                id_col=a[2], vec_col=a[3],
+                threshold_milli=int(a[4]) if len(a) > 4 else 300,
             )
         if op == "decontaminate":
             if not (4 <= len(a) <= 5):

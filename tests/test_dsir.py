@@ -185,3 +185,24 @@ def test_dsir_resample_plan_is_take_ordered(spark, raw_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_tvf_matches_api(spark, raw_df, target_df):
+    from sequila_native_spark.sql import sequila_sql
+
+    raw_df.createOrReplaceTempView("dsir_raw")
+    target_df.createOrReplaceTempView("dsir_target")
+    got = sequila_sql(
+        spark,
+        "SELECT doc_id, score_milli FROM "
+        "sequila_dsir('dsir_raw', 'dsir_target', 'text', 'doc_id', 64, 3, 3) "
+        "ORDER BY doc_id",
+    ).collect()
+    w = dsir_weights(raw_df, target_df, buckets=BUCKETS, seed=3)
+    want = (
+        dsir_resample(dsir_score(raw_df, w, buckets=BUCKETS, seed=3), 3, seed=3)
+        .select("doc_id", "score_milli").orderBy("doc_id").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="sequila_dsir takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_dsir('dsir_raw')")

@@ -533,3 +533,41 @@ def test_stream_embedding_gate_validation(spark, vecs):
         stream_embedding_gate(vecs)
     with pytest.raises(ValueError, match="missing columns"):
         stream_embedding_gate(vecs, corpus_index=vecs.select("vec_id"))
+
+
+def test_semdedup_and_embedding_gate_tvfs(spark, vecs):
+    from sequila_native_spark.sql import sequila_sql
+    from sequila_native_spark.functions import (
+        embedding_dups_against_corpus, semantic_dedup,
+    )
+
+    vecs.createOrReplaceTempView("sem_vecs")
+    got = sequila_sql(
+        spark,
+        "SELECT * FROM sequila_semdedup('sem_vecs', 'vec_id', 'embedding', "
+        "1, 999, 3) ORDER BY vec_id",
+    ).collect()
+    want = semantic_dedup(
+        vecs, n_cells=1, threshold_milli=999, seed=3
+    ).orderBy("vec_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    vecs.where(F.col("vec_id") == 1).createOrReplaceTempView("gate_b")
+    vecs.where(F.col("vec_id") != 1).createOrReplaceTempView("gate_c")
+    got2 = {
+        tuple(r) for r in sequila_sql(
+            spark,
+            "SELECT * FROM sequila_embedding_gate('gate_b', 'gate_c', "
+            "'vec_id', 'embedding', 990)",
+        ).collect()
+    }
+    want2 = {
+        tuple(r) for r in embedding_dups_against_corpus(
+            spark.table("gate_b"), spark.table("gate_c"), threshold_milli=990
+        ).collect()
+    }
+    assert got2 == want2 and want2
+    with pytest.raises(ValueError, match="sequila_semdedup takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_semdedup('sem_vecs')")
+    with pytest.raises(ValueError, match="sequila_embedding_gate takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_embedding_gate('gate_b')")
