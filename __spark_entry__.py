@@ -546,6 +546,33 @@ def q_nearest_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlap_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 composite: left-outer ('left') + full-outer ('full') overlap-join
+    emission in one tagged row set (schemas aligned: the left-outer branch
+    has no null-padded left side, so n_no_target is structurally 0). Frees
+    one prefix slot for doc_dup_span_stats; the standalone q_ functions
+    remain for bench timing."""
+    left = q_overlap_left_outer(spark, sf_dir).select(
+        F.lit("left").alias("family"), "contig", "n_rows",
+        F.col("n_unmatched").alias("n_no_read"),
+        F.lit(0).cast("bigint").alias("n_no_target"),
+    )
+    full = q_overlap_full_outer(spark, sf_dir).select(
+        F.lit("full").alias("family"), "contig", "n_rows",
+        "n_no_read", "n_no_target",
+    )
+    return left.unionAll(full)
+
+
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-family duplication stats (r6): per-doc n-gram-granular
+    duplicated-span coverage (Lee et al. 2021) — exact integers, md5 gram
+    keys, hash-oracle-checked against the DuckDB twin."""
+    from sequila_native_spark.functions import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_overlap_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-outer emission (bedtools -loj): every preserved target appears,
     # unmatched ones null-padded (joins/utils.rs:496-521 declared semantics)
@@ -1804,8 +1831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_target_read": q_nearest_target_read,
         "nearest_algorithms": q_nearest_algorithms,
         "nearest_k3": q_nearest_k3,
-        "overlap_left_outer": q_overlap_left_outer,
-        "overlap_full_outer": q_overlap_full_outer,
+        # r6 composite: left + full outer in one tagged row set — frees the
+        # slot for doc_dup_span_stats (ExactSubstr-family duplication stats)
+        "overlap_outer_joins": q_overlap_outer_joins,
+        "doc_dup_span_stats": q_doc_dup_span_stats,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "brand_volume": q_brand_volume,
@@ -1909,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
     from sequila_native_spark.functions import (
         chunk_documents_sql,
         contamination_report_sql,
+        duplicated_span_stats_sql,
         pack_documents_sql,
         pii_stats_sql,
     )
@@ -2341,6 +2371,26 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
             ) <= 3
         """,
+        # r6 composite twin: the two outer-join twins UNION ALL'd with
+        # aligned aliases (left-outer pads no left side → n_no_target 0)
+        "overlap_outer_joins": f"""
+            WITH {reads}, {targets}
+            SELECT 'left' AS family, t.contig AS contig, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN r.r_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_read,
+                   CAST(0 AS BIGINT) AS n_no_target
+            FROM (SELECT * FROM targets WHERE t_id % 11 = 0) t
+            LEFT JOIN reads r
+            ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
+            GROUP BY t.contig
+            UNION ALL
+            SELECT 'full' AS family, t.contig AS contig, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN r.r_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_read,
+                   CAST(sum(CASE WHEN t.t_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_target
+            FROM (SELECT * FROM targets WHERE t_id % 13 = 0) t
+            FULL JOIN (SELECT * FROM reads WHERE (r_start * 31 + r_end) % 17 = 0) r
+            ON t.contig = r.contig AND r.r_start <= t.t_end AND r.r_end >= t.t_start
+            GROUP BY t.contig
+        """,
         "overlap_left_outer": f"""
             WITH {reads}, {targets}
             SELECT t.contig AS contig, count(*) AS n_rows,
@@ -2764,6 +2814,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PII detect/redact over the deterministically augmented documents
         # column (_PII_AUG_SQL — same expression both engines; {cast}
+        # ExactSubstr-family duplicated-span stats (r6): generator-produced
+        # twin — same 60-bit md5 gram keys, same fixed-span coverage fold
+        "doc_dup_span_stats": duplicated_span_stats_sql("documents", n=8),
         # absorbs STRING vs VARCHAR). Patterns are Java∩RE2-portable.
         "doc_pii_stats": f"""
             WITH aug AS (

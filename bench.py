@@ -89,6 +89,7 @@ HEADLINE = [
     "semantic_dedup_keep",        # SemDeDup: clustered cosine dedup (r6)
     "doc_dsir_selected",          # DSIR importance resampling (r6)
     "stream_embedding_gate",      # stateless stream-static embedding gate (r6)
+    "doc_dup_span_stats",         # ExactSubstr duplicated-span stats (r6)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

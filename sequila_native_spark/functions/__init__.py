@@ -47,6 +47,11 @@ from sequila_native_spark.functions.similarity import (
     stream_embedding_gate,
     vector_bucket_index,
 )
+from sequila_native_spark.functions.dupspans import (
+    duplicated_span_stats,
+    duplicated_span_stats_sql,
+    positioned_shingles,
+)
 from sequila_native_spark.functions.dsir import (
     dsir_resample,
     dsir_score,
@@ -148,6 +153,7 @@ __all__ = [
     "embedding_dups_against_corpus", "semantic_dedup",
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "stream_embedding_gate", "vector_bucket_index",
+    "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

@@ -1,0 +1,200 @@
+"""Exact-substring duplication statistics (the ExactSubstr family of
+Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499) — the third dedup axis next to lexical
+(MinHash/SimHash/containment) and semantic (SemDeDup).
+
+ExactSubstr marks spans of text that occur verbatim elsewhere in the
+corpus. The paper builds a single-node suffix array; the distributed
+formulation used here (and by the large-scale reproductions) is n-token
+granularity: an n-gram INSTANCE is duplicated iff its gram occurs ≥2 times
+corpus-wide, and a token is duplicated iff some duplicated gram covers it.
+
+Plan shape, by stage:
+
+- **Positioned grams** (:func:`positioned_shingles`): per-row Catalyst HOF
+  (``transform`` over a ``sequence`` of start offsets) + ``posexplode`` —
+  in-scan, no Python, no shuffle.
+- **Gram keys**: grams travel as 60-bit md5-derived integers (the house
+  JSONL derived-id construction — bit-identical in DuckDB, so the whole
+  operator is hash-oracle material). Collision odds are birthday-bounded:
+  ~10¹² distinct grams (a 100 TB corpus) in a 2⁶⁰ space ⇒ ~0.04% of grams
+  suffer ANY collision, and a collision only ever over-marks a span as
+  duplicated.
+- **Corpus counts**: one map-side-combinable ``groupBy(key)`` — the only
+  corpus-wide shuffle, carrying (key, count) pairs, not text.
+- **Join-back**: duplicated keys ⨝ positioned instances is 1:1 per
+  instance (keys are distinct on the build side — no fan-out, no skew
+  blow-up; hot stop-grams cost their instance count, which they already
+  paid in the explode).
+- **Span coverage**: per-doc ``aggregate`` HOF over the sorted duplicated
+  start positions — intervals are fixed-length ``n`` so the running union
+  is a two-field fold (covered, last_end), state bounded by the doc.
+
+Output is exact integers end to end; a removal pass (the paper deletes the
+duplicated spans) is ``filter(tokens, (tok, i) -> NOT covered(i))`` over
+the same positions — left to the caller, since removal policy (delete vs
+document-drop vs mask) is pipeline-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions.text import tokens
+from sequila_native_spark.util import ensure_parallel
+
+
+def positioned_shingles(col: Column, n: int = 8) -> Column:
+    """All word n-grams of a text column IN ORDER (not distinct — position
+    matters here, unlike :func:`dedup.shingles`). Documents shorter than
+    ``n`` tokens yield an empty array."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _gram_key(gram: Column) -> Column:
+    """60-bit md5-derived integer gram key — DuckDB twin:
+    ``CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring duplication statistics at n-token
+    granularity: ``(id, n_tokens, n_grams, n_dup_grams, dup_tokens)``.
+
+    - ``n_grams``: n-gram instances in the doc (``max(n_tokens - n + 1, 0)``)
+    - ``n_dup_grams``: instances whose gram occurs ≥ ``min_count`` times
+      corpus-wide (within-doc repeats count, as in the paper)
+    - ``dup_tokens``: tokens covered by ≥1 duplicated gram — the union of
+      the fixed-length spans, an exact integer
+
+    Every input document appears in the output (zero stats for clean or
+    too-short docs). ``dup_tokens / n_tokens`` is the paper's duplicated
+    fraction; thresholding it is the dedup filter.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    src = ensure_parallel(docs.select(id_col, text_col))
+    positioned = src.select(
+        F.col(id_col),
+        F.posexplode(positioned_shingles(F.col(text_col), n)).alias(
+            "__pos", "__gram"
+        ),
+    ).select(id_col, "__pos", _gram_key(F.col("__gram")).alias("__key"))
+
+    dup_keys = (
+        positioned.groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__key")
+    )
+
+    covered = F.aggregate(
+        F.sort_array(F.collect_list("__pos")),
+        F.struct(
+            F.lit(0).cast("bigint").alias("cov"),
+            F.lit(-1).cast("bigint").alias("end"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"] + p.cast("bigint") + F.lit(n)
+                - F.greatest(acc["end"], p.cast("bigint"))
+            ).alias("cov"),
+            (p.cast("bigint") + F.lit(n)).alias("end"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    per_doc = (
+        positioned.join(dup_keys, "__key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+            covered.alias("dup_tokens"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+
+
+def duplicated_span_stats_sql(
+    table: str = "documents",
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicated_span_stats` — same md5 gram keys,
+    same coverage fold (window form; ``pos`` is unique per doc so the
+    ORDER BY is total)."""
+    toks = f"string_split(lower({text_col}), ' ')"
+    gram = f"array_to_string(t[i:i + {n - 1}], ' ')"
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {toks} AS t FROM {table}
+        ),
+        pg AS (
+            -- unnest-in-select (not a lateral range join, which DuckDB's
+            -- range table function does not support for column parameters)
+            SELECT {id_col}, i - 1 AS pos,
+                   CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT) AS key
+            FROM (
+                SELECT {id_col}, t, unnest(range(1, len(t) - {n} + 2)) AS i
+                FROM toks
+            )
+        ),
+        dup AS (
+            SELECT key FROM pg GROUP BY key HAVING count(*) >= {min_count}
+        ),
+        marked AS (
+            SELECT {id_col}, pos,
+                   pos + {n} - greatest(
+                       coalesce(max(pos + {n}) OVER (
+                           PARTITION BY {id_col} ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), -1), pos) AS newly
+            FROM pg JOIN dup USING (key)
+        ),
+        per_doc AS (
+            SELECT {id_col}, count(*) AS n_dup_grams, sum(newly) AS dup_tokens
+            FROM marked GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               CAST(greatest(len({toks}) - {n - 1}, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    """

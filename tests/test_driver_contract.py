@@ -46,6 +46,8 @@ def test_orphan_oracles_are_known_composite_members():
         "reads_minus_targets", "read_coverage_gaps", "merged_read_runs",
         # doc_feature_stats carries per-doc lang_pred (r6)
         "doc_lang_dist",
+        # overlap_outer_joins composite (r6)
+        "overlap_left_outer", "overlap_full_outer",
     }
     orphans = {k for k in entry.oracle_sql() if k not in qs}
     assert orphans <= known_absorbed, orphans - known_absorbed

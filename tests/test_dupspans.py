@@ -1,0 +1,117 @@
+"""ExactSubstr-style duplicated-span statistics (dupspans.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    duplicated_span_stats,
+    duplicated_span_stats_sql,
+    positioned_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stats_py(docs: list[tuple[int, str]], n: int, min_count: int = 2):
+    """Independent brute-force reference."""
+    grams: dict[str, int] = {}
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split(" ")] if text is not None else []
+        gs = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        per_doc[doc_id] = (toks, gs)
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for doc_id, (toks, gs) in per_doc.items():
+        dup_pos = [i for i, g in enumerate(gs) if grams[g] >= min_count]
+        covered: set[int] = set()
+        for p in dup_pos:
+            covered.update(range(p, p + n))
+        out[doc_id] = (len(toks), max(len(toks) - n + 1, 0),
+                       len(dup_pos), len(covered))
+    return out
+
+
+DOCS = [
+    (1, "a b c d e f g h"),
+    (2, "x y z a b c d e"),          # shares the 5-gram "a b c d e" head
+    (3, "a b c d e f g h"),          # exact dup of 1
+    (4, "p q r s t u v w"),          # clean
+    (5, "m m m m m m m m m m"),      # within-doc repeats only
+    (6, "short text"),               # < n tokens → zero grams
+    (7, ""),                         # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("n", [3, 5])
+def test_matches_brute_force(spark, docs, n):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_grams"], r["n_dup_grams"], r["dup_tokens"])
+        for r in duplicated_span_stats(docs, n=n).collect()
+    }
+    assert got == _stats_py(DOCS, n)
+
+
+def test_within_doc_repeats_count_as_duplicated(spark, docs):
+    got = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=3).collect()}
+    # doc 5 is "m"*10 — every gram is "m m m", all instances duplicated,
+    # every token covered
+    assert got[5]["n_dup_grams"] == got[5]["n_grams"] == 8
+    assert got[5]["dup_tokens"] == got[5]["n_tokens"] == 10
+    # doc 4 is clean
+    assert got[4]["n_dup_grams"] == 0 and got[4]["dup_tokens"] == 0
+    # short/empty docs survive with zero grams
+    assert got[6]["n_grams"] == 0 and got[7]["n_tokens"] == 1  # split('') = ['']
+
+
+def test_duckdb_twin_hash_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in duplicated_span_stats(docs, n=8)
+        .select("doc_id", "n_tokens", "n_grams", "n_dup_grams", "dup_tokens")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        duplicated_span_stats_sql("documents", n=8)
+    ).fetchall())
+    assert got == want
+    assert any(r[3] > 0 for r in got), "fixture has no duplicated spans"
+
+
+def test_coverage_law_merged_spans(spark):
+    # overlapping duplicated grams must union, not double-count: two docs
+    # sharing a 6-token run probed at n=5 → dup grams at pos 0,1 cover 6
+    # tokens, not 10
+    rows = [(1, "a b c d e f x y"), (2, "q a b c d e f r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, n=5).collect()}
+    assert got[1]["n_dup_grams"] == 2 and got[1]["dup_tokens"] == 6
+    assert got[2]["n_dup_grams"] == 2 and got[2]["dup_tokens"] == 6
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError, match="n must be"):
+        duplicated_span_stats(docs, n=0)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicated_span_stats(docs, min_count=1)
+
+
+def test_positioned_shingles_order_and_repeats(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    out = df.select(positioned_shingles(F.col("text"), 2).alias("g")).first()["g"]
+    assert out == ["a b", "b a", "a b", "b a"]
