@@ -362,6 +362,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_semdedup('emb', 'vec_id', 'embedding', 32, 950)
 #     SELECT * FROM sequila_embedding_gate('batch', 'corpus', 'vec_id',
 #                                          'embedding', 300)
+#     SELECT * FROM sequila_dupspans('docs', 'text', 'doc_id', 8)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -371,7 +372,7 @@ _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate"
-    r"|dsir|semdedup|embedding_gate)"
+    r"|dsir|semdedup|embedding_gate|dupspans)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -653,6 +654,21 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 spark.table(a[0]), spark.table(a[1]),
                 id_col=a[2], vec_col=a[3],
                 threshold_milli=int(a[4]) if len(a) > 4 else 300,
+            )
+        if op == "dupspans":
+            if not (3 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_dupspans takes (table, text, id, [n], "
+                    f"[min_count]), got {a!r}"
+                )
+            from sequila_native_spark.functions.dupspans import (
+                duplicated_span_stats,
+            )
+
+            return duplicated_span_stats(
+                spark.table(a[0]), text_col=a[1], id_col=a[2],
+                n=int(a[3]) if len(a) > 3 else 8,
+                min_count=int(a[4]) if len(a) > 4 else 2,
             )
         if op == "decontaminate":
             if not (4 <= len(a) <= 5):

@@ -115,3 +115,18 @@ def test_positioned_shingles_order_and_repeats(spark):
     df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
     out = df.select(positioned_shingles(F.col("text"), 2).alias("g")).first()["g"]
     assert out == ["a b", "b a", "a b", "b a"]
+
+
+def test_dupspans_tvf_matches_api(spark, docs):
+    from sequila_native_spark.sql import sequila_sql
+
+    docs.createOrReplaceTempView("dup_docs")
+    got = sequila_sql(
+        spark,
+        "SELECT * FROM sequila_dupspans('dup_docs', 'text', 'doc_id', 3) "
+        "ORDER BY doc_id",
+    ).collect()
+    want = duplicated_span_stats(docs, n=3).orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="sequila_dupspans takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_dupspans('dup_docs')")
