@@ -127,9 +127,14 @@ def dsir_score(
 ) -> DataFrame:
     """Per-document importance: ``(id, n_grams, score_milli)`` where
     ``score_milli ≈ 1000·(log p_target(x) − log q_raw(x))`` — exactly the
-    classifier broadcast scoring path with the DSIR model table."""
+    classifier broadcast scoring path with the DSIR model table.
+
+    The raw side is re-split first (``ensure_parallel``): a single-file
+    scan would otherwise run the whole explode+score single-task at small
+    SFs (at real scale the scan already has many splits and this no-ops).
+    """
     return score_documents(
-        raw, weights,
+        ensure_parallel(raw.select(id_col, text_col)), weights,
         buckets=buckets, text_col=text_col, id_col=id_col,
         seed=seed, word_ngrams=word_ngrams, strategy="broadcast",
     )
