@@ -621,6 +621,18 @@ def q_nearest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 cluster-scale path (r6): coordinate-chunked nearest — parallelism
+    # keys × chunks instead of keys, flank witnesses for sparse regions;
+    # bit-identical to partitioned (tests) and hash-green inside the
+    # nearest_algorithms composite
+    return nearest_join(
+        _reads(spark, sf_dir, with_id=False),
+        _targets(spark, sf_dir).where(F.col("t_id") % 10 == 5),
+        on="contig", **_IVL, algorithm="range_partitioned",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inherited relational surface (SURVEY.md §2B) — stock Spark
 # ---------------------------------------------------------------------------
@@ -1748,19 +1760,24 @@ _NEAREST_COLS = ["contig", "r_start", "r_end", "contig_r", "t_start", "t_end", "
 
 
 def q_nearest_algorithms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r5 composite (VERDICT r4 item 1): the three scale paths of A5 —
-    ``partitioned`` (cogroup per key, no driver collect),
-    ``broadcast_probe`` (small probe broadcast, build-side scan with
-    per-batch argmin), and the SQL-text route under ``CoitreesNearest`` —
-    as one tagged union, each over its own (disjoint) target sample so the
-    merged oracle stays the three original twins verbatim. Replaces the
-    standalone ``nearest_partitioned`` / ``nearest_broadcast_probe`` /
-    ``nearest_sql`` rows (functions remain for bench)."""
+    """r5 composite (VERDICT r4 item 1), r6: + the ``range_partitioned``
+    path. The four scale paths of A5 — ``partitioned`` (cogroup per key, no
+    driver collect), ``broadcast_probe`` (small probe broadcast, build-side
+    scan with per-batch argmin), ``range_partitioned`` (coordinate-chunked
+    two-phase: keys × chunks parallelism, flank witnesses for sparse
+    regions), and the SQL-text route under ``CoitreesNearest`` — as one
+    tagged union, each over its own (disjoint) target sample so the merged
+    oracle stays the original twins verbatim. Replaces the standalone
+    ``nearest_partitioned`` / ``nearest_broadcast_probe`` / ``nearest_sql``
+    rows (functions remain for bench)."""
     reads = _reads(spark, sf_dir, with_id=False)
     parts = []
     for tag, algo, mod in [
         ("partitioned", "partitioned", 5),
         ("broadcast_probe", "broadcast_probe", 7),
+        # r6: the chunked coordinate-range path (keys × chunks parallelism;
+        # closes the documented few-key scale limit) — same twin, mod 3
+        ("range", "range_partitioned", 3),
     ]:
         nj = nearest_join(
             reads, _targets(spark, sf_dir).where(F.col("t_id") % 10 == mod),
@@ -1876,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past-the-cap block: rows-only checks (no ANSI-SQL twin by
         # nature — seeded LSH, iterative k-means, recall harnesses;
         # semantics unit-pinned) ---------------------------------------------
+        "nearest_range_partitioned": q_nearest_range_partitioned,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "multimodal_topk": q_multimodal_topk,
         "multimodal_phash_dups": q_multimodal_phash_dups,
@@ -2421,7 +2439,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
                             WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
                             ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 IN (5, 7, 2)) t
+                FROM (SELECT * FROM targets WHERE t_id % 10 IN (5, 7, 2, 3)) t
                 LEFT JOIN reads r ON r.contig = t.contig
             ),
             best AS (
@@ -2434,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CASE grp WHEN 5 THEN 'partitioned'
                             WHEN 7 THEN 'broadcast_probe'
+                            WHEN 3 THEN 'range'
                             ELSE 'sql' END AS algo,
                    contig, r_start, r_end, contig_r, t_start, t_end, t_id
             FROM best

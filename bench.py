@@ -53,6 +53,7 @@ HEADLINE = [
     "cluster_sizes",              # bedtools cluster -d (r5)
     "nearest_target_read",        # nearest-interval join (broadcast index)
     "nearest_partitioned",        # nearest-interval join (cogroup, no collect)
+    "nearest_range_partitioned",  # chunked nearest (keys x chunks tasks, r6)
     "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
     "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)

@@ -36,6 +36,7 @@ MAX_BROADCAST_BUILD_ROWS = "spark.sequila.maxBroadcastBuildRows"
 BINNED_JOIN_PARTITIONS = "spark.sequila.binnedJoinPartitions"
 NEAREST_K = "spark.sequila.nearestK"
 NEAREST_SALT = "spark.sequila.nearestSalt"
+NEAREST_CHUNKS = "spark.sequila.nearestChunks"
 
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two
@@ -87,6 +88,16 @@ BINNED_JOIN_MAX_PARTITIONS = 4096
 # (off): when key cardinality already exceeds the core count — the common
 # cluster case for high-cardinality keys — replication is pure overhead.
 DEFAULT_NEAREST_SALT = 1
+# Chunk count for the range_partitioned nearest join (the scale path that
+# lifts parallelism past the distinct-key bound WITHOUT salting's full
+# build-side replication — only per-chunk flank witnesses replicate).
+# "auto" = max(32, 4 * defaultParallelism), capped below. The witness
+# gather is an O(chunks^2 x k) summary join per key (tiny rows), so the cap
+# keeps that quadratic term bounded; past ~4k chunks a two-level chunking
+# would be the next step (documented in DESIGN.md, not needed at any
+# measured scale).
+DEFAULT_NEAREST_CHUNKS: int | str = "auto"
+NEAREST_MAX_CHUNKS = 4096
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the
@@ -103,6 +114,11 @@ _ALGORITHM_ALIASES = {
     "arrayintervaltree": "index",
     "lapper": "index",
     "superintervals": "index",
+    # range partitioning IS what the binned overlap join does; for the
+    # nearest join the raw name selects the chunked two-phase path (the
+    # dispatch checks SequilaConf.raw_algorithm / its own algorithm arg)
+    "range_partitioned": "binning",
+    "rangepartitioned": "binning",
 }
 
 
@@ -156,6 +172,8 @@ class SequilaConf:
     binned_join_partitions: int | str = DEFAULT_BINNED_JOIN_PARTITIONS
     nearest_k: int = 1  # bedtools closest -k for the CoitreesNearest route
     nearest_salt: int = DEFAULT_NEAREST_SALT  # cogroup probe-salt factor
+    nearest_chunks: int | str = DEFAULT_NEAREST_CHUNKS  # range_partitioned chunk count
+    raw_algorithm: str = ""  # pre-parse name, for nearest-only algorithm names
 
     @classmethod
     def from_spark(cls, spark: SparkSession) -> "SequilaConf":
@@ -163,9 +181,8 @@ class SequilaConf:
             return spark.conf.get(key, default)
 
         prefer = _get(PREFER_INTERVAL_JOIN, "true").lower() == "true"
-        join_mode, algorithm = parse_algorithm_or_mode(
-            _get(INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM)
-        )
+        raw_algorithm = _get(INTERVAL_JOIN_ALGORITHM, DEFAULT_ALGORITHM)
+        join_mode, algorithm = parse_algorithm_or_mode(raw_algorithm)
         if not prefer:
             # sequila.prefer_interval_join=false ⇒ vanilla join plan
             # (sequila_physical_planner.rs:36-39).
@@ -203,7 +220,30 @@ class SequilaConf:
             binned_join_partitions=raw_parts,
             nearest_k=int(_get(NEAREST_K, "1")),
             nearest_salt=int(_get(NEAREST_SALT, str(DEFAULT_NEAREST_SALT))),
+            nearest_chunks=_get(NEAREST_CHUNKS, str(DEFAULT_NEAREST_CHUNKS)),
+            raw_algorithm=raw_algorithm.strip().lower(),
         )
+
+    def resolve_nearest_chunks(self, spark: SparkSession) -> int:
+        """Concrete chunk count for the range_partitioned nearest join."""
+        raw = self.nearest_chunks
+        if isinstance(raw, str):
+            raw = raw.strip().lower()
+            if raw == "auto":
+                return min(
+                    NEAREST_MAX_CHUNKS,
+                    max(32, 4 * spark.sparkContext.defaultParallelism),
+                )
+            try:
+                raw = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"{NEAREST_CHUNKS} must be a positive integer or 'auto', "
+                    f"got {self.nearest_chunks!r}"
+                ) from None
+        if raw < 1:
+            raise ValueError(f"{NEAREST_CHUNKS} must be >= 1, got {raw}")
+        return min(NEAREST_MAX_CHUNKS, raw)
 
     def resolve_binned_join_partitions(self, spark: SparkSession, frames=()) -> int:
         """Concrete shuffle width for the binned join (0 = inherit session).

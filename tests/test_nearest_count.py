@@ -9,7 +9,7 @@ from sequila_native_spark import count_overlaps, nearest_join, overlap_join
 from tests.conftest import rows_set
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe", "range_partitioned"])
 def test_nearest_golden(spark, nearest_a, nearest_b, algorithm):
     # integration_test.rs:352-399 (strict-inequality query, CoitreesNearest):
     # every probe (b) row emits exactly one row; rows whose (contig, strand)
@@ -30,7 +30,7 @@ def test_nearest_golden(spark, nearest_a, nearest_b, algorithm):
     assert dict(got) == expected
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe", "range_partitioned"])
 def test_nearest_overlap_first(spark, algorithm):
     # overlap wins over a closer-by-distance... overlap distance is 0;
     # deterministic tie-break picks min (start, end) among overlapping.
@@ -49,7 +49,7 @@ def test_nearest_overlap_first(spark, algorithm):
     assert (row["start"], row["end"]) == (1, 100)
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe", "range_partitioned"])
 def test_nearest_true_minimum_not_reference_heuristic(spark, algorithm):
     # The reference's binary-search heuristic (interval_join.rs:926-951) would
     # return (50,60) here; the true nearest is (0,100) (distance 50 vs 90).
@@ -288,7 +288,7 @@ def test_nearest_k_via_conf(spark):
     assert nearest_join(build, probe, **args).count() == 1
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe", "range_partitioned"])
 def test_nearest_distance_col(spark, algorithm):
     """closest -d: 0 for overlap, gap otherwise, null for padded rows."""
     build = spark.createDataFrame(
@@ -367,7 +367,7 @@ def _closest_brute(flags):
     return out
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe"])
+@pytest.mark.parametrize("algorithm", ["naive", "index", "partitioned", "broadcast_probe", "range_partitioned"])
 @pytest.mark.parametrize(
     "flags",
     [(True, False, False), (False, True, False), (False, False, True),
@@ -448,3 +448,113 @@ def test_closest_io_with_distance_col(spark):
     for r in out.collect():
         if r["start"] is not None:
             assert r["dist"] > 0  # -io never returns an overlap
+
+
+# --- range_partitioned nearest (r6: the chunked cluster-scale path) --------
+
+
+def _rp_random_tables(spark, seed, n_build=120, n_probe=90):
+    """Random interval pair with UNIQUE (start, end) per key so winner ties
+    cannot differ by payload across algorithms (the tie-break is
+    (distance, start, end) everywhere; payloads of tied bounds are not
+    ordered). Includes sparse coordinate regions, long spans, null bounds,
+    null keys, and a probe-only key."""
+    import random
+
+    rng = random.Random(seed)
+    seen = set()
+    build = []
+    while len(build) < n_build:
+        key = rng.choice(["c1", "c2", "c3"])
+        # clustered + sparse: most intervals in [0, 2000], a far island at
+        # [90000, 92000] so flank witnesses must cross many empty chunks
+        base = 90000 if rng.random() < 0.1 else 0
+        s = base + rng.randrange(0, 2000)
+        e = s + (rng.randrange(0, 3000) if rng.random() < 0.05
+                 else rng.randrange(0, 60))
+        if (key, s, e) in seen:
+            continue
+        seen.add((key, s, e))
+        build.append((key, s, e, len(build)))
+    probe = []
+    for i in range(n_probe):
+        key = rng.choice(["c1", "c2", "c3", "c4"])  # c4: no build rows
+        base = 90000 if rng.random() < 0.1 else 0
+        s = base + rng.randrange(0, 2200)
+        e = s + rng.randrange(0, 80)
+        probe.append((key, s, e, i))
+    probe.append((None, 5, 9, n_probe))      # null key
+    probe.append(("c1", None, None, n_probe + 1))  # null bounds
+    b = spark.createDataFrame(build, "contig string, start int, end int, bid int")
+    p = spark.createDataFrame(
+        probe, "contig string, p_start int, p_end int, pid int"
+    )
+    return b, p
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize(
+    "extra",
+    [dict(), dict(k=3), dict(ignore_overlaps=True), dict(ignore_upstream=True),
+     dict(ignore_downstream=True), dict(ignore_overlaps=True, ignore_upstream=True),
+     dict(strict=True)],
+)
+def test_range_partitioned_matches_partitioned_random(spark, seed, extra):
+    build, probe = _rp_random_tables(spark, seed)
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, **extra,
+                                 algorithm="partitioned"))
+    got = rows_set(nearest_join(build, probe, **kw, **extra,
+                                algorithm="range_partitioned"))
+    assert got == base, extra
+
+
+@pytest.mark.parametrize("chunks", [1, 7, 1000])
+def test_range_partitioned_chunk_count_invariant(spark, chunks):
+    """Results must not depend on the chunk geometry — 1 chunk (degenerate,
+    everything local), a few (flanks dominate), and far more chunks than
+    coordinates (most chunks empty)."""
+    build, probe = _rp_random_tables(spark, seed=7)
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, algorithm="partitioned", k=2))
+    try:
+        spark.conf.set("spark.sequila.nearestChunks", str(chunks))
+        got = rows_set(nearest_join(build, probe, **kw,
+                                    algorithm="range_partitioned", k=2))
+    finally:
+        spark.conf.unset("spark.sequila.nearestChunks")
+    assert got == base
+
+
+def test_range_partitioned_keyless(spark):
+    """on=None: the chunk IS the cogroup key."""
+    build = spark.createDataFrame(
+        [(10, 20, 0), (400, 410, 1), (90000, 90005, 2)], "s int, e int, bid int"
+    )
+    probe = spark.createDataFrame(
+        [(15, 16, 0), (430, 431, 1), (50000, 50001, 2)], "ps int, pe int, pid int"
+    )
+    out = nearest_join(build, probe, on=None, left_start="s", left_end="e",
+                       right_start="ps", right_end="pe",
+                       algorithm="range_partitioned", distance_col="d")
+    got = {r["pid"]: (r["s"], r["e"], r["d"]) for r in out.collect()}
+    assert got == {0: (10, 20, 0), 1: (400, 410, 20), 2: (90000, 90005, 39999)}
+
+
+def test_range_partitioned_conf_name_routes(spark):
+    """SET spark.sequila.intervalJoinAlgorithm=range_partitioned selects the
+    chunked nearest path AND keeps overlap joins on binning."""
+    build, probe = _rp_random_tables(spark, seed=3, n_build=40, n_probe=30)
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, algorithm="partitioned"))
+    try:
+        spark.conf.set("spark.sequila.intervalJoinAlgorithm", "range_partitioned")
+        got = rows_set(nearest_join(build, probe, **kw))
+        ov = overlap_join(build, probe, **kw)  # must not error; binning route
+        assert ov.count() > 0
+    finally:
+        spark.conf.unset("spark.sequila.intervalJoinAlgorithm")
+    assert got == base
