@@ -1495,6 +1495,31 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection (r6): per-k-means-cell budget allocation
+    (sqrt-tempered) with deterministic hash-order selection inside each
+    cell. Rows-only: cell assignment is iterative k-means; the n_cells=1
+    degenerate case is pinned bit-exact against an independent Python md5
+    top-n in tests/test_similarity_multimodal.py, and quota/nesting/
+    repartition-stability laws are unit-pinned. Summarized per cluster."""
+    from sequila_native_spark.functions import cluster_balanced_sample
+
+    # total=200: binds the quota at every driver scale (embeddings: 500
+    # rows at sf0.01, 2000 at sf0.1) so the selection path really drops
+    flags = cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=16, total=200, weighting="sqrt", seed=7,
+    )
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("selected").cast("bigint")).alias("n_selected"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-capable embedding near-dup gate (r6): the stateless
     stream-static LSH plan of ``stream_embedding_gate`` run on batch input
@@ -1905,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "minhash_family_delta": q_minhash_family_delta,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "embedding_balanced_sample": q_embedding_balanced_sample,
         "doc_dsir_selected": q_doc_dsir_selected,
         "stream_embedding_gate": q_stream_embedding_gate,
         "doc_bm25_topk": q_doc_bm25_topk,

@@ -37,6 +37,7 @@ from sequila_native_spark.functions.dedup import (
     simhash_pairs,
 )
 from sequila_native_spark.functions.similarity import (
+    cluster_balanced_sample,
     cosine,
     cosine_topk,
     embedding_dups_against_corpus,
@@ -151,6 +152,7 @@ __all__ = [
     "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "embedding_dups_against_corpus", "semantic_dedup",
+    "cluster_balanced_sample",
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "stream_embedding_gate", "vector_bucket_index",
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",

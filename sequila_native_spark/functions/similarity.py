@@ -249,9 +249,10 @@ def semantic_dedup(
     is the dial (the paper runs ~100k clusters at web scale), the pair join
     is an equi-join on the cluster id (AQE skew-join splits hot clusters),
     and centroid training is a bounded driver-side sample
-    (:func:`_train_centroids`), O(1) in the corpus.
+    (:func:`_train_centroids`), O(1) in the corpus — hash-order selected
+    via ``id_col`` (r6), so the trained cells are repartition/retry-stable.
     """
-    centers = _train_centroids(df, vec_col, n_cells, seed)
+    centers = _train_centroids(df, vec_col, n_cells, seed, stable_id_col=id_col)
     assigned = _assign_cells_with_sim(df, centers, id_col=id_col, vec_col=vec_col)
     vecs = df.select(
         F.col(id_col).alias("__sq_id"), _as_double(F.col(vec_col)).alias("__sq_v")
@@ -298,6 +299,106 @@ def semantic_dedup(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    total: int | None = None,
+    per_cell: int | None = None,
+    weighting: str = "equal",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity-balanced selection over embedding clusters (the topic-
+    balancing step of curation pipelines à la DCLM/SemDeDup: a uniform
+    sample mirrors the corpus's topic skew, so selection budgets are
+    allocated per k-means cell instead).
+
+    Budget: either ``per_cell`` rows from every cell, or a corpus ``total``
+    split by ``weighting`` —
+
+    - ``"equal"``: ``total / n_cells`` each (maximum diversity; small
+      topics are over-represented relative to the corpus)
+    - ``"sqrt"``: ∝ sqrt(cell size) (tempered — the standard middle ground,
+      cf. multilingual sampling temperature)
+    - ``"proportional"``: ∝ cell size (≈ a uniform sample; the baseline)
+
+    Selection WITHIN a cell is the house md5 hash order
+    (``sample_hash(id, seed)``, tie id) — deterministic, repartition/
+    retry-stable, independent of the cell quota, so raising the budget
+    only ever ADDS rows (nested like :func:`~sequila_native_spark.
+    functions.sampling.deterministic_sample`). Cells smaller than their
+    quota contribute everything ("up to", like ``closest -k``).
+
+    Output: one row per input — ``id_col, cluster, cent_sim_milli,
+    selected`` (flag form, like :func:`semantic_dedup`: filtering on
+    ``selected`` is the sample, keeping the flags is the audit).
+
+    100 TB shape: centroid training is a bounded driver-side sample
+    (:func:`_train_centroids`, O(1) in the corpus), assignment one Arrow
+    pass, quotas a ``n_cells``-row broadcast, ranking one window shuffle
+    partitioned by cell (``n_cells`` is the skew dial — the paper-scale
+    setting is ~100k cells, which also bounds the per-cell sort).
+    """
+    from sequila_native_spark.functions.sampling import sample_hash
+
+    if (total is None) == (per_cell is None):
+        raise ValueError("pass exactly one of total= or per_cell=")
+    if weighting not in ("equal", "sqrt", "proportional"):
+        raise ValueError(
+            f"weighting must be equal|sqrt|proportional, got {weighting!r}"
+        )
+    if per_cell is not None and per_cell < 1:
+        raise ValueError(f"per_cell must be >= 1, got {per_cell}")
+    if total is not None and total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+
+    centers = _train_centroids(df, vec_col, n_cells, seed, stable_id_col=id_col)
+    assigned = _assign_cells_with_sim(df, centers, id_col=id_col, vec_col=vec_col)
+
+    if per_cell is not None:
+        quotas = None
+        quota_col = F.lit(int(per_cell))
+    else:
+        counts = assigned.groupBy("__sq_cell").agg(
+            F.count(F.lit(1)).alias("__sq_n")
+        )
+        w = {
+            "equal": F.lit(1.0),
+            "sqrt": F.sqrt(F.col("__sq_n").cast("double")),
+            "proportional": F.col("__sq_n").cast("double"),
+        }[weighting]
+        tot_w = counts.agg(F.sum(w).alias("__sq_tw")).first()["__sq_tw"] or 1.0
+        # floor allocation: deterministic, never exceeds the budget; the
+        # remainder (< n_cells rows) is deliberately left unspent rather
+        # than re-ranked — budget semantics stay exact under re-runs
+        quotas = counts.select(
+            "__sq_cell",
+            F.floor(w * F.lit(float(total)) / F.lit(float(tot_w)))
+            .cast("bigint")
+            .alias("__sq_quota"),
+        )
+        quota_col = F.col("__sq_quota")
+
+    ranked = assigned.withColumn(
+        "__sq_rn",
+        F.row_number().over(
+            Window.partitionBy("__sq_cell").orderBy(
+                sample_hash(F.col("__sq_id"), seed).asc(), F.col("__sq_id").asc()
+            )
+        ),
+    )
+    if quotas is not None:
+        ranked = ranked.join(F.broadcast(quotas), "__sq_cell")
+    return ranked.select(
+        F.col("__sq_id").alias(id_col),
+        F.col("__sq_cell").alias("cluster"),
+        "cent_sim_milli",
+        (F.col("__sq_rn") <= quota_col).alias("selected"),
+    )
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -305,6 +406,7 @@ def _train_centroids(
     seed: int,
     sample_size: int = 16384,
     n_iter: int = 15,
+    stable_id_col: str | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a bounded, seeded sample — driver-side numpy.
 
@@ -312,17 +414,35 @@ def _train_centroids(
     Lloyd iterations run on ≤``sample_size`` rows locally, so no per-iteration
     Spark jobs (MLlib KMeans pays scheduler latency × maxIter, which dwarfs
     the math at coarse-quantizer sizes).
+
+    ``stable_id_col``: when the caller has a unique id column, the sample is
+    the ``sample_size`` smallest ``sample_hash(id, seed)`` rows (sorted
+    within the sample so the numpy input order is total) — deterministic
+    and REPARTITION-STABLE, unlike ``df.sample``'s per-partition RNG, so
+    the trained cells don't move when the input's partitioning does. The
+    ``orderBy(...).limit(n)`` compiles to TakeOrderedAndProject.
     """
+    from sequila_native_spark.functions.sampling import sample_hash
+
     n = corpus.count()
     if n == 0:
         raise ValueError("cannot train an IVF quantizer on an empty corpus")
-    frac = min(1.0, (sample_size * 1.3) / n)
-    pdf = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(sample_size)
-        .toPandas()
-    )
+    if stable_id_col is not None:
+        h = sample_hash(F.col(stable_id_col), seed)
+        pdf = (
+            corpus.select(vec_col, h.alias("__sq_h"), stable_id_col)
+            .orderBy("__sq_h", stable_id_col)
+            .limit(sample_size)
+            .toPandas()
+        )
+    else:
+        frac = min(1.0, (sample_size * 1.3) / n)
+        pdf = (
+            corpus.select(vec_col)
+            .sample(withReplacement=False, fraction=frac, seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     if len(x) == 0:  # pathological sample; fall back to first rows
         x = np.array(

@@ -571,3 +571,86 @@ def test_semdedup_and_embedding_gate_tvfs(spark, vecs):
         sequila_sql(spark, "SELECT * FROM sequila_semdedup('sem_vecs')")
     with pytest.raises(ValueError, match="sequila_embedding_gate takes"):
         sequila_sql(spark, "SELECT * FROM sequila_embedding_gate('gate_b')")
+
+
+# --- cluster-balanced sampling (r6: topic-diversity budget allocation) -----
+
+
+def test_cluster_balanced_sample_quotas_and_nesting(spark):
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cluster_balanced_sample(emb, n_cells=4, per_cell=3, seed=7)
+    # one audit row per input, quota honored per cluster
+    assert out.count() == emb.count()
+    per = {r["cluster"]: r["n"] for r in
+           out.where("selected").groupBy("cluster")
+              .agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 3 for n in per.values()), per
+    # raising the budget only ADDS rows (hash order independent of quota)
+    small = {r["vec_id"] for r in
+             out.where("selected").select("vec_id").collect()}
+    big = {r["vec_id"] for r in
+           cluster_balanced_sample(emb, n_cells=4, per_cell=5, seed=7)
+           .where("selected").select("vec_id").collect()}
+    assert small <= big
+
+
+@pytest.mark.parametrize("weighting", ["equal", "sqrt", "proportional"])
+def test_cluster_balanced_sample_total_budget(spark, weighting):
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    total = 40
+    out = cluster_balanced_sample(
+        emb, n_cells=4, total=total, weighting=weighting, seed=7
+    )
+    n_sel = out.where("selected").count()
+    # floor allocation never exceeds the budget and leaves < n_cells unspent
+    # (unless cells run out of rows entirely)
+    assert n_sel <= total
+    assert n_sel > total - 8, n_sel
+
+
+def test_cluster_balanced_sample_repartition_stable(spark):
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = {r["vec_id"] for r in
+         cluster_balanced_sample(emb, n_cells=4, per_cell=4, seed=3)
+         .where("selected").collect()}
+    b = {r["vec_id"] for r in
+         cluster_balanced_sample(emb.repartition(7), n_cells=4, per_cell=4, seed=3)
+         .where("selected").collect()}
+    assert a == b
+
+
+def test_cluster_balanced_sample_single_cell_is_hash_topn(spark):
+    """n_cells=1 degenerates to the deterministic global hash-order top-n —
+    pinned against an independent Python md5 computation."""
+    import hashlib
+
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    seed, n = 11, 9
+    key = lambda i: (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16), i)  # noqa: E731
+    want = set(sorted(ids, key=key)[:n])
+    got = {r["vec_id"] for r in
+           cluster_balanced_sample(emb, n_cells=1, per_cell=n, seed=seed)
+           .where("selected").collect()}
+    assert got == want
+
+
+def test_cluster_balanced_sample_validation(spark, vecs):
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+
+    with pytest.raises(ValueError, match="exactly one"):
+        cluster_balanced_sample(vecs, per_cell=1, total=5)
+    with pytest.raises(ValueError, match="exactly one"):
+        cluster_balanced_sample(vecs)
+    with pytest.raises(ValueError, match="weighting"):
+        cluster_balanced_sample(vecs, total=5, weighting="nope")
+    with pytest.raises(ValueError, match="per_cell"):
+        cluster_balanced_sample(vecs, per_cell=0)
