@@ -360,6 +360,8 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_corpus_gate('batch', 'corpus', 'text', 'doc_id', 200)
 #     SELECT * FROM sequila_dsir('raw', 'target', 'text', 'doc_id', 512, 20)
 #     SELECT * FROM sequila_semdedup('emb', 'vec_id', 'embedding', 32, 950)
+#     SELECT * FROM sequila_balanced('emb', 'vec_id', 'embedding', 32, 200,
+#                                    'sqrt')
 #     SELECT * FROM sequila_embedding_gate('batch', 'corpus', 'vec_id',
 #                                          'embedding', 300)
 #     SELECT * FROM sequila_dupspans('docs', 'text', 'doc_id', 8)
@@ -372,7 +374,7 @@ _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate"
-    r"|dsir|semdedup|embedding_gate|dupspans)"
+    r"|dsir|semdedup|balanced|embedding_gate|dupspans)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -639,6 +641,22 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 n_cells=int(a[3]) if len(a) > 3 else 32,
                 threshold_milli=int(a[4]) if len(a) > 4 else 950,
                 seed=int(a[5]) if len(a) > 5 else 42,
+            )
+        if op == "balanced":
+            if not (5 <= len(a) <= 7):
+                raise ValueError(
+                    f"sequila_balanced takes (table, id, vec, n_cells, "
+                    f"total, [weighting], [seed]), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import (
+                cluster_balanced_sample,
+            )
+
+            return cluster_balanced_sample(
+                spark.table(a[0]), id_col=a[1], vec_col=a[2],
+                n_cells=int(a[3]), total=int(a[4]),
+                weighting=a[5] if len(a) > 5 else "equal",
+                seed=int(a[6]) if len(a) > 6 else 42,
             )
         if op == "embedding_gate":
             if not (4 <= len(a) <= 5):

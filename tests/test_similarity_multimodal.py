@@ -654,3 +654,24 @@ def test_cluster_balanced_sample_validation(spark, vecs):
         cluster_balanced_sample(vecs, total=5, weighting="nope")
     with pytest.raises(ValueError, match="per_cell"):
         cluster_balanced_sample(vecs, per_cell=0)
+
+
+def test_tvf_balanced_matches_api(spark):
+    from sequila_native_spark.functions.similarity import cluster_balanced_sample
+    from sequila_native_spark.sql import sequila_sql
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.createOrReplaceTempView("bal_vecs")
+    got = sequila_sql(
+        spark,
+        "SELECT * FROM sequila_balanced('bal_vecs', 'vec_id', 'embedding', "
+        "4, 50, 'sqrt', 7) WHERE selected ORDER BY vec_id",
+    ).collect()
+    want = (
+        cluster_balanced_sample(
+            emb, n_cells=4, total=50, weighting="sqrt", seed=7
+        ).where("selected").orderBy("vec_id").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="sequila_balanced takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_balanced('bal_vecs')")
