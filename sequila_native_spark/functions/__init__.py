@@ -112,6 +112,7 @@ from sequila_native_spark.functions.chunking import (
     chunk_starts,
     pack_documents,
     pack_documents_sql,
+    write_training_shards,
 )
 from sequila_native_spark.functions.multimodal import (
     attach_binary,
@@ -167,7 +168,7 @@ __all__ = [
     "benchmark_ngrams", "contamination_report", "contamination_report_sql",
     "decontaminate", "match_contaminated",
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
-    "pack_documents", "pack_documents_sql",
+    "pack_documents", "pack_documents_sql", "write_training_shards",
     "classify_documents", "gram_array", "hash_bucket", "score_columns",
     "score_documents", "score_documents_sql", "score_exprs_sql",
     "synthetic_quality_weights", "synthetic_quality_weights_sql",

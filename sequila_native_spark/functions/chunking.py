@@ -218,3 +218,51 @@ def pack_documents_sql(
                CAST((cum - n_tokens) % {capacity} AS BIGINT) AS pack_offset
         FROM c
     """
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    shards: int = 32,
+    seed: int = 0,
+    mode: str = "error",
+) -> None:
+    """Materialize the corpus in TRAINING order: ``shards`` parquet
+    directories (``shard=<i>/``), each holding its rows in the
+    deterministic md5 hash order of :func:`pack_documents` — the
+    reproducible global shuffle a training run reads sequentially.
+
+    Why not ``df.orderBy(rand()).write``: per-partition RNG is neither
+    retry- nor repartition-stable, and a single global sort serializes the
+    write. Here shard assignment and within-shard order derive from
+    ``sample_hash(id, seed)`` alone, so a re-run, a task retry, or a
+    different upstream partitioning produces identical shard contents
+    (row sets AND row order), and each shard sorts independently (``repartition(shard)``
+    + ``sortWithinPartitions`` — one shuffle, no global sort barrier).
+
+    The layout agrees with :func:`pack_documents` (same hash, same shard
+    arithmetic), so a pack manifest computed separately lines up with the
+    written files row-for-row.
+    """
+    from .sampling import sample_hash
+
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    if id_col in ("shard", "__sq_h"):
+        raise ValueError(f"id_col {id_col!r} collides with a helper column")
+    h = sample_hash(F.col(id_col), seed)
+    (
+        df.withColumn("__sq_h", h)
+        .withColumn("shard", (F.col("__sq_h") % shards).cast("int"))
+        # repartition ON the shard value: rows of one shard land in one
+        # task, so sortWithinPartitions IS the shard's total order (ties
+        # on the hash break by id; ids are assumed unique)
+        .repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__sq_h", id_col)
+        .drop("__sq_h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -373,3 +373,48 @@ def test_id_col_collision_guards(spark):
     df2 = spark.createDataFrame([(1, "a b")], "shard long, text string")
     with pytest.raises(ValueError):
         pack_documents(df2, id_col="shard")
+
+
+# --- write_training_shards (r6: materialized training order) ---------------
+
+
+def test_write_training_shards_deterministic_order(spark, tmp_path):
+    import hashlib
+
+    from sequila_native_spark.functions import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, shards=4, seed=3)
+    # same data, different upstream partitioning -> identical shard order
+    write_training_shards(docs.repartition(13), p2, shards=4, seed=3)
+
+    def shard_rows(path, s):
+        pdf = spark.read.parquet(f"{path}/shard={s}").toPandas()
+        return list(pdf["doc_id"])
+
+    key = lambda i: int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:8], 16)  # noqa: E731
+    all_ids = []
+    for s in range(4):
+        a, b = shard_rows(p1, s), shard_rows(p2, s)
+        assert a == b  # row order, not just row set
+        assert all(key(i) % 4 == s for i in a)  # shard assignment law
+        hashes = [key(i) for i in a]
+        assert hashes == sorted(hashes)  # within-shard training order
+        all_ids += a
+    assert sorted(all_ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )  # exhaustive partition
+
+
+def test_write_training_shards_validation(spark):
+    from sequila_native_spark.functions import write_training_shards
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shards"):
+        write_training_shards(docs, "/tmp/never", shards=0)
+    with pytest.raises(ValueError, match="collides"):
+        write_training_shards(
+            docs.withColumnRenamed("doc_id", "shard"), "/tmp/never",
+            id_col="shard",
+        )
