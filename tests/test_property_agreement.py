@@ -86,6 +86,7 @@ def test_nearest_algorithms_agree_with_naive(spark, tabs):
     assert run("index") == truth
     assert run("partitioned") == truth
     assert run("broadcast_probe") == truth
+    assert run("range_partitioned") == truth
 
 
 @settings(
@@ -174,7 +175,7 @@ def test_k_nearest_algorithms_agree_with_naive(spark, tabs, k):
     args = dict(on="contig", left_start="start", left_end="end",
                 right_start="s", right_end="e", k=k)
     want = rows_set(nearest_join(left, right, algorithm="naive", **args))
-    for algo in ("index", "partitioned", "broadcast_probe"):
+    for algo in ("index", "partitioned", "broadcast_probe", "range_partitioned"):
         got = rows_set(nearest_join(left, right, algorithm=algo, **args))
         assert got == want, (algo, k)
 
@@ -245,6 +246,7 @@ def test_closest_flags_algorithms_agree_with_naive(spark, tabs, flags):
     assert run("index") == truth
     assert run("partitioned") == truth
     assert run("broadcast_probe") == truth
+    assert run("range_partitioned") == truth
 
 
 @settings(
