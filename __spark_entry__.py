@@ -1495,6 +1495,36 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (r6): merges trained driver-side on a hash-order
+    bounded sample (repartition-stable), applied as an Arrow-batched UDF.
+    Rows-only: the learned merge table is not SQL-expressible; golden
+    merges, replay/segmentation, no-UNK, count law, and repartition
+    stability are pinned in tests/test_bpe.py. Per-lang word vs subword
+    totals — the compression ratio a token-budget pipeline would use."""
+    from sequila_native_spark.functions import bpe_token_count, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    # 48 merges: the synthetic corpus has ~30 word types, so 128 merges
+    # would collapse every word to one unit (ratio 1.0, nothing to read);
+    # 48 leaves the longer tail words genuinely subword-split
+    merges = train_bpe(docs, n_merges=48, id_col="doc_id")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("__w"),
+            bpe_token_count(F.col("text"), merges).alias("__t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").cast("bigint").alias("n_words"),
+            F.sum("__t").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced selection (r6): per-k-means-cell budget allocation
     (sqrt-tempered) with deterministic hash-order selection inside each
@@ -1931,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_family_delta": q_minhash_family_delta,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "embedding_balanced_sample": q_embedding_balanced_sample,
+        "doc_bpe_stats": q_doc_bpe_stats,
         "doc_dsir_selected": q_doc_dsir_selected,
         "stream_embedding_gate": q_stream_embedding_gate,
         "doc_bm25_topk": q_doc_bm25_topk,

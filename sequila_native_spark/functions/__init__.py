@@ -106,6 +106,11 @@ from sequila_native_spark.functions.classify import (
     synthetic_quality_weights,
     synthetic_quality_weights_sql,
 )
+from sequila_native_spark.functions.bpe import (
+    bpe_token_count,
+    bpe_tokenize,
+    train_bpe,
+)
 from sequila_native_spark.functions.chunking import (
     chunk_documents,
     chunk_documents_sql,
@@ -169,6 +174,7 @@ __all__ = [
     "decontaminate", "match_contaminated",
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
     "pack_documents", "pack_documents_sql", "write_training_shards",
+    "train_bpe", "bpe_tokenize", "bpe_token_count",
     "classify_documents", "gram_array", "hash_bucket", "score_columns",
     "score_documents", "score_documents_sql", "score_exprs_sql",
     "synthetic_quality_weights", "synthetic_quality_weights_sql",

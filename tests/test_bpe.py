@@ -1,0 +1,98 @@
+"""BPE tokenizer: bounded-sample training + Arrow-batched application."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    bpe_token_count,
+    bpe_tokenize,
+    train_bpe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # classic BPE toy: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    rows = [(0, " ".join(["low"] * 5 + ["lower"] * 2
+                         + ["newest"] * 6 + ["widest"] * 3))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_bpe_golden_merges(spark, toy):
+    """First merges on the Sennrich toy corpus: ('e','s') 9, ('es','t') 9,
+    ('est','</w>') 9 dominate; tie-breaks are lexicographic so the list is
+    fully deterministic."""
+    merges = train_bpe(toy, n_merges=4, id_col="doc_id")
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    # 4th: 'l','o' appears in low(5)+lower(2)=7, the max remaining
+    assert merges[3] == ("l", "o")
+
+
+def test_tokenize_matches_training_segmentation(spark, toy):
+    """Applying the merge table reproduces training-time segmentation for
+    every training word (the replay property of BPE)."""
+    merges = train_bpe(toy, n_merges=10, id_col="doc_id")
+    out = toy.select(bpe_tokenize(F.col("text"), merges).alias("toks")).first()
+    toks = out["toks"]
+    # reconstruct words: split token stream at </w> boundaries
+    words, cur = [], ""
+    for t in toks:
+        cur += t
+        if cur.endswith("</w>"):
+            words.append(cur[: -len("</w>")])
+            cur = ""
+    assert words == ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+
+
+def test_unseen_word_no_unk(spark, toy):
+    merges = train_bpe(toy, n_merges=10, id_col="doc_id")
+    df = spark.createDataFrame([(1, "lowest zzz")], "doc_id long, text string")
+    toks = df.select(bpe_tokenize(F.col("text"), merges).alias("t")).first()["t"]
+    assert "".join(toks) == "lowest</w>zzz</w>"  # lossless, no UNK
+    # 'lowest' reuses learned units — lowest-rank-first application gives
+    # the canonical ['low', 'est</w>'] split
+    assert toks[:2] == ["low", "est</w>"]
+
+
+def test_token_count_law_and_compression(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = train_bpe(docs, n_merges=64, id_col="doc_id")
+    got = docs.select(
+        bpe_token_count(F.col("text"), merges).alias("n"),
+        F.size(bpe_tokenize(F.col("text"), merges)).alias("m"),
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("words"),
+    )
+    bad = got.where("n != m").count()
+    assert bad == 0
+    agg = got.agg(F.sum("n"), F.sum("words")).first()
+    # subword tokens >= words (every word is >= 1 token) but far below
+    # character count; with 64 merges on a 30-word vocab corpus the common
+    # words collapse to single units
+    assert agg[0] >= agg[1]
+
+
+def test_training_repartition_stable(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = train_bpe(docs, n_merges=32, id_col="doc_id")
+    b = train_bpe(docs.repartition(7), n_merges=32, id_col="doc_id")
+    assert a == b
+
+
+def test_min_pair_count_stops_memorization(spark):
+    df = spark.sparkSession if False else None
+    docs = [(0, "abcdefg hijklmn")]  # every pair occurs once
+    frame = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        docs, "doc_id long, text string"
+    )
+    assert train_bpe(frame, n_merges=10, id_col="doc_id") == []
+
+
+def test_validation(spark, toy):
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe(toy, n_merges=-1)
+    with pytest.raises(ValueError, match="sample_size"):
+        train_bpe(toy, sample_size=0)
