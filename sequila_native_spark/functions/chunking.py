@@ -117,6 +117,7 @@ def pack_documents(
     capacity: int = 2048,
     shards: int = 32,
     seed: int = 0,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing (concat-and-cut): lay the corpus out as one token
     stream and cut it every ``capacity`` tokens — the standard prep step
@@ -154,11 +155,19 @@ def pack_documents(
             f"({sorted(reserved)}); rename it first"
         )
     h = sample_hash(F.col(id_col), seed)
+    # n_tokens_col: use a precomputed token count (e.g. bpe_token_count —
+    # subword counts are what context-window capacity is measured in)
+    # instead of the whitespace default
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
     base = df.select(
         F.col(id_col),
         (h % shards).alias("shard"),
         h.alias("_h"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

@@ -357,6 +357,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_decontaminate('docs', 'bench', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_budget('docs', 9000, 'n_tokens', 'score', 'doc_id')
 #     SELECT * FROM sequila_quality('docs', 'model', 'text', 'doc_id', 4096)
+#     SELECT * FROM sequila_bpe_count('docs', 'merges', 'text', 'doc_id')
 #     SELECT * FROM sequila_corpus_gate('batch', 'corpus', 'text', 'doc_id', 200)
 #     SELECT * FROM sequila_dsir('raw', 'target', 'text', 'doc_id', 512, 20)
 #     SELECT * FROM sequila_semdedup('emb', 'vec_id', 'embedding', 32, 950)
@@ -373,7 +374,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
-    r"|chunk|pack|redact|decontaminate|budget|quality|corpus_gate"
+    r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
     r"|dsir|semdedup|balanced|embedding_gate|dupspans)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
@@ -588,6 +589,29 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 text_col=a[2], id_col=a[3], buckets=int(a[4]),
                 seed=int(a[5]) if len(a) > 5 else 0,
                 threshold_milli=int(a[6]) if len(a) > 6 else 0,
+            )
+        if op == "bpe_count":
+            if len(a) != 4:
+                raise ValueError(
+                    f"sequila_bpe_count takes (docs, merges, text, id), "
+                    f"got {a!r}"
+                )
+            from sequila_native_spark.functions.bpe import bpe_token_count
+
+            # the merge table is MODEL DATA (like sequila_quality's
+            # weights): a (left, right, rank) relation, collected bounded
+            # (vocab-sized, not corpus-sized) into the ordered merge list
+            mrows = (
+                spark.table(a[1])
+                .select("left", "right", "rank")
+                .orderBy("rank")
+                .collect()
+            )
+            merges = [(r["left"], r["right"]) for r in mrows]
+            docs = spark.table(a[0])
+            return docs.select(
+                F.col(a[3]),
+                bpe_token_count(F.col(a[2]), merges).alias("n_bpe_tokens"),
             )
         if op == "corpus_gate":
             if not (4 <= len(a) <= 6):

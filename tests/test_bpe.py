@@ -96,3 +96,44 @@ def test_validation(spark, toy):
         train_bpe(toy, n_merges=-1)
     with pytest.raises(ValueError, match="sample_size"):
         train_bpe(toy, sample_size=0)
+
+
+def test_tvf_bpe_count_matches_api(spark, toy):
+    from sequila_native_spark.sql import sequila_sql
+
+    merges = train_bpe(toy, n_merges=6, id_col="doc_id")
+    spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(merges)],
+        "left string, right string, rank int",
+    ).createOrReplaceTempView("bpe_merges")
+    toy.createOrReplaceTempView("bpe_docs")
+    got = sequila_sql(
+        spark,
+        "SELECT * FROM sequila_bpe_count('bpe_docs', 'bpe_merges', "
+        "'text', 'doc_id')",
+    ).first()
+    want = toy.select(
+        bpe_token_count(F.col("text"), merges).alias("n_bpe_tokens")
+    ).first()
+    assert got["n_bpe_tokens"] == want["n_bpe_tokens"]
+    with pytest.raises(ValueError, match="sequila_bpe_count takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_bpe_count('bpe_docs')")
+
+
+def test_pack_documents_accepts_bpe_counts(spark, toy):
+    from sequila_native_spark.functions import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "low low newest"), (2, "widest lower")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(toy, n_merges=6, id_col="doc_id")
+    with_counts = docs.withColumn(
+        "bpe_n", bpe_token_count(F.col("text"), merges)
+    )
+    out = pack_documents(
+        with_counts, capacity=8, shards=1, n_tokens_col="bpe_n"
+    ).collect()
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    want = {r["doc_id"]: r["bpe_n"] for r in with_counts.collect()}
+    assert got == want  # packing arithmetic runs on the subword counts
