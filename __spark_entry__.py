@@ -1495,6 +1495,18 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (r6): exact-integer totals + histogram-cumsum exact
+    percentiles (percentile_disc semantics, no engine quantile function).
+    Listed past-cap so no oracle_sql entry (the 50-slot prefix is full);
+    the DuckDB twin (`corpus_report_sql`) is byte-parity-pinned in
+    tests/test_report.py instead, including adversarial empty/duplicate
+    inputs."""
+    from sequila_native_spark.functions import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents")).orderBy("metric")
+
+
 def q_doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization (r6): merges trained driver-side on a hash-order
     bounded sample (repartition-stable), applied as an Arrow-batched UDF.
@@ -1962,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "embedding_balanced_sample": q_embedding_balanced_sample,
         "doc_bpe_stats": q_doc_bpe_stats,
+        "doc_corpus_report": q_doc_corpus_report,
         "doc_dsir_selected": q_doc_dsir_selected,
         "stream_embedding_gate": q_stream_embedding_gate,
         "doc_bm25_topk": q_doc_bm25_topk,

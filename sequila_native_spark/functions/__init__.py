@@ -64,6 +64,10 @@ from sequila_native_spark.functions.ranking import (
     term_stats,
     term_stats_sql,
 )
+from sequila_native_spark.functions.report import (
+    corpus_report,
+    corpus_report_sql,
+)
 from sequila_native_spark.functions.sampling import (
     deterministic_sample,
     mix_datasets,
@@ -175,6 +179,7 @@ __all__ = [
     "chunk_documents", "chunk_documents_sql", "chunk_starts",
     "pack_documents", "pack_documents_sql", "write_training_shards",
     "train_bpe", "bpe_tokenize", "bpe_token_count",
+    "corpus_report", "corpus_report_sql",
     "classify_documents", "gram_array", "hash_bucket", "score_columns",
     "score_documents", "score_documents_sql", "score_exprs_sql",
     "synthetic_quality_weights", "synthetic_quality_weights_sql",

@@ -1,0 +1,55 @@
+"""Corpus data card: exact-integer metrics, DuckDB twin byte-parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sequila_native_spark.functions import corpus_report, corpus_report_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_report_matches_duckdb_twin(spark, docs):
+    got = {r["metric"]: r["value"] for r in corpus_report(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = dict(con.execute(corpus_report_sql("documents")).fetchall())
+    assert got == want
+    assert set(got) == {
+        "n_docs", "n_distinct_ids", "n_words", "n_chars",
+        "chars_p50", "chars_p90", "chars_p99",
+        "words_p50", "words_p90", "words_p99",
+    }
+
+
+def test_percentiles_disc_semantics(spark):
+    # 10 docs, char lengths 1..10: p50 -> rank floor(9*.5)+1 = 5 -> value 5,
+    # p90 -> rank 9, p99 -> rank floor(9*.99)+1 = 9
+    rows = [(i, "x" * i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    assert got["chars_p50"] == 5
+    assert got["chars_p90"] == 9
+    assert got["chars_p99"] == 9
+    assert got["n_docs"] == 10 and got["n_chars"] == 55
+
+
+def test_adversarial_vs_duckdb(spark):
+    # duplicate ids, empty and whitespace docs, repeated lengths
+    rows = [(1, ""), (1, "a b"), (2, "a b"), (3, "aaaa"), (4, "a a a a"),
+            (5, " "), (6, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    con = duckdb.connect()
+    con.register("adocs", df.toPandas())
+    want = dict(con.execute(corpus_report_sql("adocs")).fetchall())
+    assert got == want
+    assert got["n_docs"] == 7 and got["n_distinct_ids"] == 6
