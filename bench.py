@@ -54,6 +54,8 @@ HEADLINE = [
     "nearest_target_read",        # nearest-interval join (broadcast index)
     "nearest_partitioned",        # nearest-interval join (cogroup, no collect)
     "nearest_range_partitioned",  # chunked nearest (keys x chunks tasks, r6)
+    "doc_bpe_stats",              # BPE train (bounded sample) + apply (r6)
+    "doc_corpus_report",          # data card: exact histogram percentiles (r6)
     "overlap_left_outer",         # left-outer overlap join (bedtools -loj)
     "overlap_full_outer",         # full-outer overlap join
     "merged_read_runs",           # bedtools merge (two-phase chunked sweep)

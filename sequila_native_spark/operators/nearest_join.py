@@ -798,6 +798,11 @@ def _range_partitioned_nearest(
         )
 
     io, iu, idn = flags if flags is not None else (False, False, False)
+    # a single chunk has no cross-chunk flanks — skip the witness stages
+    # (the gather would join empty anyway, but the plan would still carry
+    # its shuffles)
+    if n_ch <= 1:
+        iu = idn = True
     if not iu:
         lch = lch.unionByName(flank_witnesses(
             chunk_of(F.col(_LE)), below=True,
