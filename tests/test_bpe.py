@@ -83,10 +83,9 @@ def test_training_repartition_stable(spark):
 
 
 def test_min_pair_count_stops_memorization(spark):
-    df = spark.sparkSession if False else None
-    docs = [(0, "abcdefg hijklmn")]  # every pair occurs once
-    frame = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
-        docs, "doc_id long, text string"
+    # every pair occurs once: nothing reaches min_pair_count=2
+    frame = spark.createDataFrame(
+        [(0, "abcdefg hijklmn")], "doc_id long, text string"
     )
     assert train_bpe(frame, n_merges=10, id_col="doc_id") == []
 
