@@ -64,27 +64,11 @@ def train_bpe(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    if sample_size < 1:
-        raise ValueError(f"sample_size must be >= 1, got {sample_size}")
-    if id_col is not None:
-        from .sampling import sample_hash
+    from .sampling import bounded_sample_pandas
 
-        rows = (
-            df.select(text_col, sample_hash(F.col(id_col), seed).alias("__sq_h"),
-                      id_col)
-            .orderBy("__sq_h", id_col)
-            .limit(sample_size)
-            .toPandas()
-        )
-    else:
-        n = df.count()
-        frac = min(1.0, (sample_size * 1.3) / max(n, 1))
-        rows = (
-            df.select(text_col)
-            .sample(withReplacement=False, fraction=frac, seed=seed)
-            .limit(sample_size)
-            .toPandas()
-        )
+    rows = bounded_sample_pandas(
+        df, [text_col], sample_size=sample_size, seed=seed, id_col=id_col
+    )
     word_freq: Counter = Counter()
     for t in rows[text_col]:
         if t:

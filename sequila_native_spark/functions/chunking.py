@@ -259,8 +259,14 @@ def write_training_shards(
 
     if shards <= 0:
         raise ValueError(f"shards must be positive, got {shards}")
-    if id_col in ("shard", "__sq_h"):
-        raise ValueError(f"id_col {id_col!r} collides with a helper column")
+    # the writer persists the FULL frame, so clobbering an existing column
+    # would be silent data loss in the written shards
+    taken = {"shard", "__sq_h"} & set(df.columns)
+    if id_col in ("shard", "__sq_h") or taken:
+        raise ValueError(
+            f"column(s) {sorted(taken) or [id_col]} collide with the "
+            f"writer's shard/helper columns; rename them first"
+        )
     h = sample_hash(F.col(id_col), seed)
     (
         df.withColumn("__sq_h", h)

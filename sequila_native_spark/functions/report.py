@@ -7,10 +7,11 @@ column. Document LENGTHS have a tiny domain (distinct values ≪ rows), so
 the percentile is computed from the length HISTOGRAM instead — one
 map-side-combinable ``groupBy(length)``, then a cumulative sum over the
 (small) histogram and a rank lookup. ``percentile_disc`` semantics: the
-value at 1-based rank ``floor((n-1)·p) + 1`` in sorted order — integer in,
-integer out, so the whole report is hash-comparable across engines (the
-DuckDB twin in the tests spells out the same cumsum, no reliance on
-engine-specific quantile interpolation).
+smallest value whose cumulative distribution reaches ``p`` (1-based rank
+``ceil(n·p)``) — integer in, integer out, so the whole report is
+hash-comparable across engines (the DuckDB twin in the tests spells out
+the same cumsum, no reliance on engine-specific quantile interpolation).
+NULL text is excluded from the distributions (SQL aggregate convention).
 
 Output is melt-form ``(metric string, value bigint)`` — one schema for any
 metric set, unionable across groups.
@@ -26,9 +27,19 @@ _PCTS = (50, 90, 99)
 
 def _disc_percentiles(df: DataFrame, col, prefix: str) -> DataFrame:
     """(metric, value) rows: exact percentile_disc of an integer expression
-    via the histogram-cumsum rank lookup."""
-    hist = df.select(col.cast("bigint").alias("__v")).groupBy("__v").agg(
-        F.count(F.lit(1)).alias("__c")
+    via the histogram-cumsum rank lookup.
+
+    percentile_disc(p) = the smallest value whose cumulative distribution
+    reaches p, i.e. the value at 1-based rank ``ceil(n·p)`` in sorted
+    order. NULL inputs are excluded (SQL aggregate convention — both
+    engines' null orderings differ, so including them would also break the
+    twin parity); an empty input yields the three metric rows with NULL
+    values (matching the twin's scalar subqueries)."""
+    hist = (
+        df.select(col.cast("bigint").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("__v", F.sum("__c").over(w).alias("__cum"))
@@ -38,7 +49,7 @@ def _disc_percentiles(df: DataFrame, col, prefix: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(f"{prefix}_p{p}").alias("metric"),
-                    (F.floor((F.col("n") - 1) * F.lit(p / 100.0)) + 1)
+                    F.ceil(F.col("n") * F.lit(p / 100.0))
                     .cast("bigint")
                     .alias("__r"),
                 )
@@ -46,9 +57,11 @@ def _disc_percentiles(df: DataFrame, col, prefix: str) -> DataFrame:
             ])
         ).alias("s")
     ).select("s.metric", "s.__r")
-    # value = min __v with cum >= rank; the join is (3 ranks) x (histogram)
+    # value = min __v with cum >= rank; the join is (3 ranks) x (histogram).
+    # LEFT join so an empty/all-null input still emits the metric rows
+    # (with NULL), exactly like the twin's scalar subselects.
     return (
-        ranks.join(cum, cum["__cum"] >= ranks["__r"])
+        ranks.join(cum, cum["__cum"] >= ranks["__r"], "left")
         .groupBy("metric")
         .agg(F.min("__v").alias("value"))
     )
@@ -105,7 +118,7 @@ def corpus_report_sql(table: str = "documents", text_col: str = "text",
         return f"""
         {prefix}_hist AS (
             SELECT CAST({expr} AS BIGINT) AS v, count(*) AS c
-            FROM {table} GROUP BY 1
+            FROM {table} WHERE CAST({expr} AS BIGINT) IS NOT NULL GROUP BY 1
         ),
         {prefix}_cum AS (
             SELECT v, sum(c) OVER (ORDER BY v
@@ -116,7 +129,7 @@ def corpus_report_sql(table: str = "documents", text_col: str = "text",
         {prefix}_pct AS (
             SELECT '{prefix}_p' || p AS metric,
                    (SELECT min(v) FROM {prefix}_cum
-                    WHERE cum >= CAST(floor((n - 1) * p / 100.0) AS BIGINT) + 1
+                    WHERE cum >= CAST(ceil(n * p / 100.0) AS BIGINT)
                    ) AS value
             FROM {prefix}_n, (VALUES (50), (90), (99)) AS pp(p)
         )"""

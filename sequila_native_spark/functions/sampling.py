@@ -228,3 +228,41 @@ def stratified_sample(
         expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
     thr = expr.otherwise(thr)
     return df.where(sample_hash(F.col(key), seed) < thr)
+
+
+def bounded_sample_pandas(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    sample_size: int = 16384,
+    seed: int = 0,
+    id_col: str | None = None,
+):
+    """Bounded driver-side sample of ``cols`` as a pandas frame — the one
+    recipe every sample-trained artifact shares (k-means quantizers, BPE
+    merges): with ``id_col``, the ``sample_size`` smallest
+    ``sample_hash(id, seed)`` rows, sorted within the sample so the local
+    order is total — deterministic AND repartition/retry-stable, compiled
+    to TakeOrderedAndProject; without an id, a seeded ``df.sample`` (NOT
+    partitioning-stable — per-partition RNG) with a 1.3x oversample +
+    limit.
+    """
+    if sample_size < 1:
+        raise ValueError(f"sample_size must be >= 1, got {sample_size}")
+    if id_col is not None:
+        h = sample_hash(F.col(id_col), seed)
+        sel = list(dict.fromkeys([*cols, id_col]))
+        return (
+            df.select(*sel, h.alias("__sq_h"))
+            .orderBy("__sq_h", id_col)
+            .limit(sample_size)
+            .toPandas()[cols]
+        )
+    n = df.count()
+    frac = min(1.0, (sample_size * 1.3) / max(n, 1))
+    return (
+        df.select(*cols)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .toPandas()[cols]
+    )

@@ -369,13 +369,16 @@ def cluster_balanced_sample(
             "sqrt": F.sqrt(F.col("__sq_n").cast("double")),
             "proportional": F.col("__sq_n").cast("double"),
         }[weighting]
-        tot_w = counts.agg(F.sum(w).alias("__sq_tw")).first()["__sq_tw"] or 1.0
         # floor allocation: deterministic, never exceeds the budget; the
         # remainder (< n_cells rows) is deliberately left unspent rather
-        # than re-ranked — budget semantics stay exact under re-runs
-        quotas = counts.select(
+        # than re-ranked — budget semantics stay exact under re-runs.
+        # The weight total stays IN-PLAN (1-row cross join) — a .first()
+        # here would eagerly run the whole assignment UDF once at call
+        # time and again at action time: one full corpus pass wasted.
+        tot = counts.agg(F.sum(w).alias("__sq_tw"))
+        quotas = counts.crossJoin(F.broadcast(tot)).select(
             "__sq_cell",
-            F.floor(w * F.lit(float(total)) / F.lit(float(tot_w)))
+            F.floor(w * F.lit(float(total)) / F.col("__sq_tw"))
             .cast("bigint")
             .alias("__sq_quota"),
         )
@@ -422,27 +425,15 @@ def _train_centroids(
     the trained cells don't move when the input's partitioning does. The
     ``orderBy(...).limit(n)`` compiles to TakeOrderedAndProject.
     """
-    from sequila_native_spark.functions.sampling import sample_hash
+    from sequila_native_spark.functions.sampling import bounded_sample_pandas
 
     n = corpus.count()
     if n == 0:
         raise ValueError("cannot train an IVF quantizer on an empty corpus")
-    if stable_id_col is not None:
-        h = sample_hash(F.col(stable_id_col), seed)
-        pdf = (
-            corpus.select(vec_col, h.alias("__sq_h"), stable_id_col)
-            .orderBy("__sq_h", stable_id_col)
-            .limit(sample_size)
-            .toPandas()
-        )
-    else:
-        frac = min(1.0, (sample_size * 1.3) / n)
-        pdf = (
-            corpus.select(vec_col)
-            .sample(withReplacement=False, fraction=frac, seed=seed)
-            .limit(sample_size)
-            .toPandas()
-        )
+    pdf = bounded_sample_pandas(
+        corpus, [vec_col], sample_size=sample_size, seed=seed,
+        id_col=stable_id_col,
+    )
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     if len(x) == 0:  # pathological sample; fall back to first rows
         x = np.array(

@@ -825,8 +825,14 @@ def _range_partitioned_nearest(
 
     chs_r = chunk_of(F.col(_RS))
     che_r = F.greatest(chs_r, chunk_of(F.col(_RE)))
-    rch = rbid.select(*r_keys, _PID, _RS, _RE).withColumn(
-        _CH, F.explode(F.sequence(chs_r, che_r))
+    # probes with ANY null bound can't probe (greatest() would mask a null
+    # end and feed the kernel a garbage int64 via the NaN conversion) —
+    # drop them here; the final left join null-pads them, matching the
+    # partitioned path's notna() handling
+    rch = (
+        rbid.select(*r_keys, _PID, _RS, _RE)
+        .na.drop(subset=[_RS, _RE])
+        .withColumn(_CH, F.explode(F.sequence(chs_r, che_r)))
     )
     cand_schema = StructType([
         StructField(_PID, LongType(), False),

@@ -485,6 +485,8 @@ def _rp_random_tables(spark, seed, n_build=120, n_probe=90):
         probe.append((key, s, e, i))
     probe.append((None, 5, 9, n_probe))      # null key
     probe.append(("c1", None, None, n_probe + 1))  # null bounds
+    probe.append(("c1", 50, None, n_probe + 2))    # null END only
+    probe.append(("c2", None, 70, n_probe + 3))    # null START only
     b = spark.createDataFrame(build, "contig string, start int, end int, bid int")
     p = spark.createDataFrame(
         probe, "contig string, p_start int, p_end int, pid int"

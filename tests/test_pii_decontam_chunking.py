@@ -413,8 +413,13 @@ def test_write_training_shards_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="shards"):
         write_training_shards(docs, "/tmp/never", shards=0)
-    with pytest.raises(ValueError, match="collides"):
+    with pytest.raises(ValueError, match="collide"):
         write_training_shards(
             docs.withColumnRenamed("doc_id", "shard"), "/tmp/never",
             id_col="shard",
+        )
+    with pytest.raises(ValueError, match="collide"):
+        # pre-existing 'shard' DATA column would be silently overwritten
+        write_training_shards(
+            docs.withColumn("shard", docs["doc_id"] % 2), "/tmp/never",
         )

@@ -31,14 +31,14 @@ def test_report_matches_duckdb_twin(spark, docs):
 
 
 def test_percentiles_disc_semantics(spark):
-    # 10 docs, char lengths 1..10: p50 -> rank floor(9*.5)+1 = 5 -> value 5,
-    # p90 -> rank 9, p99 -> rank floor(9*.99)+1 = 9
+    # 10 docs, char lengths 1..10
     rows = [(i, "x" * i) for i in range(1, 11)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    # percentile_disc: rank ceil(n*p) -> p50 = 5, p90 = 9, p99 = 10 (max)
     assert got["chars_p50"] == 5
     assert got["chars_p90"] == 9
-    assert got["chars_p99"] == 9
+    assert got["chars_p99"] == 10
     assert got["n_docs"] == 10 and got["n_chars"] == 55
 
 
@@ -53,3 +53,26 @@ def test_adversarial_vs_duckdb(spark):
     want = dict(con.execute(corpus_report_sql("adocs")).fetchall())
     assert got == want
     assert got["n_docs"] == 7 and got["n_distinct_ids"] == 6
+
+
+def test_null_text_and_empty_table_vs_duckdb(spark):
+    import pandas as pd
+
+    con = duckdb.connect()
+    # null text: excluded from distributions, counted in n_docs
+    rows = [(1, "a b"), (2, None), (3, "xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    con.register("ndocs", df.toPandas())
+    want = dict(con.execute(corpus_report_sql("ndocs")).fetchall())
+    assert got == want
+    assert got["n_docs"] == 3 and got["chars_p50"] == 3
+
+    # empty table: metric rows present with NULL percentile values, both engines
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got_e = {r["metric"]: r["value"] for r in corpus_report(empty).collect()}
+    con.register("edocs", pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                        "text": pd.Series(dtype="object")}))
+    want_e = dict(con.execute(corpus_report_sql("edocs")).fetchall())
+    assert got_e == want_e
+    assert got_e["chars_p99"] is None and len(got_e) == 10
