@@ -1524,7 +1524,16 @@ def q_doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "lang",
-            F.size(F.split(F.lower(F.col("text")), " ")).alias("__w"),
+            # word count with Python .split() semantics (collapse runs of
+            # whitespace, 0 for empty, NULL for null) so n_words and
+            # n_bpe_tokens agree on null/empty/multi-space docs and
+            # tokens >= words holds per-row (advisor, r6)
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("__w"),
             bpe_token_count(F.col("text"), merges).alias("__t"),
         )
         .groupBy("lang")

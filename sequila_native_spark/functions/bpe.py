@@ -134,6 +134,12 @@ def _bpe_udf(merges: list[tuple[str, str]], count_only: bool):
         memo: dict[str, list[str]] = {}
         out = []
         for t in texts:
+            # NULL in → NULL out (not 0 / []): keeps n_bpe_tokens on the
+            # same null footing as any split()-derived word count, so the
+            # tokens >= words invariant can't flip on null docs (advisor, r6)
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                out.append(None)
+                continue
             toks: list[str] = []
             if t:
                 for w in t.lower().split():
@@ -143,7 +149,9 @@ def _bpe_udf(merges: list[tuple[str, str]], count_only: bool):
                         memo[w] = enc
                     toks.extend(enc)
             out.append(len(toks) if count_only else toks)
-        return pd.Series(out)
+        if count_only:
+            return pd.Series(out, dtype="Int32")
+        return pd.Series(out, dtype="object")
 
     if count_only:
         return F.pandas_udf(IntegerType())(run)

@@ -158,11 +158,26 @@ def pack_documents(
     # n_tokens_col: use a precomputed token count (e.g. bpe_token_count —
     # subword counts are what context-window capacity is measured in)
     # instead of the whitespace default
-    n_tok = (
-        F.col(n_tokens_col).cast("long")
-        if n_tokens_col is not None
-        else F.size(F.split(F.col(text_col), " ")).cast("long")
-    )
+    if n_tokens_col is not None:
+        if n_tokens_col not in df.columns:
+            raise ValueError(
+                f"n_tokens_col {n_tokens_col!r} not found in {df.columns}"
+            )
+        # NULL counts would silently propagate NULL cumsums/pack ids for
+        # every later row in the shard — fail fast instead (advisor, r6)
+        n_tok = (
+            F.when(
+                F.col(n_tokens_col).isNull(),
+                F.raise_error(F.lit(
+                    f"pack_documents: NULL in n_tokens_col "
+                    f"{n_tokens_col!r}; filter or impute counts first"
+                )),
+            )
+            .otherwise(F.col(n_tokens_col))
+            .cast("long")
+        )
+    else:
+        n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     base = df.select(
         F.col(id_col),
         (h % shards).alias("shard"),

@@ -703,15 +703,27 @@ def _range_partitioned_nearest(
         n_chunks = max(1, min(int(n_chunks), total_rows // 20_000))
     width = max(1, -(-(int(hi) - int(lo) + 1) // max(1, int(n_chunks))))
 
-    def chunk_of(col):
-        return F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    def chunk_of(name):
+        # exact integer chunk math (long DIV): double division would round
+        # coordinates beyond 2^53 onto chunk ids with no witness-domain row,
+        # silently dropping flanks (advisor, r6). The checked-int32 bounds
+        # contract (tests/test_nearest_count.py::
+        # test_huge_coordinates_raise_int32_guard) already keeps such values
+        # out of every path; integer math removes the hazard structurally.
+        # DIV truncates toward zero == floor here because the numerator is
+        # nonnegative: ``lo`` is the global min start over BOTH sides and
+        # intervals satisfy start <= end, so every bound is >= lo.
+        return F.expr(
+            f"CAST((CAST(`{name}` AS BIGINT) - {int(lo)}) "
+            f"DIV {int(width)} AS BIGINT)"
+        )
 
     lbid = stamp_row_id(lb, _BID)
     rbid = stamp_row_id(rb, _PID)
 
     # ---- stage 1: per-(key, chunk) build sets with flank witnesses -----
-    chs_l = chunk_of(F.col(_LS))
-    che_l = F.greatest(chs_l, chunk_of(F.col(_LE)))
+    chs_l = chunk_of(_LS)
+    che_l = F.greatest(chs_l, chunk_of(_LE))
     lch = lbid.select(*l_keys, _BID, _LS, _LE).withColumn(
         _CH, F.explode(F.sequence(chs_l, che_l))
     )
@@ -805,7 +817,7 @@ def _range_partitioned_nearest(
         iu = idn = True
     if not iu:
         lch = lch.unionByName(flank_witnesses(
-            chunk_of(F.col(_LE)), below=True,
+            chunk_of(_LE), below=True,
             order_by=[F.col(_LE).desc(), F.col(_LS).asc(), F.col(_BID).asc()],
             min_struct=F.struct(
                 F.negative(F.col(_LE)).alias("o1"),
@@ -815,7 +827,7 @@ def _range_partitioned_nearest(
         ))
     if not idn:
         lch = lch.unionByName(flank_witnesses(
-            chunk_of(F.col(_LS)), below=False,
+            chunk_of(_LS), below=False,
             order_by=[F.col(_LS).asc(), F.col(_LE).asc(), F.col(_BID).asc()],
             min_struct=F.struct(
                 F.col(_LS).alias("s"), F.col(_LE).alias("e"),
@@ -823,8 +835,8 @@ def _range_partitioned_nearest(
             ),
         ))
 
-    chs_r = chunk_of(F.col(_RS))
-    che_r = F.greatest(chs_r, chunk_of(F.col(_RE)))
+    chs_r = chunk_of(_RS)
+    che_r = F.greatest(chs_r, chunk_of(_RE))
     # probes with ANY null bound can't probe (greatest() would mask a null
     # end and feed the kernel a garbage int64 via the NaN conversion) —
     # drop them here; the final left join null-pads them, matching the

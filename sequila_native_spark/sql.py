@@ -604,9 +604,17 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             mrows = (
                 spark.table(a[1])
                 .select("left", "right", "rank")
-                .orderBy("rank")
+                .orderBy("rank", "left", "right")
                 .collect()
             )
+            ranks = [r["rank"] for r in mrows]
+            if len(set(ranks)) != len(ranks):
+                # duplicate ranks would make the merge ORDER — and thus the
+                # tokenization — nondeterministic across runs (advisor, r6)
+                raise ValueError(
+                    "sequila_bpe_count: merges table has duplicate rank "
+                    "values; merge order would be ambiguous"
+                )
             merges = [(r["left"], r["right"]) for r in mrows]
             docs = spark.table(a[0])
             return docs.select(

@@ -136,3 +136,54 @@ def test_pack_documents_accepts_bpe_counts(spark, toy):
     got = {r["doc_id"]: r["n_tokens"] for r in out}
     want = {r["doc_id"]: r["bpe_n"] for r in with_counts.collect()}
     assert got == want  # packing arithmetic runs on the subword counts
+
+
+def test_null_and_empty_text_semantics(spark, toy):
+    """NULL text → NULL count/tokens (not 0/[]); empty text → 0/[] — the
+    same null footing as split()-derived word counts (advisor, r6)."""
+    merges = train_bpe(toy, n_merges=6, id_col="doc_id")
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "low  low")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n"], r["t"])
+        for r in df.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), merges).alias("n"),
+            bpe_tokenize(F.col("text"), merges).alias("t"),
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == (0, [])
+    assert rows[3] == (0, [])  # whitespace-only collapses like str.split()
+    assert rows[4][0] == len(rows[4][1]) > 0
+
+
+def test_tvf_bpe_count_rejects_duplicate_ranks(spark, toy):
+    from sequila_native_spark.sql import sequila_sql
+
+    spark.createDataFrame(
+        [("e", "s", 0), ("l", "o", 0)],
+        "left string, right string, rank int",
+    ).createOrReplaceTempView("bpe_dup_merges")
+    toy.createOrReplaceTempView("bpe_docs")
+    with pytest.raises(ValueError, match="duplicate rank"):
+        sequila_sql(
+            spark,
+            "SELECT * FROM sequila_bpe_count('bpe_docs', 'bpe_dup_merges', "
+            "'text', 'doc_id')",
+        )
+
+
+def test_pack_documents_validates_n_tokens_col(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from sequila_native_spark.functions import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c", None)], "doc_id long, text string, n int"
+    )
+    with pytest.raises(ValueError, match="n_tokens_col"):
+        pack_documents(docs, n_tokens_col="missing")
+    with pytest.raises(Exception, match="NULL in n_tokens_col"):
+        pack_documents(docs, shards=1, n_tokens_col="n").collect()

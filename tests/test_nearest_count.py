@@ -560,3 +560,24 @@ def test_range_partitioned_conf_name_routes(spark):
     finally:
         spark.conf.unset("spark.sequila.intervalJoinAlgorithm")
     assert got == base
+
+
+def test_huge_coordinates_raise_int32_guard(spark):
+    """Coordinates beyond int32 (and a fortiori beyond double-exact 2^53,
+    where floating chunk arithmetic would silently drop flank witnesses —
+    advisor, r6) must RAISE via the checked-int32 bounds contract before
+    any chunk math runs, on the chunked path like every other."""
+    base_c = 1 << 60
+    build = spark.createDataFrame(
+        [("c1", base_c + 10, base_c + 20, 0)],
+        "contig string, start long, end long, bid int",
+    )
+    probe = spark.createDataFrame(
+        [("c1", base_c + 25, base_c + 30, 2)],
+        "contig string, p_start long, p_end long, pid int",
+    )
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    with pytest.raises(Exception, match="[Cc]ast"):
+        nearest_join(build, probe, **kw,
+                     algorithm="range_partitioned").collect()

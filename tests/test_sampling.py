@@ -171,3 +171,11 @@ def test_split_dataset_rejects_nonpositive_weights(spark):
         split_dataset(df, {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="must be > 0"):
         split_dataset(df, {"a": 1.0, "b": 0.0})
+
+
+def test_bounded_sample_rejects_reserved_hash_column(spark):
+    from sequila_native_spark.functions.sampling import bounded_sample_pandas
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, __sq_h long")
+    with pytest.raises(ValueError, match="__sq_h"):
+        bounded_sample_pandas(df, ["doc_id"], id_col="doc_id")
