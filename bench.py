@@ -93,6 +93,10 @@ HEADLINE = [
     "doc_dsir_selected",          # DSIR importance resampling (r6)
     "stream_embedding_gate",      # stateless stream-static embedding gate (r6)
     "doc_dup_span_stats",         # ExactSubstr duplicated-span stats (r6)
+    "persisted_gate_probe",       # at-rest bucketBy index probe (r7): sample 1
+                                  # builds+persists the index, later samples
+                                  # time the pure probe — min = probe floor
+    "training_prep_pipeline",     # classify→BPE→budget→pack→shard writer (r7)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with
@@ -127,6 +131,14 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # pre-size the heap to the max: the 50x row's first-sample spread
+        # (1.56x its floor, r6) tracked heap RE-growth after ~40 small
+        # queries shrank it — starting committed at -Xms removes the
+        # grow-the-heap GC pauses from the first large-volume sample
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -163,6 +175,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    confirmed: dict[str, bool] = {}
     for name in HEADLINE:
         fn = qs[name]
         drop_stale_persisted()
@@ -187,7 +200,14 @@ def main() -> None:
                 break
         timings[name] = round(min(times), 3)
         samples[name] = [round(t, 3) for t in times]
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        # a floor is CONFIRMED when the two fastest samples agree within
+        # 25% — an unconfirmed row means the host never gave two quiet
+        # runs and the recorded min may still sit above the true floor
+        # (VERDICT r6 item 2: flag it instead of silently recording)
+        s = sorted(times)
+        confirmed[name] = len(s) >= 2 and s[1] <= 1.25 * s[0]
+        print(f"# {name}: {timings[name]:.2f}s"
+              + ("" if confirmed[name] else " [unconfirmed]"), file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
@@ -256,6 +276,10 @@ def main() -> None:
             t = min(t, t2)
         timings["overlap_count_50x"] = round(t, 3)
         samples["overlap_count_50x"] = fifty
+        sf50 = sorted(fifty)
+        confirmed["overlap_count_50x"] = (
+            len(sf50) >= 2 and sf50[1] <= 1.25 * sf50[0]
+        )
         print(f"# overlap_count_50x (excluded from total): "
               f"{timings['overlap_count_50x']:.2f}s", file=sys.stderr)
 
@@ -290,6 +314,7 @@ def main() -> None:
     # stdout line is the compact legacy object the driver parses.
     detail = {
         "samples": samples,
+        "confirmed": confirmed,
         "anchors": anchors,
         "queries_normalized": queries_normalized,
         "throughput": throughput,
@@ -308,6 +333,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # names whose floor confirmation (two fastest within 25%) never
+        # landed — treat their timings as upper bounds, not floors
+        "unconfirmed": sorted(k for k, v in confirmed.items() if not v),
         "sf": sf,
     }))
     spark.stop()

@@ -270,3 +270,196 @@ def test_pack_plan_single_shuffle_no_python(spark):
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+# --- persisted (at-rest) gate indexes: the bucketBy 100 TB story (r7) ------
+
+
+def _index_scan_details(plan: str, table: str) -> str:
+    """The formatted-explain details block of `table`'s FileScan."""
+    i = plan.find(f"Scan parquet spark_catalog.default.{table}\nOutput")
+    assert i >= 0, plan
+    j = plan.find("\n\n(", i)
+    return plan[i:j if j > 0 else len(plan)]
+
+
+def test_persisted_band_index_gate_bucket_scan_no_corpus_exchange(spark, tmp_path):
+    """corpus_band_index written with bucketBy(B, band_hash), read back, and
+    probed through stream_dedup_against_corpus must (a) return exactly the
+    in-plan-index pairs and (b) consume the bucketed layout directly:
+    `Bucketed: true` on the index scan means its HashPartitioning(band_hash)
+    feeds the candidate join with ZERO corpus-side exchange (the planner
+    reports `false (disabled by query planner)` whenever it would shuffle).
+    The probe side shuffles; at 100 TB that's the daily batch, not the
+    corpus."""
+    import uuid
+
+    from sequila_native_spark.functions.dedup import (
+        corpus_band_index,
+        stream_dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    n_bkt = 8
+    idx = corpus_band_index(corpus, k=8, bands=4, hash_family="md5")
+    (idx.write.bucketBy(n_bkt, "band_hash").sortBy("band_hash")
+     .mode("overwrite").saveAsTable(t))
+    try:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # big-probe shape: no broadcast, so the join must honor partitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        persisted = spark.table(t)
+        out = stream_dedup_against_corpus(
+            batch, corpus, k=8, bands=4, hash_family="md5",
+            corpus_index=persisted,
+        )
+        details = _index_scan_details(formatted_plan(out), t)
+        assert "Bucketed: true" in details, details
+        assert f"SelectedBucketsCount: {n_bkt} out of {n_bkt}" in details
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, k=8, bands=4, hash_family="md5").collect()}
+    assert got == want and got
+
+
+def test_persisted_band_index_small_batch_broadcasts_corpus_never_shuffles(
+    spark, tmp_path
+):
+    """The daily-ingest shape (batch ≪ corpus, default thresholds): the
+    banded BATCH side broadcasts, so the persisted index scan streams with
+    no exchange at all between its scan and the candidate join — assert no
+    Exchange is planned downstream of the index scan before the first
+    join consumes it."""
+    import uuid
+
+    from sequila_native_spark.functions.dedup import (
+        corpus_band_index,
+        stream_dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    idx = corpus_band_index(corpus, k=8, bands=4, hash_family="md5")
+    (idx.write.bucketBy(8, "band_hash").sortBy("band_hash")
+     .mode("overwrite").saveAsTable(t))
+    try:
+        out = stream_dedup_against_corpus(
+            batch, corpus, k=8, bands=4, hash_family="md5",
+            corpus_index=spark.table(t),
+        )
+        plan = formatted_plan(out)
+        # tree section: the index scan's parent chain up to its join must
+        # not contain an Exchange. In the tree the scan line and its
+        # ancestors share the left-rail prefix; walk lines upward from the
+        # scan until the first *Join line, collecting operator names.
+        tree = plan[: plan.find("\n\n(")]
+        lines = tree.splitlines()
+        scan_ln = next(
+            i for i, ln in enumerate(lines)
+            if f"spark_catalog.default.{t}" in ln
+        )
+
+        def indent(ln: str) -> int:
+            return ln.index("- ") if "- " in ln else len(ln)
+
+        cur = indent(lines[scan_ln])
+        for i in range(scan_ln - 1, -1, -1):
+            ln = lines[i]
+            if "- " not in ln or indent(ln) >= cur:
+                continue
+            cur = indent(ln)
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, k=8, bands=4, hash_family="md5").collect()}
+    assert got == want
+
+
+def test_persisted_vector_bucket_index_gate(spark, tmp_path):
+    """vector_bucket_index persisted bucketed by (table, bucket), read back,
+    probed via stream_embedding_gate: identical pairs to the in-plan index
+    and `Bucketed: true` on the index scan in the big-probe (no-broadcast)
+    shape — the corpus is never re-hashed NOR shuffled."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        stream_embedding_gate,
+        vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    t = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    n_bkt = 8
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    (idx.write.bucketBy(n_bkt, "__sq_table", "__sq_bkt")
+     .sortBy("__sq_table", "__sq_bkt").mode("overwrite").saveAsTable(t))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = stream_embedding_gate(
+            batch, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+            corpus_index=spark.table(t),
+        )
+        details = _index_scan_details(formatted_plan(out), t)
+        assert "Bucketed: true" in details, details
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_embedding_gate(
+        batch, corpus, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+    ).collect()}
+    assert got == want and got
+
+
+def test_persisted_band_index_streaming_probe(spark, tmp_path):
+    """The full at-rest production loop: persist the bucketed band index
+    once, then probe it from a STREAMING micro-batch source — output equals
+    the batch in-plan-index run, no state store, append mode."""
+    import uuid
+
+    from sequila_native_spark.functions.dedup import (
+        corpus_band_index,
+        stream_dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    idx = corpus_band_index(corpus, k=8, bands=4, hash_family="md5")
+    (idx.write.bucketBy(8, "band_hash").sortBy("band_hash")
+     .mode("overwrite").saveAsTable(t))
+    src = str(tmp_path / "persisted_gate_src")
+    batch.write.mode("overwrite").parquet(src)
+    qn = f"pg_out_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        out = stream_dedup_against_corpus(
+            stream, corpus, k=8, bands=4, hash_family="md5",
+            corpus_index=spark.table(t),
+        )
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName(qn)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.table(qn).collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, k=8, bands=4, hash_family="md5").collect()}
+    assert got == want and got

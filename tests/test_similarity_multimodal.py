@@ -675,3 +675,44 @@ def test_tvf_balanced_matches_api(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     with pytest.raises(ValueError, match="sequila_balanced takes"):
         sequila_sql(spark, "SELECT * FROM sequila_balanced('bal_vecs')")
+
+
+def test_stream_gate_recall_dial_floors(spark):
+    """The driver's stream_gate_recall row (r7, VERDICT r6 item 5): gate ⊆
+    exact (precision 1 — n_hit == n_gate), and the finer 4-plane × 8-table
+    dial must recall well over half of the exact pairs at the 0.3
+    threshold while the gate row's own 6×4 stays a strict subset. Pinned
+    floors from the deterministic seeded planes at sf0.001."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = {
+        (r["n_planes"], r["n_tables"]): r
+        for r in mod.q_stream_gate_recall(spark, SF).collect()
+    }
+    for r in rows.values():
+        assert r["n_hit"] == r["n_gate"], "gate must be a subset of exact"
+        assert r["n_exact"] > 0
+    assert rows[(4, 8)]["recall_milli"] > rows[(6, 4)]["recall_milli"]
+    assert rows[(4, 8)]["recall_milli"] >= 500
+
+
+def test_training_prep_pipeline_laws(spark):
+    """The composed training-prep row (r7, VERDICT r6 item 7): every
+    conservation law must hold at test scale."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    row = mod.q_training_prep_pipeline(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["tokens_match"] and r["rows_match"]
+    assert r["shards_match"] and r["offsets_ok"]
+    assert 0 < r["sel_tokens"] <= 9000
+    assert r["n_selected"] > 0 and r["n_packs"] > 0
