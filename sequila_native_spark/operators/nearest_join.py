@@ -74,8 +74,9 @@ Algorithms:
        away across a sparse region. Per ``(key, chunk)``, the top-k builds
        by ``(end desc, start asc)`` BELOW the chunk and by ``(start asc,
        end asc)`` ABOVE it are gathered from per-chunk summary tables
-       (tiny: ≤ keys × chunks × k rows; the gather is the documented
-       O(chunks²·k) summary join). Within each flank class that ordering
+       (tiny: ≤ keys × chunks × k rows; gathered via a prefix-min window
+       for k=1 and a two-level super-chunk hierarchy for k>1 — see
+       ``flank_witnesses``). Within each flank class that ordering
        equals the ``(distance, start, end)`` ordering for EVERY probe in
        the chunk — distance is ``qs − end`` (resp. ``start − qe``) with the
        class boundary fixed — so the witness set provably contains the
@@ -91,6 +92,7 @@ Algorithms:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -657,6 +659,8 @@ _DIST = "__sq_dist"
 _BID = "__sq_build_id"
 _CH = "__sq_chunk"
 _PCH = "__sq_probe_chunk"
+_SUP = "__sq_sup"
+_PSUP = "__sq_probe_sup"
 
 
 def _range_partitioned_nearest(
@@ -670,9 +674,10 @@ def _range_partitioned_nearest(
     replication of the pruned ``(keys, id, bounds)`` projections into the
     cogroup, (b) candidate rows — ≤ (k + 2k) × chunks-spanned per probe,
     compact fixed-width rows, and (c) two id-equi joins to rehydrate
-    payloads. The witness gather is O(chunks²·k) SUMMARY rows per key —
-    bounded by ``NEAREST_MAX_CHUNKS``; past that a two-level chunk
-    hierarchy would be next (DESIGN.md).
+    payloads. The witness gather touches only SUMMARY rows: a prefix-min
+    window (O(chunks) per key) at k=1, a two-level super-chunk hierarchy
+    (O(chunks^1.5·k)) at k>1 — no quadratic term remains (r7);
+    ``NEAREST_MAX_CHUNKS`` now only bounds the chunk-domain grid.
     """
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
@@ -739,7 +744,7 @@ def _range_partitioned_nearest(
     # kernel — no separate probe pass, no special-cased distance math; they
     # never duplicate local replication (their span lies entirely outside
     # the target chunk). Volume: ≤ keys × chunks × 2k summary-sized rows;
-    # the gather below is the documented O(chunks²·k) summary join.
+    # gathered by prefix-min window (k=1) / two-level hierarchy (k>1).
     n_ch = int((int(hi) - int(lo)) // width) + 1
     dom = (
         lbid.select(*l_keys).distinct()
@@ -757,52 +762,136 @@ def _range_partitioned_nearest(
         )
         if k == 1:
             # top-1 per (key, chunk) via min(struct) — map-side combinable
-            # partial aggregation, NO full build-side sort shuffle (the
-            # row_number window below shuffles and sorts every build row;
-            # measured 2 such shuffles ≈ the whole partitioned path's cost)
+            # partial aggregation, NO full build-side sort shuffle — then a
+            # prefix/suffix MIN WINDOW over the (key, chunk) grid: within a
+            # flank class min() is associative, so min over {chunks < p}
+            # equals the running min of per-chunk minima. O(keys × chunks)
+            # rows total and no inequality join at all (r7; the former
+            # chunk-domain × summaries join was the documented O(chunks²)
+            # term). The window sorts ≤ chunks summary rows per key.
             s = (
                 base.groupBy(*l_keys, _CH)
                 .agg(F.min(min_struct).alias("__sq_m"))
-                .select(
-                    *l_keys, _CH,
-                    F.col("__sq_m.b").alias(_BID),
-                    F.col("__sq_m.s").alias(_LS),
-                    F.col("__sq_m.e").alias(_LE),
-                )
             )
-        else:
-            s = (
-                base.withColumn("__sq_rn", F.row_number().over(
-                    Window.partitionBy(*l_keys, _CH).orderBy(*order_by)
-                ))
-                .where(F.col("__sq_rn") <= k)
-                .drop("__sq_rn")
+            # dom and s share lbid's lineage — alias-qualify the self-join
+            s = s.alias("__sq_s")
+            d = dom.alias("__sq_d")
+            sc = lambda c: F.col(f"__sq_s.{c}")  # noqa: E731
+            dc = lambda c: F.col(f"__sq_d.{c}")  # noqa: E731
+            cond = sc(_CH) == dc(_PCH)
+            for lk in l_keys:
+                cond = cond & (sc(lk) == dc(lk))
+            grid = d.join(s, cond, "left").select(
+                *[dc(lk) for lk in l_keys], dc(_PCH),
+                sc("__sq_m").alias("__sq_m"),
             )
-        # dom and s share lbid's lineage — alias-qualify the self-join
-        s = s.alias("__sq_s")
-        d = dom.alias("__sq_d")
-        sc = lambda c: F.col(f"__sq_s.{c}")  # noqa: E731
-        dc = lambda c: F.col(f"__sq_d.{c}")  # noqa: E731
-        cond = (sc(_CH) < dc(_PCH)) if below else (sc(_CH) > dc(_PCH))
-        for lk in l_keys:
-            cond = cond & (sc(lk) == dc(lk))
-        g = d.join(s, cond).select(
-            dc(_PCH), *[dc(lk) for lk in l_keys], sc(_BID), sc(_LS), sc(_LE)
-        )
-        if k == 1:
+            w = Window.partitionBy(*l_keys).orderBy(F.col(_PCH).asc())
+            w = (
+                w.rowsBetween(Window.unboundedPreceding, -1) if below
+                else w.rowsBetween(1, Window.unboundedFollowing)
+            )
             return (
-                g.groupBy(*l_keys, _PCH)
-                .agg(F.min(min_struct).alias("__sq_m"))
+                grid.withColumn("__sq_pm", F.min("__sq_m").over(w))
+                .where(F.col("__sq_pm").isNotNull())
                 .select(
                     *l_keys,
-                    F.col("__sq_m.b").alias(_BID),
-                    F.col("__sq_m.s").alias(_LS),
-                    F.col("__sq_m.e").alias(_LE),
+                    F.col("__sq_pm.b").alias(_BID),
+                    F.col("__sq_pm.s").alias(_LS),
+                    F.col("__sq_pm.e").alias(_LE),
                     F.col(_PCH).alias(_CH),
                 )
             )
+
+        # k > 1: two-level chunk hierarchy (r7, DESIGN.md). Builds strictly
+        # below chunk p split into (a) whole super-chunks below p's and
+        # (b) p's own super-chunk's chunks below p. Top-k is associative
+        # over that partition of the flank, and per-chunk / per-super-chunk
+        # top-k restrictions preserve membership (the same argument as the
+        # global reduce) — so the union of the two gathers provably
+        # contains the flank's true top-k. Gather volume: the super-level
+        # inequality join is O(n_sup² · k) = O(chunks · k) and the
+        # same-super join fans out ≤ G·k per chunk — O(chunks^1.5 · k)
+        # total, replacing the flat O(chunks² · k) join.
+        s = (
+            base.withColumn("__sq_rn", F.row_number().over(
+                Window.partitionBy(*l_keys, _CH).orderBy(*order_by)
+            ))
+            .where(F.col("__sq_rn") <= k)
+            .drop("__sq_rn")
+        )
+        G = max(1, math.isqrt(n_ch))
+        sup_of = lambda c: F.floor(c / F.lit(G)).cast("long")  # noqa: E731
+        s = s.withColumn(_SUP, sup_of(F.col(_CH)))
+        s_sup = (
+            s.withColumn("__sq_rn", F.row_number().over(
+                Window.partitionBy(*l_keys, _SUP).orderBy(*order_by)
+            ))
+            .where(F.col("__sq_rn") <= k)
+            .drop("__sq_rn")
+        )
+        dom_ps = dom.withColumn(_PSUP, sup_of(F.col(_PCH)))
+        dom_sup = dom_ps.select(*l_keys, _PSUP).distinct()
+
+        def keyed(cond, a, b):
+            for lk in l_keys:
+                cond = cond & (F.col(f"{a}.{lk}") == F.col(f"{b}.{lk}"))
+            return cond
+
+        # level A: per-(key, super) prefix top-k over the tiny per-super
+        # summaries (≤ keys × n_sup × k rows each side)
+        sa, da = s_sup.alias("__sq_sa"), dom_sup.alias("__sq_da")
+        supc, psupc = F.col(f"__sq_sa.{_SUP}"), F.col(f"__sq_da.{_PSUP}")
+        ga = da.join(
+            sa, keyed(supc < psupc if below else supc > psupc,
+                      "__sq_sa", "__sq_da"),
+        ).select(
+            *[F.col(f"__sq_da.{lk}") for lk in l_keys],
+            F.col(f"__sq_da.{_PSUP}"),
+            F.col(f"__sq_sa.{_BID}").alias(_BID),
+            F.col(f"__sq_sa.{_LS}").alias(_LS),
+            F.col(f"__sq_sa.{_LE}").alias(_LE),
+        )
+        sup_prefix = (
+            ga.withColumn("__sq_rn", F.row_number().over(
+                Window.partitionBy(*l_keys, _PSUP).orderBy(*order_by)
+            ))
+            .where(F.col("__sq_rn") <= k)
+            .drop("__sq_rn")
+        )
+        # level B1: every chunk inherits its super's prefix top-k (equi)
+        b1 = dom_ps.alias("__sq_db").join(
+            sup_prefix.alias("__sq_pb"),
+            keyed(F.col(f"__sq_db.{_PSUP}") == F.col(f"__sq_pb.{_PSUP}"),
+                  "__sq_pb", "__sq_db"),
+        ).select(
+            *[F.col(f"__sq_db.{lk}") for lk in l_keys],
+            F.col(f"__sq_db.{_PCH}"),
+            F.col(f"__sq_pb.{_BID}").alias(_BID),
+            F.col(f"__sq_pb.{_LS}").alias(_LS),
+            F.col(f"__sq_pb.{_LE}").alias(_LE),
+        )
+        # level B2: same-super chunks strictly on the flank side — an
+        # equi-join on (key, super) with the chunk inequality as residual;
+        # fan-out ≤ G·k per chunk
+        sb, db = s.alias("__sq_sb"), dom_ps.alias("__sq_d2")
+        chc, pchc = F.col(f"__sq_sb.{_CH}"), F.col(f"__sq_d2.{_PCH}")
+        b2 = db.join(
+            sb,
+            keyed(
+                (F.col(f"__sq_sb.{_SUP}") == F.col(f"__sq_d2.{_PSUP}"))
+                & (chc < pchc if below else chc > pchc),
+                "__sq_sb", "__sq_d2",
+            ),
+        ).select(
+            *[F.col(f"__sq_d2.{lk}") for lk in l_keys],
+            F.col(f"__sq_d2.{_PCH}"),
+            F.col(f"__sq_sb.{_BID}").alias(_BID),
+            F.col(f"__sq_sb.{_LS}").alias(_LS),
+            F.col(f"__sq_sb.{_LE}").alias(_LE),
+        )
         return (
-            g.withColumn("__sq_rn", F.row_number().over(
+            b1.unionByName(b2)
+            .withColumn("__sq_rn", F.row_number().over(
                 Window.partitionBy(*l_keys, _PCH).orderBy(*order_by)
             ))
             .where(F.col("__sq_rn") <= k)

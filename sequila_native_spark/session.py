@@ -92,12 +92,13 @@ DEFAULT_NEAREST_SALT = 1
 # lifts parallelism past the distinct-key bound WITHOUT salting's full
 # build-side replication — only per-chunk flank witnesses replicate).
 # "auto" = max(32, 4 * defaultParallelism), capped below. The witness
-# gather is an O(chunks^2 x k) summary join per key (tiny rows), so the cap
-# keeps that quadratic term bounded; past ~4k chunks a two-level chunking
-# would be the next step (documented in DESIGN.md, not needed at any
-# measured scale).
+# gather is a prefix-min window for k=1 (O(chunks) summary rows per key)
+# and a two-level super-chunk hierarchy for k>1 (O(chunks^1.5 x k) — r7,
+# replacing the flat O(chunks^2) join that motivated the old 4096 cap).
+# The cap now only bounds the chunk-domain explode (keys x chunks grid
+# rows) against absurd settings.
 DEFAULT_NEAREST_CHUNKS: int | str = "auto"
-NEAREST_MAX_CHUNKS = 4096
+NEAREST_MAX_CHUNKS = 262_144
 
 # Reference algorithm enum (session_context.rs:62-72) → our implementations.
 # All reference index flavors are output-equivalent; they differ only in the

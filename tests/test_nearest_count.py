@@ -581,3 +581,23 @@ def test_huge_coordinates_raise_int32_guard(spark):
     with pytest.raises(Exception, match="[Cc]ast"):
         nearest_join(build, probe, **kw,
                      algorithm="range_partitioned").collect()
+
+
+@pytest.mark.parametrize("extra", [dict(), dict(k=3)])
+def test_range_partitioned_beyond_old_chunk_cap(spark, extra):
+    """Chunk counts beyond the old 4096 cap (pre-r7 the quadratic witness
+    gather made them impractical; the prefix-window / two-level hierarchy
+    removed the term) must stay bit-identical to the flat partitioned
+    path."""
+    build, probe = _rp_random_tables(spark, seed=11)
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, **extra,
+                                 algorithm="partitioned"))
+    try:
+        spark.conf.set("spark.sequila.nearestChunks", "8192")
+        got = rows_set(nearest_join(build, probe, **kw, **extra,
+                                    algorithm="range_partitioned"))
+    finally:
+        spark.conf.unset("spark.sequila.nearestChunks")
+    assert got == base
