@@ -1676,6 +1676,43 @@ def q_persisted_index_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("gate")
 
 
+def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (r7 — the Lee et al. 2021 deletion pass the
+    stats row only measured): per-lang token totals before/after removal
+    with the conservation law ``n_kept == n_tokens − dup_tokens`` checked
+    in-row against the hash-oracle-checked ``duplicated_span_stats`` at
+    the same (n, min_count). Rows-only (the kept-text splice has no clean
+    SQL twin); Python-reference parity is pinned in tests/test_dupspans.py
+    and the law ties it to the in-prefix doc_dup_span_stats oracle."""
+    from sequila_native_spark.functions import (
+        duplicated_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = duplicated_span_stats(docs, n=4)
+    rem = remove_duplicate_spans(docs, n=4).select(
+        "doc_id", "lang", "n_kept_tokens"
+    )
+    return (
+        rem.join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+            F.sum("n_kept_tokens").cast("bigint").alias("tokens_after"),
+            F.sum(
+                F.when(
+                    F.col("n_kept_tokens")
+                    != F.col("n_tokens") - F.col("dup_tokens"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_law_violations"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_persisted_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY row (not in ``queries()``): probe the PERSISTED bucketed
     band index through the streaming dedup gate. The index is built once
@@ -2272,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persisted_index_gates": q_persisted_index_gates,
         "stream_gate_recall": q_stream_gate_recall,
         "training_prep_pipeline": q_training_prep_pipeline,
+        "doc_span_removal": q_doc_span_removal,
     }
 
 

@@ -20,6 +20,7 @@ from sequila_native_spark.functions.text import (
     winnow_fingerprints,
 )
 from sequila_native_spark.functions.dedup import (
+    append_corpus_band_index,
     corpus_band_index,
     dedup_against_corpus,
     hamming_band_pairs,
@@ -52,6 +53,7 @@ from sequila_native_spark.functions.dupspans import (
     duplicated_span_stats,
     duplicated_span_stats_sql,
     positioned_shingles,
+    remove_duplicate_spans,
 )
 from sequila_native_spark.functions.dsir import (
     dsir_resample,
@@ -158,7 +160,8 @@ __all__ = [
     "minhash_signature_draws", "minhash_signature_draws_sql",
     "minhash_pairs", "ngram_jaccard_pairs", "simhash64", "simhash_pairs",
     "dedup_against_corpus", "filter_new_against_corpus",
-    "corpus_band_index", "stream_dedup_against_corpus",
+    "corpus_band_index", "append_corpus_band_index",
+    "stream_dedup_against_corpus",
     "winnow_fingerprints", "winnow_containment_pairs",
     "cosine", "cosine_topk", "near_dup_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "embedding_dups_against_corpus", "semantic_dedup",
@@ -166,6 +169,7 @@ __all__ = [
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "stream_embedding_gate", "vector_bucket_index",
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
+    "remove_duplicate_spans",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

@@ -583,6 +583,48 @@ def corpus_band_index(
              "__sq_band.band_idx", "__sq_band.band_hash")
 
 
+def append_corpus_band_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 8,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_family: str = "fast",
+) -> None:
+    """Incremental maintenance of a PERSISTED bucketed
+    :func:`corpus_band_index` table: append the band rows of newly ingested
+    corpus docs with the SAME ``bucketBy(buckets, "band_hash")`` spec, so
+    the at-rest index stays probe-ready without ever re-signing the
+    existing corpus — the daily step after
+    :func:`stream_dedup_against_corpus` admits a batch.
+
+    Cost is O(|new docs|): one signature scan over the increment and a
+    bucketed write. Spark hashes appended rows into the table's existing
+    bucket scheme, so bucket-pruned probes see old and new rows alike —
+    pinned equal to a full rebuild in tests/test_plans.py. Creates the
+    table when it does not exist (first ingest bootstraps the index).
+
+    The caller owns dedup of re-ingested ids (appending the same doc twice
+    duplicates its band rows — harmless for the gate's pair SET, wasteful
+    for storage; anti-join the increment against admitted ids first, e.g.
+    via :func:`filter_new_against_corpus`).
+    """
+    idx = corpus_band_index(
+        new_docs, text_col, id_col,
+        k=k, bands=bands, n=n, hash_family=hash_family,
+    )
+    (
+        idx.write.bucketBy(int(buckets), "band_hash")
+        .sortBy("band_hash")
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
 def stream_dedup_against_corpus(
     docs: DataFrame,
     corpus: DataFrame,

@@ -198,3 +198,163 @@ def duplicated_span_stats_sql(
                CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
         FROM {table} d LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    kept_col: str = "kept_text",
+) -> DataFrame:
+    """The paper's REMOVAL pass (Lee et al. 2021 §4.2): delete every token
+    covered by a duplicated n-gram and keep the rest, preserving order.
+    Appends to each input row:
+
+    - ``kept_col``: the surviving tokens joined by single spaces (token-
+      normalized — lowercased/whitespace-split like every operator in this
+      family; NULL text stays NULL),
+    - ``n_tokens`` / ``n_kept_tokens``: exact integers with the invariant
+      ``n_kept_tokens == n_tokens - dup_tokens`` against
+      :func:`duplicated_span_stats` at the same ``(n, min_count)`` — the
+      removal's correctness chain to the hash-checked stats oracle.
+
+    Plan shape: the stats operator's positioned-gram count (one map-side-
+    combinable shuffle) feeds a per-doc sorted duplicated-start array; two
+    Catalyst ``aggregate`` HOFs then (a) merge the fixed-length spans and
+    (b) splice the kept token ranges between merged spans — O(spans +
+    tokens) per doc, pure JVM, no Python, no extra shuffle beyond the
+    stats plan's own. Removal policy alternatives (drop the whole doc,
+    mask) are one expression on the same columns.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    taken = {kept_col, "n_tokens", "n_kept_tokens", "__sq_starts"} & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"column(s) {sorted(taken)} collide with removal outputs; "
+            f"rename them first"
+        )
+    src = ensure_parallel(docs.select(id_col, text_col))
+    positioned = src.select(
+        F.col(id_col),
+        F.posexplode(positioned_shingles(F.col(text_col), n)).alias(
+            "__pos", "__gram"
+        ),
+    ).select(id_col, "__pos", _gram_key(F.col("__gram")).alias("__key"))
+    dup_keys = (
+        positioned.groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__key")
+    )
+    starts = (
+        positioned.join(dup_keys, "__key")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__sq_starts"))
+    )
+    out = docs.join(starts, id_col, "left")
+    toks = tokens(F.col(text_col))
+
+    # merge the sorted fixed-length spans [p, p+n): extend the last span
+    # while it still reaches the next start, else open a new one
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+
+    def merge_step(acc, p):
+        pl = p.cast("bigint")
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), (pl + n).alias("e"))),
+        )
+        append = F.concat(
+            acc, F.array(F.struct(pl.alias("s"), (pl + n).alias("e")))
+        )
+        return F.when(
+            (F.size(acc) > 0) & (last["e"] >= pl), extend
+        ).otherwise(append)
+
+    spans = F.aggregate(
+        F.coalesce(F.col("__sq_starts"), F.array().cast("array<int>")),
+        empty_spans,
+        merge_step,
+    )
+
+    # splice: for each merged span emit the tokens since the previous
+    # span's end, then the tail after the last span (1-based slice)
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("prev"),
+        F.array().cast("array<string>").alias("parts"),
+    )
+
+    def splice_step(acc, sp):
+        return F.struct(
+            sp["e"].alias("prev"),
+            F.concat(
+                acc["parts"],
+                F.slice(
+                    toks,
+                    (acc["prev"] + 1).cast("int"),
+                    (sp["s"] - acc["prev"]).cast("int"),
+                ),
+            ).alias("parts"),
+        )
+
+    kept_arr = F.aggregate(
+        spans,
+        init,
+        splice_step,
+        lambda acc: F.concat(
+            acc["parts"],
+            F.slice(
+                toks,
+                (acc["prev"] + 1).cast("int"),
+                (F.size(toks) - acc["prev"]).cast("int"),
+            ),
+        ),
+    )
+    null_text = F.col(text_col).isNull()
+    return out.select(
+        *[F.col(c) for c in docs.columns],
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept_arr)).alias(kept_col),
+        F.when(null_text, F.lit(None).cast("bigint"))
+        .otherwise(F.size(toks).cast("bigint")).alias("n_tokens"),
+        F.when(null_text, F.lit(None).cast("bigint"))
+        .otherwise(F.size(kept_arr).cast("bigint")).alias("n_kept_tokens"),
+    )
+
+
+def remove_duplicate_spans_py(
+    texts: list[tuple[int, str | None]], n: int = 8, min_count: int = 2
+) -> dict[int, str | None]:
+    """Independent reference implementation for tests (not a Spark path)."""
+    import hashlib
+    from collections import Counter
+
+    toks = {
+        i: (t.lower().split(" ") if t is not None else None) for i, t in texts
+    }
+    cnt: Counter = Counter()
+    for tk in toks.values():
+        if tk is None:
+            continue
+        for p in range(len(tk) - n + 1):
+            g = " ".join(tk[p:p + n])
+            cnt[int(hashlib.md5(g.encode()).hexdigest()[:15], 16)] += 1
+    out: dict[int, str | None] = {}
+    for i, tk in toks.items():
+        if tk is None:
+            out[i] = None
+            continue
+        covered = [False] * len(tk)
+        for p in range(len(tk) - n + 1):
+            g = " ".join(tk[p:p + n])
+            if cnt[int(hashlib.md5(g.encode()).hexdigest()[:15], 16)] >= min_count:
+                covered[p:p + n] = [True] * n
+        out[i] = " ".join(t for t, c in zip(tk, covered) if not c)
+    return out

@@ -130,3 +130,65 @@ def test_dupspans_tvf_matches_api(spark, docs):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     with pytest.raises(ValueError, match="sequila_dupspans takes"):
         sequila_sql(spark, "SELECT * FROM sequila_dupspans('dup_docs')")
+
+
+def test_remove_duplicate_spans_python_parity(spark):
+    """The removal pass (r7) against the independent Python reference,
+    incl. null text, empty text, internal repeats, and full removal."""
+    from sequila_native_spark.functions import remove_duplicate_spans
+    from sequila_native_spark.functions.dupspans import remove_duplicate_spans_py
+
+    rows = [
+        (0, "a b c d e f g h x y z"),
+        (1, "a b c d e f q r s"),
+        (2, "unique text only here nothing shared at all"),
+        (3, None),
+        (4, ""),
+        (5, "a b c d a b c d a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(docs, n=4, min_count=2)
+    got = {r["doc_id"]: r["kept_text"] for r in out.collect()}
+    assert got == remove_duplicate_spans_py(rows, n=4, min_count=2)
+
+
+def test_remove_duplicate_spans_conservation_vs_stats(spark):
+    """n_kept_tokens == n_tokens - dup_tokens against the ORACLE-checked
+    stats operator at the same (n, min_count) — on the real corpus."""
+    from sequila_native_spark.functions import (
+        duplicated_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = duplicated_span_stats(docs, n=4)
+    rem = remove_duplicate_spans(docs, n=4).select(
+        "doc_id", "n_kept_tokens", "kept_text"
+    )
+    joined = stats.join(rem, "doc_id")
+    bad = joined.where(
+        F.col("n_kept_tokens") != F.col("n_tokens") - F.col("dup_tokens")
+    ).count()
+    assert bad == 0
+    # the kept text's own token count agrees (splice really removed them);
+    # fully-removed docs produce '' whose single-space split is [''] -> 1
+    n_mismatch = joined.where(
+        (F.col("n_kept_tokens") > 0)
+        & (F.size(F.split(F.col("kept_text"), " ")) != F.col("n_kept_tokens"))
+    ).count()
+    assert n_mismatch == 0
+    assert joined.where(F.col("dup_tokens") > 0).count() > 0, "inert fixture"
+
+
+def test_remove_duplicate_spans_validation_and_collisions(spark):
+    from sequila_native_spark.functions import remove_duplicate_spans
+
+    docs = spark.createDataFrame([(0, "a b", "x")],
+                                 "doc_id long, text string, kept_text string")
+    with pytest.raises(ValueError, match="collide"):
+        remove_duplicate_spans(docs)
+    clean = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        remove_duplicate_spans(clean, min_count=1)
+    with pytest.raises(ValueError, match="n must"):
+        remove_duplicate_spans(clean, n=0)

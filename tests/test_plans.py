@@ -463,3 +463,42 @@ def test_persisted_band_index_streaming_probe(spark, tmp_path):
     want = {tuple(r) for r in stream_dedup_against_corpus(
         batch, corpus, k=8, bands=4, hash_family="md5").collect()}
     assert got == want and got
+
+
+def test_append_corpus_band_index_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance (r7): appending a new increment's band
+    rows with the same bucketBy spec must leave the at-rest index
+    probe-identical to a full rebuild, with the bucketed layout intact."""
+    import uuid
+
+    from sequila_native_spark.functions import append_corpus_band_index
+    from sequila_native_spark.functions.dedup import stream_dedup_against_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 != 0))
+    new = docs.where((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == 0))
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        # bootstrap (creates the table) then the daily increment
+        append_corpus_band_index(old, t, buckets=8, k=8, bands=4,
+                                 hash_family="md5")
+        append_corpus_band_index(new, t, buckets=8, k=8, bands=4,
+                                 hash_family="md5")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = stream_dedup_against_corpus(
+            batch, corpus, k=8, bands=4, hash_family="md5",
+            corpus_index=spark.table(t),
+        )
+        details = _index_scan_details(formatted_plan(out), t)
+        assert "Bucketed: true" in details, details
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_dedup_against_corpus(
+        batch, corpus, k=8, bands=4, hash_family="md5").collect()}
+    assert got == want and got
