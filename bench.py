@@ -132,14 +132,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # pre-size the heap to the max: the 50x row's first-sample spread
-        # (1.56x its floor, r6) tracked heap RE-growth after ~40 small
-        # queries shrank it — starting committed at -Xms removes the
-        # grow-the-heap GC pauses from the first large-volume sample
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        )
+        # NOTE (r7): -Xms heap pre-sizing was tried for the 50x
+        # first-sample spread and REVERTED: committing the heap lazily
+        # moved 24 GB of page-zeroing into the first heavy timed queries
+        # (skewed row 11-13 s vs its 2.0-2.9 s floor, reproduced A/B);
+        # -XX:+AlwaysPreTouch fixes that but pays ~10 s untimed startup
+        # for no measured floor gain on this host. The 10x volume warm-up
+        # below remains the 50x spread mitigation (measured 1.47x, r7).
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
