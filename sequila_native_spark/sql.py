@@ -366,6 +366,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_embedding_gate('batch', 'corpus', 'vec_id',
 #                                          'embedding', 300)
 #     SELECT * FROM sequila_dupspans('docs', 'text', 'doc_id', 8)
+#     SELECT * FROM sequila_span_removal('docs', 'text', 'doc_id', 8)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -375,7 +376,7 @@ _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
-    r"|dsir|semdedup|balanced|embedding_gate|dupspans)"
+    r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -716,6 +717,21 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             )
 
             return duplicated_span_stats(
+                spark.table(a[0]), text_col=a[1], id_col=a[2],
+                n=int(a[3]) if len(a) > 3 else 8,
+                min_count=int(a[4]) if len(a) > 4 else 2,
+            )
+        if op == "span_removal":
+            if not (3 <= len(a) <= 5):
+                raise ValueError(
+                    f"sequila_span_removal takes (table, text, id, [n], "
+                    f"[min_count]), got {a!r}"
+                )
+            from sequila_native_spark.functions.dupspans import (
+                remove_duplicate_spans,
+            )
+
+            return remove_duplicate_spans(
                 spark.table(a[0]), text_col=a[1], id_col=a[2],
                 n=int(a[3]) if len(a) > 3 else 8,
                 min_count=int(a[4]) if len(a) > 4 else 2,

@@ -192,3 +192,30 @@ def test_remove_duplicate_spans_validation_and_collisions(spark):
         remove_duplicate_spans(clean, min_count=1)
     with pytest.raises(ValueError, match="n must"):
         remove_duplicate_spans(clean, n=0)
+
+
+def test_span_removal_tvf_matches_api(spark):
+    from sequila_native_spark.functions import remove_duplicate_spans
+    from sequila_native_spark.sql import sequila_sql
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d x y")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("span_docs")
+    got = {
+        (r["doc_id"], r["kept_text"], r["n_kept_tokens"])
+        for r in sequila_sql(
+            spark,
+            "SELECT doc_id, kept_text, n_kept_tokens FROM "
+            "sequila_span_removal('span_docs', 'text', 'doc_id', 4)",
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["kept_text"], r["n_kept_tokens"])
+        for r in remove_duplicate_spans(docs, n=4).select(
+            "doc_id", "kept_text", "n_kept_tokens").collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="sequila_span_removal takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_span_removal('span_docs')")
