@@ -1676,6 +1676,42 @@ def q_persisted_index_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("gate")
 
 
+def q_doc_perplexity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity scoring (r7 — the CCNet quality signal, Wenzek
+    et al. 2020): interpolated bigram LM trained on a bounded hash-order
+    sample (integer milli-nat log-probs — ln lives only in training, like
+    DSIR), applied as a broadcast-model plan. Per-lang transition totals
+    and mean NLL. Rows-only (the model rides through ln); python-reference
+    parity, shuffled-text separation, and repartition stability are pinned
+    in tests/test_lm.py."""
+    from sequila_native_spark.functions import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, id_col="doc_id", seed=3)
+    return (
+        perplexity_score(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_transitions").cast("bigint").alias("n_transitions"),
+            F.floor(
+                F.sum(
+                    F.col("nll_milli_per_token") * F.col("n_transitions")
+                )
+                / F.sum(
+                    F.when(F.col("nll_milli_per_token").isNotNull(),
+                           F.col("n_transitions")).otherwise(0)
+                )
+            ).cast("bigint").alias("mean_nll_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span REMOVAL (r7 — the Lee et al. 2021 deletion pass the
     stats row only measured): per-lang token totals before/after removal
@@ -2310,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gate_recall": q_stream_gate_recall,
         "training_prep_pipeline": q_training_prep_pipeline,
         "doc_span_removal": q_doc_span_removal,
+        "doc_perplexity_stats": q_doc_perplexity_stats,
     }
 
 

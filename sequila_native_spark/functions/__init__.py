@@ -49,6 +49,11 @@ from sequila_native_spark.functions.similarity import (
     stream_embedding_gate,
     vector_bucket_index,
 )
+from sequila_native_spark.functions.lm import (
+    perplexity_filter,
+    perplexity_score,
+    train_bigram_lm,
+)
 from sequila_native_spark.functions.dupspans import (
     duplicated_span_stats,
     duplicated_span_stats_sql,
@@ -170,6 +175,7 @@ __all__ = [
     "stream_embedding_gate", "vector_bucket_index",
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
+    "train_bigram_lm", "perplexity_score", "perplexity_filter",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

@@ -1,0 +1,240 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+signal (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", arXiv:1911.00359): score each document by
+its per-token negative log-likelihood under a small LM trained on trusted
+text, then keep the low-perplexity (fluent) tail. Production pipelines use
+a KenLM model; the distributed shape is identical for any table-backed
+n-gram model, so this module trains an interpolated bigram LM from a
+bounded sample and applies it as a pure-JVM plan.
+
+Design mirrors the house split for learned artifacts (classifier, IVF,
+BPE): **the model is data, application is a plan.**
+
+- **Training is a bounded driver-side job** (:func:`train_bigram_lm`):
+  unigram/bigram counts over a deterministic hash-order sample
+  (``sampling.bounded_sample_pandas``), interpolated with add-one-smoothed
+  unigrams — ``p(w|v) = λ·c(vw)/c(v) + (1−λ)·(c(w)+1)/(N+V)``. Log-probs
+  are rounded to INTEGER milli-nats at train time, so scoring is
+  integer-exact, repartition-stable, and python-parity testable (the only
+  ``ln`` lives in training, like DSIR).
+- **Scoring is a Catalyst plan** (:func:`perplexity_score`): bigrams via a
+  ``zip_with`` over the token array (in-scan, no UDF), one explode, a
+  broadcast join against the bigram table with a broadcast unigram-backoff
+  join for unseen contexts, then a map-side-combinable ``groupBy(doc)``
+  sum. The corpus is never shuffled except by the per-doc aggregation of
+  HIT rows.
+
+Scoring convention: transitions only — ``nll_milli_per_token`` is
+``−Σ log p(w_i | w_{i−1}) / (n_tokens − 1)`` in milli-nats. Documents with
+fewer than 2 tokens have no transitions and score NULL. Out-of-vocabulary
+words fall to the smoothed-unigram floor, so every transition has a finite
+log-prob (no −inf, unlike an unsmoothed LM).
+
+Reference context: no counterpart in the reference engine; companion
+LLM-data-pipeline layer (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions.text import tokens
+
+
+@dataclass(frozen=True)
+class BigramLM:
+    """A trained interpolated bigram LM in integer milli-nats.
+
+    ``bigram``: (prev, word) → log-prob milli; ``backoff``: word →
+    interpolated-unigram-only log-prob milli (the unseen-context score);
+    ``oov_milli``: the floor for words outside the sample vocabulary.
+    """
+
+    bigram: dict[tuple[str, str], int]
+    backoff: dict[str, int]
+    oov_milli: int
+    lam_milli: int
+    n_tokens: int
+    vocab_size: int
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lam: float = 0.7,
+    sample_size: int = 16384,
+    seed: int = 0,
+    id_col: str | None = None,
+) -> BigramLM:
+    """Train the interpolated bigram LM on a bounded deterministic sample.
+
+    With ``id_col`` the sample is hash-order selected (repartition/
+    retry-stable ⇒ the model, and therefore every downstream score, is a
+    pure function of the data). Tokenization is the house single-space
+    split, matching :func:`text.tokens` exactly.
+    """
+    from .sampling import bounded_sample_pandas
+
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    rows = bounded_sample_pandas(
+        df, [text_col], sample_size=sample_size, seed=seed, id_col=id_col
+    )
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in rows[text_col]:
+        if not t:
+            continue
+        toks = t.lower().split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    v = len(uni)
+    if n == 0:
+        raise ValueError("training sample has no tokens")
+
+    def uni_part(w: str) -> float:
+        return (1.0 - lam) * (uni.get(w, 0) + 1) / (n + v)
+
+    bigram = {
+        (p, w): round(1000.0 * math.log(lam * c / uni[p] + uni_part(w)))
+        for (p, w), c in bi.items()
+    }
+    backoff = {w: round(1000.0 * math.log(uni_part(w))) for w in uni}
+    oov = round(1000.0 * math.log((1.0 - lam) / (n + v)))
+    return BigramLM(
+        bigram=bigram,
+        backoff=backoff,
+        oov_milli=oov,
+        lam_milli=round(lam * 1000),
+        n_tokens=n,
+        vocab_size=v,
+    )
+
+
+def _bigram_col(toks: Column) -> Column:
+    """``array<struct<prev,word>>`` of consecutive token pairs, in order."""
+    rest = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        rest,
+        lambda a, b: F.struct(a.alias("prev"), b.alias("word")),
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM score: ``(id_col, n_tokens, n_transitions,
+    nll_milli_per_token)`` — integer token counts plus the mean negative
+    log-likelihood per transition in milli-nats (bigint; lower = more
+    fluent under the model). Documents with < 2 tokens (incl. NULL text)
+    emit NULL ``nll_milli_per_token`` and 0 transitions.
+
+    Plan: in-scan ``zip_with`` bigram assembly → one explode → broadcast
+    bigram-table join, broadcast unigram-backoff join for missed contexts,
+    OOV floor for the rest → map-side-combinable ``groupBy(doc)``. Model
+    size is sample-bounded (vocab² worst case, Zipf-bounded in practice);
+    the corpus is scanned once and shuffled only by the per-doc sum.
+    """
+    spark = docs.sparkSession
+    bi_rows = [(p, w, m) for (p, w), m in model.bigram.items()]
+    uni_rows = list(model.backoff.items())
+    bi_tbl = F.broadcast(
+        spark.createDataFrame(
+            bi_rows or [("", "", 0)],
+            "prev string, word string, __sq_bi bigint",
+        ).where(F.lit(bool(bi_rows)))
+    )
+    uni_tbl = F.broadcast(
+        spark.createDataFrame(
+            uni_rows or [("", 0)], "word string, __sq_uni bigint"
+        ).where(F.lit(bool(uni_rows)))
+    )
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(_bigram_col(toks)).alias("__sq_bg")
+    ).select(
+        id_col,
+        F.col("__sq_bg.prev").alias("prev"),
+        F.col("__sq_bg.word").alias("word"),
+    )
+    scored = (
+        exploded.join(bi_tbl, ["prev", "word"], "left")
+        .join(uni_tbl, "word", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "__sq_bi", "__sq_uni", F.lit(int(model.oov_milli))
+            ).alias("__sq_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("__sq_lp").cast("bigint").alias("__sq_sum"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.size(toks).cast("bigint"))
+        .alias("n_tokens"),
+    )
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_transitions", F.lit(0)).cast("bigint").alias(
+            "n_transitions"
+        ),
+        F.when(
+            F.coalesce("n_transitions", F.lit(0)) > 0,
+            F.floor(-F.col("__sq_sum") / F.col("n_transitions")).cast("bigint"),
+        ).alias("nll_milli_per_token"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    model: BigramLM,
+    max_nll_milli: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose mean transition NLL clears the threshold —
+    the CCNet 'head/middle' keep rule as one broadcast-scored semi-join.
+    Unscoreable documents (< 2 tokens) are dropped (no evidence of
+    fluency)."""
+    scores = perplexity_score(docs, model, text_col, id_col)
+    keep = scores.where(
+        F.col("nll_milli_per_token") <= F.lit(int(max_nll_milli))
+    ).select(id_col)
+    return docs.join(F.broadcast(keep), id_col, "left_semi")
+
+
+def perplexity_score_py(
+    text: str | None, model: BigramLM
+) -> tuple[int, int | None]:
+    """Independent reference implementation for tests (not a Spark path):
+    returns ``(n_transitions, nll_milli_per_token)``."""
+    if text is None:
+        return 0, None
+    toks = text.lower().split(" ")
+    if len(toks) < 2:
+        return 0, None
+    total = 0
+    for p, w in zip(toks, toks[1:]):
+        lp = model.bigram.get((p, w))
+        if lp is None:
+            lp = model.backoff.get(w, model.oov_milli)
+        total += lp
+    n_tr = len(toks) - 1
+    return n_tr, math.floor(-total / n_tr)

@@ -1,0 +1,95 @@
+"""Bounded-sample bigram LM + perplexity scoring (CCNet-style filter)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_native_spark.functions import (
+    perplexity_filter,
+    perplexity_score,
+    train_bigram_lm,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return train_bigram_lm(corpus, id_col="doc_id", seed=3)
+
+
+def test_python_reference_parity(spark, corpus, model):
+    from sequila_native_spark.functions.lm import perplexity_score_py
+
+    docs = corpus.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(10**9, None), (10**9 + 1, ""), (10**9 + 2, "single"),
+             (10**9 + 3, "zz qq xx totally unseen words here")],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["nll_milli_per_token"])
+        for r in perplexity_score(docs, model).collect()
+    }
+    for doc_id, text in docs.collect():
+        assert got[doc_id] == perplexity_score_py(text, model), doc_id
+    # scoreable docs exist and every finite score is positive (probs < 1)
+    finite = [v for _, v in got.values() if v is not None]
+    assert finite and all(v > 0 for v in finite)
+
+
+def test_training_repartition_stable(corpus):
+    a = train_bigram_lm(corpus, id_col="doc_id", seed=3)
+    b = train_bigram_lm(corpus.repartition(7), id_col="doc_id", seed=3)
+    assert a == b
+
+
+def test_fluent_scores_below_shuffled(spark, corpus, model):
+    """In-domain text must score lower NLL than the same tokens shuffled:
+    the bigram table is doing the work, not the unigram floor."""
+    import random
+
+    rows = [r["text"] for r in corpus.limit(20).collect() if r["text"]]
+    rng = random.Random(5)
+    shuffled = []
+    for t in rows:
+        toks = t.lower().split(" ")
+        rng.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    both = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)]
+        + [(1000 + i, t) for i, t in enumerate(shuffled)],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["nll_milli_per_token"]
+         for r in perplexity_score(both, model).collect()}
+    orig = sum(s[i] for i in range(len(rows))) / len(rows)
+    shuf = sum(s[1000 + i] for i in range(len(rows))) / len(rows)
+    assert orig < shuf
+
+
+def test_filter_keeps_low_nll(spark, corpus, model):
+    scores = perplexity_score(corpus, model)
+    thr = int(scores.agg(
+        F.expr("percentile_approx(nll_milli_per_token, 0.5)")).first()[0])
+    kept = perplexity_filter(corpus, model, thr)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {r["doc_id"] for r in scores.where(
+        F.col("nll_milli_per_token") <= thr).collect()}
+    assert kept_ids == want and 0 < len(kept_ids)
+    assert set(kept.columns) == set(corpus.columns)
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError, match="lam"):
+        train_bigram_lm(corpus, lam=1.0)
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        train_bigram_lm(empty.where("doc_id < 0"))
