@@ -461,3 +461,33 @@ def test_prep_ops_cross_engine_fuzz(spark, texts, size):
         ).fetchall()
     )
     assert got == want
+
+
+# --- span removal vs the independent python reference (r7) -----------------
+
+_words = st.sampled_from(list("abcdef"))
+_doc = st.lists(_words, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc, min_size=1, max_size=10), st.integers(2, 4))
+def test_remove_duplicate_spans_matches_reference(spark, texts, n):
+    """Random tiny-alphabet corpora (dense duplication, overlapping and
+    nested spans, empty docs) — the Spark splice must equal the python
+    reference for every (corpus, n)."""
+    from sequila_native_spark.functions import remove_duplicate_spans
+    from sequila_native_spark.functions.dupspans import (
+        remove_duplicate_spans_py,
+    )
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["kept_text"]
+        for r in remove_duplicate_spans(docs, n=n, min_count=2).collect()
+    }
+    assert got == remove_duplicate_spans_py(rows, n=n, min_count=2)
