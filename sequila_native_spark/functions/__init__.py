@@ -81,6 +81,7 @@ from sequila_native_spark.functions.sampling import (
     sample_hash,
     sample_hash_sql,
     split_dataset,
+    temperature_weights,
     split_thresholds,
     stratified_sample,
 )
@@ -155,7 +156,7 @@ __all__ = [
     "mix_datasets",
     "sample_hash",
     "sample_hash_sql",
-    "split_dataset",
+    "split_dataset", "temperature_weights",
     "split_thresholds",
     "stratified_sample",
     "select_within_budget", "select_within_budget_sql",

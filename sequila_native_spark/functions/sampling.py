@@ -273,3 +273,36 @@ def bounded_sample_pandas(
         .limit(sample_size)
         .toPandas()[cols]
     )
+
+
+def temperature_weights(
+    sizes: dict[str, int | float],
+    tau: float = 0.7,
+    *,
+    total: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture proportions (the multilingual/LLaMA-style
+    sampling exponent): source ``i`` is drawn with probability
+    ``sizes[i]^tau / Σ_j sizes[j]^tau`` — ``tau=1`` is proportional,
+    ``tau→0`` uniform; values in between up-weight small sources.
+
+    Returns per-source EXPECTED ROW COUNT weights for
+    :func:`mix_datasets` — i.e. ``p_i · total / sizes[i]`` with ``total``
+    defaulting to the input row total (a pure size-preserving reshuffle of
+    the mixture). Weights may exceed 1 (small sources oversample; the
+    mixer repeats rows deterministically) or fall below 1 (large sources
+    subsample). Driver-side arithmetic on a dict of sizes — sizes come
+    from cheap ``count()``s or catalog stats, never a data pass here.
+    """
+    if not sizes:
+        raise ValueError("sizes must name at least one source")
+    if any(float(v) <= 0 for v in sizes.values()):
+        raise ValueError(f"sizes must be positive, got {sizes}")
+    if not (0.0 < float(tau) <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    powed = {k: float(v) ** float(tau) for k, v in sizes.items()}
+    z = sum(powed.values())
+    n_total = float(total) if total is not None else float(sum(sizes.values()))
+    return {
+        k: (powed[k] / z) * n_total / float(sizes[k]) for k in sizes
+    }

@@ -179,3 +179,45 @@ def test_bounded_sample_rejects_reserved_hash_column(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, __sq_h long")
     with pytest.raises(ValueError, match="__sq_h"):
         bounded_sample_pandas(df, ["doc_id"], id_col="doc_id")
+
+
+def test_temperature_weights_laws(spark):
+    from sequila_native_spark.functions.sampling import temperature_weights
+
+    sizes = {"web": 1_000_000, "books": 10_000, "code": 100_000}
+    w = temperature_weights(sizes, tau=0.7)
+    # expected row total is preserved: sum(w_i * n_i) == sum(n_i)
+    assert abs(sum(w[k] * sizes[k] for k in sizes) - sum(sizes.values())) < 1e-6
+    # temperature up-weights small sources: books gets w > 1, web w < 1
+    assert w["books"] > 1 > w["web"]
+    # tau=1 is the identity mixture (all weights 1)
+    w1 = temperature_weights(sizes, tau=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())
+    # monotone: lower tau pushes the small source harder
+    w3 = temperature_weights(sizes, tau=0.3)
+    assert w3["books"] > w["books"]
+    with pytest.raises(ValueError, match="tau"):
+        temperature_weights(sizes, tau=0)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_weights({"a": 0})
+
+
+def test_temperature_weights_drive_mixer(spark):
+    """The weights drive mix_datasets end-to-end: realized counts sit near
+    the temperature-scaled proportions (hash selection is exact-rate in
+    expectation; oversample repeats are deterministic)."""
+    from sequila_native_spark.functions.sampling import temperature_weights
+
+    big = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    small = spark.range(100000, 101000).select(F.col("id").alias("doc_id"))
+    sizes = {"big": 20000, "small": 1000}
+    w = temperature_weights(sizes, tau=0.5)
+    mixed = mix_datasets(
+        {"big": (big, w["big"]), "small": (small, w["small"])},
+        key="doc_id",
+    )
+    counts = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for k in sizes:
+        assert abs(counts[k] - w[k] * sizes[k]) / (w[k] * sizes[k]) < 0.12, (
+            k, counts[k], w[k] * sizes[k])
