@@ -93,3 +93,16 @@ def test_validation(spark, corpus):
     empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         train_bigram_lm(empty.where("doc_id < 0"))
+
+
+def test_perplexity_plan_broadcasts_model(spark, corpus, model):
+    """The scoring plan must broadcast BOTH model tables (never shuffle
+    the corpus against them) and reduce transitions with a partial
+    (map-side-combinable) aggregation."""
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(perplexity_score(corpus, model))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin LeftOuter" in plan or "BroadcastHashJoin LeftOuter" in plan
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2, plan

@@ -11,6 +11,7 @@ Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -51,6 +52,10 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # sf0.1 runs materialize multi-million-row frames via toPandas for
+        # hashing — the 1g default driver heap dies on the pairs rows
+        .config("spark.driver.memory",
+                os.environ.get("SQ_ORACLE_DRIVER_MEM", "12g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
