@@ -50,6 +50,8 @@ from sequila_native_spark.functions.similarity import (
     vector_bucket_index,
 )
 from sequila_native_spark.functions.lm import (
+    bigram_lm_from_table,
+    bigram_lm_to_table,
     perplexity_filter,
     perplexity_score,
     train_bigram_lm,
@@ -177,6 +179,7 @@ __all__ = [
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
     "train_bigram_lm", "perplexity_score", "perplexity_filter",
+    "bigram_lm_to_table", "bigram_lm_from_table",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",
     "register_decoder", "unregister_decoder", "register_transformer",

@@ -238,3 +238,61 @@ def perplexity_score_py(
         total += lp
     n_tr = len(toks) - 1
     return n_tr, math.floor(-total / n_tr)
+
+
+_LM_SCHEMA = "kind string, prev string, word string, milli bigint"
+
+
+def bigram_lm_to_table(spark, model: BigramLM) -> DataFrame:
+    """Serialize the LM as a relation — the house model-as-data form (cf.
+    the classifier's weights table, the BPE merges table): persist it once
+    (parquet/table) and score any later corpus without retraining.
+
+    Rows: ``('bigram', prev, word, milli)``, ``('backoff', NULL, word,
+    milli)``, and ``('meta', <name>, NULL, value)`` for the scalars."""
+    rows = (
+        [("bigram", p, w, m) for (p, w), m in model.bigram.items()]
+        + [("backoff", None, w, m) for w, m in model.backoff.items()]
+        + [
+            ("meta", "oov_milli", None, model.oov_milli),
+            ("meta", "lam_milli", None, model.lam_milli),
+            ("meta", "n_tokens", None, model.n_tokens),
+            ("meta", "vocab_size", None, model.vocab_size),
+        ]
+    )
+    return spark.createDataFrame(rows, _LM_SCHEMA)
+
+
+def bigram_lm_from_table(df: DataFrame) -> BigramLM:
+    """Rehydrate a :func:`bigram_lm_to_table` relation (bounded collect —
+    the model is sample-sized by construction, never corpus-sized)."""
+    need = {"kind", "prev", "word", "milli"}
+    if not need <= set(df.columns):
+        raise ValueError(
+            f"model table missing columns {sorted(need - set(df.columns))}"
+            f" — build it with bigram_lm_to_table()"
+        )
+    rows = df.select("kind", "prev", "word", "milli").collect()
+    bigram: dict[tuple[str, str], int] = {}
+    backoff: dict[str, int] = {}
+    meta: dict[str, int] = {}
+    for r in rows:
+        if r["kind"] == "bigram":
+            bigram[(r["prev"], r["word"])] = int(r["milli"])
+        elif r["kind"] == "backoff":
+            backoff[r["word"]] = int(r["milli"])
+        elif r["kind"] == "meta":
+            meta[r["prev"]] = int(r["milli"])
+        else:
+            raise ValueError(f"unknown model-row kind {r['kind']!r}")
+    missing = {"oov_milli", "lam_milli", "n_tokens", "vocab_size"} - set(meta)
+    if missing:
+        raise ValueError(f"model table missing meta rows {sorted(missing)}")
+    return BigramLM(
+        bigram=bigram,
+        backoff=backoff,
+        oov_milli=meta["oov_milli"],
+        lam_milli=meta["lam_milli"],
+        n_tokens=meta["n_tokens"],
+        vocab_size=meta["vocab_size"],
+    )

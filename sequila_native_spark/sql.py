@@ -367,6 +367,7 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #                                          'embedding', 300)
 #     SELECT * FROM sequila_dupspans('docs', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_span_removal('docs', 'text', 'doc_id', 8)
+#     SELECT * FROM sequila_perplexity('docs', 'model', 'text', 'doc_id')
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -376,7 +377,8 @@ _TVF = re.compile(
     r"\bsequila_(merge|complement|depth_histogram|count_overlaps|coverage"
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
-    r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal)"
+    r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal"
+    r"|perplexity)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -720,6 +722,23 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 spark.table(a[0]), text_col=a[1], id_col=a[2],
                 n=int(a[3]) if len(a) > 3 else 8,
                 min_count=int(a[4]) if len(a) > 4 else 2,
+            )
+        if op == "perplexity":
+            if len(a) != 4:
+                raise ValueError(
+                    f"sequila_perplexity takes (docs, model, text, id), "
+                    f"got {a!r}"
+                )
+            from sequila_native_spark.functions.lm import (
+                bigram_lm_from_table,
+                perplexity_score,
+            )
+
+            # the LM is MODEL DATA (cf. sequila_quality / sequila_bpe_count):
+            # a (kind, prev, word, milli) relation, collected bounded
+            model = bigram_lm_from_table(spark.table(a[1]))
+            return perplexity_score(
+                spark.table(a[0]), model, text_col=a[2], id_col=a[3]
             )
         if op == "span_removal":
             if not (3 <= len(a) <= 5):

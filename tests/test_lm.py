@@ -106,3 +106,36 @@ def test_perplexity_plan_broadcasts_model(spark, corpus, model):
     assert "SortMergeJoin LeftOuter" in plan or "BroadcastHashJoin LeftOuter" in plan
     # partial + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_model_table_round_trip_and_tvf(spark, corpus, model):
+    """Model-as-data: serialize → persist-shape relation → rehydrate must
+    be identity, and the sequila_perplexity TVF scores through the table
+    form identically to the in-memory model."""
+    from sequila_native_spark.functions import (
+        bigram_lm_from_table,
+        bigram_lm_to_table,
+    )
+    from sequila_native_spark.sql import sequila_sql
+
+    tbl = bigram_lm_to_table(spark, model)
+    assert bigram_lm_from_table(tbl) == model
+    tbl.createOrReplaceTempView("lm_model")
+    corpus.limit(50).createOrReplaceTempView("lm_docs")
+    got = {
+        (r["doc_id"], r["n_transitions"], r["nll_milli_per_token"])
+        for r in sequila_sql(
+            spark,
+            "SELECT * FROM sequila_perplexity('lm_docs', 'lm_model', "
+            "'text', 'doc_id')",
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_transitions"], r["nll_milli_per_token"])
+        for r in perplexity_score(corpus.limit(50), model).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="sequila_perplexity takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_perplexity('lm_docs')")
+    with pytest.raises(ValueError, match="missing columns"):
+        bigram_lm_from_table(corpus)
