@@ -1633,6 +1633,12 @@ def q_persisted_index_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     t_band, t_vec = f"sq_r7_band_{run}", f"sq_r7_vec_{run}"
     out = []
+    # save-prior-and-restore (the q_overlap_count_low_memory idiom): an
+    # unconditional unset would clobber a session-level setting for every
+    # later query in the same driver/bench session (reviewer, r7)
+    keys = ("spark.sql.requireAllClusterKeysForCoPartition",
+            "spark.sql.autoBroadcastJoinThreshold")
+    prior = {kc: spark.conf.get(kc, None) for kc in keys}
     try:
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1665,8 +1671,11 @@ def q_persisted_index_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucketed_scan(g2p, t_vec),
         ))
     finally:
-        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for kc in keys:
+            if prior[kc] is None:
+                spark.conf.unset(kc)
+            else:
+                spark.conf.set(kc, prior[kc])
         spark.sql(f"DROP TABLE IF EXISTS {t_band}")
         spark.sql(f"DROP TABLE IF EXISTS {t_vec}")
     return spark.createDataFrame(
@@ -1803,8 +1812,12 @@ def q_stream_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     b = emb.where(F.col("vec_id") % 5 == 0)
     c = emb.where(F.col("vec_id") % 5 != 0)
+    # pin the exact pairs once: four downstream sub-plans (agg + semi-join
+    # per dial setting) would otherwise re-run the cosine-verify join four
+    # times (reviewer, r7); the pair set is small by construction
     exact = embedding_dups_against_corpus(
-        b, c, threshold_milli=300).select("batch_id", "corpus_id")
+        b, c, threshold_milli=300
+    ).select("batch_id", "corpus_id").localCheckpoint(eager=True)
     # two dial settings: the gate row's own (6 planes × 4 tables — coarse
     # buckets, low collision cost, modest recall at this LOW 0.3 threshold;
     # near-dup thresholds ≥0.9 collide far more often) and a finer 4×8 —
@@ -1846,7 +1859,12 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``rows_match``: written shard rows == packed rows == selected rows;
     - ``shards_match``: every written row's shard partition equals the pack
       manifest's shard for that doc (same hash, same arithmetic);
-    - ``offsets_ok``: every ``pack_offset`` < capacity.
+    - ``shard_tokens_match``: per-shard token totals recomputed from the
+      WRITTEN parquet equal the pack manifest's per-shard totals — a
+      cross-frame law that fails if writer and packer ever disagree on
+      rows, shard assignment, or counts (replaces the r7-draft
+      ``max(pack_offset) < capacity`` check, which was a modular-arithmetic
+      tautology — reviewer, r7).
 
     Rows-only (learned BPE merges upstream). Shards land under the
     session's spark-warehouse scratch dir, overwritten per run."""
@@ -1895,7 +1913,9 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards=4, mode="overwrite",
     )
     written = spark.read.parquet(shard_dir).select(
-        "doc_id", F.col("shard").alias("w_shard")
+        "doc_id",
+        F.col("shard").alias("w_shard"),
+        F.col("n_bpe").alias("w_tokens"),
     )
 
     sel_agg = selected.agg(
@@ -1905,8 +1925,27 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_agg = packed.agg(
         F.count(F.lit(1)).alias("n_packed"),
         F.sum("n_tokens").alias("pack_tokens"),
-        F.max("pack_offset").alias("max_offset"),
         (F.max("last_pack") + 1).alias("n_packs"),
+    )
+    # cross-frame shard law: token totals recomputed from the WRITTEN
+    # parquet, per shard, must equal the pack manifest's per-shard totals
+    pack_shard = packed.groupBy("shard").agg(
+        F.sum("n_tokens").alias("p_tok"), F.count(F.lit(1)).alias("p_n")
+    )
+    wr_shard = written.groupBy(F.col("w_shard").alias("shard")).agg(
+        F.sum("w_tokens").alias("w_tok"), F.count(F.lit(1)).alias("w_n")
+    )
+    shard_agg = (
+        pack_shard.join(wr_shard, "shard", "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_tok").eqNullSafe(F.col("w_tok"))
+                    & F.col("p_n").eqNullSafe(F.col("w_n")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_shard_tok_mismatch")
+        )
     )
     wr_agg = (
         written.join(packed.select("doc_id", "shard"), "doc_id", "full")
@@ -1923,7 +1962,7 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sel_agg.crossJoin(pack_agg).crossJoin(wr_agg)
+        sel_agg.crossJoin(pack_agg).crossJoin(wr_agg).crossJoin(shard_agg)
         .select(
             "n_selected", "sel_tokens", "n_packs",
             (F.col("sel_tokens") == F.col("pack_tokens")).alias("tokens_match"),
@@ -1932,7 +1971,7 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("n_written") == F.col("n_selected"))
             ).alias("rows_match"),
             (F.col("n_shard_mismatch") == 0).alias("shards_match"),
-            (F.col("max_offset") < capacity).alias("offsets_ok"),
+            (F.col("n_shard_tok_mismatch") == 0).alias("shard_tokens_match"),
         )
     )
 

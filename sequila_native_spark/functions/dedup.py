@@ -612,7 +612,47 @@ def append_corpus_band_index(
     duplicates its band rows — harmless for the gate's pair SET, wasteful
     for storage; anti-join the increment against admitted ids first, e.g.
     via :func:`filter_new_against_corpus`).
+
+    Signing parameters are recorded as table properties at bootstrap and
+    VALIDATED on every append: band hashes from a different
+    ``k/bands/n/hash_family`` would land in the table silently unmatched
+    by probes (invisible rows, no error — reviewer, r7), so a mismatch —
+    or a pre-existing table without the recorded properties — raises
+    instead of corrupting the index. (Spark itself validates only the
+    bucket spec.)
     """
+    spark = new_docs.sparkSession
+    params = {
+        "sequila.index.k": str(int(k)),
+        "sequila.index.bands": str(int(bands)),
+        "sequila.index.n": str(int(n)),
+        "sequila.index.hash_family": hash_family,
+    }
+    exists = spark.catalog.tableExists(table)
+    if exists:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        missing = [p for p in params if p not in props]
+        if missing:
+            raise ValueError(
+                f"table {table!r} carries no recorded signing parameters "
+                f"({missing}) — it was not bootstrapped by "
+                f"append_corpus_band_index; rebuild it through this "
+                f"function (or set the sequila.index.* TBLPROPERTIES "
+                f"to the parameters it was built with)"
+            )
+        bad = {p: (props[p], v) for p, v in params.items() if props[p] != v}
+        if bad:
+            raise ValueError(
+                f"signing-parameter mismatch against table {table!r}: "
+                + ", ".join(
+                    f"{p}: table={tv!r} vs append={av!r}"
+                    for p, (tv, av) in sorted(bad.items())
+                )
+                + " — appended rows would be invisible to probes"
+            )
     idx = corpus_band_index(
         new_docs, text_col, id_col,
         k=k, bands=bands, n=n, hash_family=hash_family,
@@ -623,6 +663,9 @@ def append_corpus_band_index(
         .mode("append")
         .saveAsTable(table)
     )
+    if not exists:
+        kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
 def stream_dedup_against_corpus(

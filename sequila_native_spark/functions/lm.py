@@ -21,8 +21,11 @@ BPE): **the model is data, application is a plan.**
   ``zip_with`` over the token array (in-scan, no UDF), one explode, a
   broadcast join against the bigram table with a broadcast unigram-backoff
   join for unseen contexts, then a map-side-combinable ``groupBy(doc)``
-  sum. The corpus is never shuffled except by the per-doc aggregation of
-  HIT rows.
+  sum. Corpus-cardinality shuffles: the per-doc aggregation of transition
+  rows, plus the final join of the aggregated scores back onto the
+  ``(id, n_tokens)`` projection (needed to null-pad docs with < 2 tokens
+  — two compact columns, but a real second doc-keyed exchange; size plans
+  from the plan test in tests/test_lm.py, not from this summary alone).
 
 Scoring convention: transitions only — ``nll_milli_per_token`` is
 ``−Σ log p(w_i | w_{i−1}) / (n_tokens − 1)`` in milli-nats. Documents with

@@ -249,14 +249,16 @@ def bounded_sample_pandas(
     """
     if sample_size < 1:
         raise ValueError(f"sample_size must be >= 1, got {sample_size}")
-    if "__sq_h" in df.columns:
-        # same guard write_training_shards carries: a pre-existing __sq_h
-        # would make the orderBy reference ambiguous (advisor, r6)
-        raise ValueError(
-            "input already has a __sq_h column (reserved helper name); "
-            "rename it before sampling"
-        )
     if id_col is not None:
+        if "__sq_h" in df.columns:
+            # same guard write_training_shards carries: a pre-existing
+            # __sq_h would make the orderBy reference ambiguous (advisor,
+            # r6). Only the id_col path creates the helper column — the
+            # df.sample path below is unaffected (reviewer, r7).
+            raise ValueError(
+                "input already has a __sq_h column (reserved helper name); "
+                "rename it before sampling"
+            )
         h = sample_hash(F.col(id_col), seed)
         sel = list(dict.fromkeys([*cols, id_col]))
         return (

@@ -502,3 +502,37 @@ def test_append_corpus_band_index_equals_rebuild(spark, tmp_path):
     want = {tuple(r) for r in stream_dedup_against_corpus(
         batch, corpus, k=8, bands=4, hash_family="md5").collect()}
     assert got == want and got
+
+
+def test_append_corpus_band_index_rejects_parameter_mismatch(spark):
+    """Appending with different signing parameters would land rows that no
+    probe can ever match (silent index corruption) — the recorded
+    TBLPROPERTIES must make that a hard error, and a table that predates
+    the bootstrap path (no recorded params) must be refused too."""
+    import uuid
+
+    from sequila_native_spark.functions import append_corpus_band_index
+    from sequila_native_spark.functions.dedup import corpus_band_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        append_corpus_band_index(docs, t, k=8, bands=4, hash_family="md5")
+        with pytest.raises(ValueError, match="mismatch"):
+            append_corpus_band_index(docs, t, k=8, bands=4,
+                                     hash_family="fast")
+        with pytest.raises(ValueError, match="mismatch"):
+            append_corpus_band_index(docs, t, k=8, bands=2,
+                                     hash_family="md5")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    t2 = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        # a manually-written index (no recorded properties) is refused
+        (corpus_band_index(docs, k=8, bands=4, hash_family="md5")
+         .write.bucketBy(8, "band_hash").saveAsTable(t2))
+        with pytest.raises(ValueError, match="no recorded signing"):
+            append_corpus_band_index(docs, t2, k=8, bands=4,
+                                     hash_family="md5")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

@@ -713,6 +713,6 @@ def test_training_prep_pipeline_laws(spark):
     assert len(row) == 1
     r = row[0]
     assert r["tokens_match"] and r["rows_match"]
-    assert r["shards_match"] and r["offsets_ok"]
+    assert r["shards_match"] and r["shard_tokens_match"]
     assert 0 < r["sel_tokens"] <= 9000
     assert r["n_selected"] > 0 and r["n_packs"] > 0

@@ -60,6 +60,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # sf0.1 oracle queries (4-gram explodes, 2.6M-row pair joins) exceed
+    # what an in-memory-only DuckDB can hold next to the Spark JVM — give
+    # it an explicit budget and an out-of-core spill directory
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SQ_ORACLE_DUCK_MEM', '16GB')}'"
+    )
+    con.execute("SET temp_directory='/tmp/sq_duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -72,7 +79,7 @@ def main() -> int:
         t_spark = time.time() - t0
         osql = entry.oracle_sql().get(name)
         if osql is None:
-            print(f"  {name}: rows-only check — {len(sdf)} rows ({t_spark:.1f}s)")
+            print(f"  {name}: rows-only check — {len(sdf)} rows ({t_spark:.1f}s)", flush=True)
             continue
         odf = con.execute(osql).df()
         problems = []
@@ -83,7 +90,7 @@ def main() -> int:
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value hash mismatch")
         status = "OK " if not problems else "FAIL"
-        print(f"  [{status}] {name}: {len(sdf)} rows ({t_spark:.1f}s) {'; '.join(problems)}")
+        print(f"  [{status}] {name}: {len(sdf)} rows ({t_spark:.1f}s) {'; '.join(problems)}", flush=True)
         if problems:
             failures.append(name)
             merged = sdf.merge(odf, how="outer", indicator=True)
