@@ -22,6 +22,13 @@ class IntervalJoinMetrics:
 
     Accumulators aggregate across all probe tasks; read them after an action
     has materialized the join.
+
+    COUNTING CONTRACT: probe-side counters tally PLAN-BRANCH executions.
+    Outer joins evaluate the Python probe in two branches (output + pad,
+    or output + id-checkpoint for how="full"), so probe_batches /
+    probe_input_rows / output_rows read ~2x the logical counts there
+    (reviewer, r7; see the _outer_overlap comment for why that is the
+    right plan). Inner joins execute the probe once.
     """
 
     def __init__(self, spark: SparkSession):

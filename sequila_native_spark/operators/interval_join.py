@@ -53,7 +53,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sequila_native_spark.operators.intervals import (
-    IntervalSides,
     checked_i32,
     fraction_predicate,
     normalize_strict,
@@ -62,7 +61,6 @@ from sequila_native_spark.operators.intervals import (
 )
 from sequila_native_spark.session import (
     SequilaConf,
-    parse_algorithm,
     parse_algorithm_or_mode,
 )
 
@@ -95,7 +93,16 @@ def compact_build_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     out = {}
     for c in pdf.columns:
         s = pdf[c]
-        out[c] = s.astype("category") if s.dtype == object else s
+        if s.dtype == object:
+            try:
+                out[c] = s.astype("category")
+            except TypeError:
+                # unhashable payloads (array/map/struct columns) can't be
+                # dictionary-encoded — keep them raw; decompose_build's
+                # "plain" branch handles object arrays (reviewer, r7)
+                out[c] = s
+        else:
+            out[c] = s
     return pd.DataFrame(out, index=pdf.index)
 
 
@@ -259,6 +266,7 @@ def _disambiguate(
     rename like pandas' ``join(rsuffix=...)``.
     """
     lcols = set(left.columns)
+    rcols = set(right.columns)
     mapping: dict[str, str] = {}
     for c in right.columns:
         if c in lcols:
@@ -268,6 +276,14 @@ def _disambiguate(
                 )
             mapping[c] = f"{c}{rsuffix}"
     for old, new in mapping.items():
+        # a suffixed name that already exists would silently shadow a
+        # column (the index/partitioned split drops the right side's data
+        # without an error — reviewer, r7); fail loudly instead
+        if new in lcols or new in rcols:
+            raise ValueError(
+                f"suffixed name {new!r} (for shared column {old!r}) "
+                f"collides with an existing column; pass a different rsuffix"
+            )
         right = right.withColumnRenamed(old, new)
     return right, mapping
 
@@ -287,15 +303,21 @@ def _with_bounds(
     ``CastExpr`` (``interval_join.rs:1661-1672``); output columns keep their
     declared types. We mirror that with temp columns.
     """
-    s_col: Column = F.col(start)
-    e_col: Column = F.col(end)
+    # normalize BEFORE the i32 check, in 64-bit: the old order applied
+    # `end - 1` to the already-cast int32, which at end == I32_MIN either
+    # raises an ANSI overflow or silently wraps to +I32_MAX (an interval
+    # that strictly-overlaps nearly everything). Shrinking first makes the
+    # boundary case surface as the documented int32-bounds ERROR instead
+    # (reviewer, r7).
+    s_col: Column = F.col(start).cast("long")
+    e_col: Column = F.col(end).cast("long")
+    s_col, e_col = normalize_strict(s_col, e_col, strict)
     if check_bounds:
         s_col = checked_i32(s_col, s_tmp)
         e_col = checked_i32(e_col, e_tmp)
     else:
         s_col = s_col.cast("int")
         e_col = e_col.cast("int")
-    s_col, e_col = normalize_strict(s_col, e_col, strict)
     return df.withColumn(s_tmp, s_col).withColumn(e_tmp, e_col)
 
 
@@ -522,7 +544,12 @@ def overlap_join(
     check = conf.check_int32_bounds if check_bounds is None else check_bounds
 
     sides = validate_sides(left, right, on, left_start, left_end, right_start, right_end)
-    if algo == "binning" or (how != "inner" and algo != "naive"):
+    if algo == "binning":
+        # outer joins on index/partitioned no longer resolve eagerly: the
+        # width is only consumed if the broadcast guard trips into the
+        # keyless binning fallback, and "auto" resolution is a real
+        # two-table percentile job (reviewer, r7) — _outer_overlap resolves
+        # lazily in its binning branch instead
         width = resolve_bin_width(
             width, left, left_start, left_end, right, right_start, right_end
         )
@@ -714,6 +741,10 @@ def _outer_overlap(
         except BuildSideTooLargeError:
             algo = "partitioned" if l_keys else "binning"
     if algo == "binning":
+        # lazy "auto" resolution on the bound-stamped frames (the eager
+        # per-call resolve was a wasted two-table percentile job for the
+        # index/partitioned outers that never reach this branch)
+        width = resolve_bin_width(width, lb2, _LS, _LE, rb2, _RS, _RE)
         pairs = _binned_pairs(
             lb2, rb2, l_keys, r_keys, width, boost_parts=False
         ).select(*inner_cols)
@@ -721,14 +752,21 @@ def _outer_overlap(
         pairs = _cogroup_index_join(lb2, rb2, l_keys, r_keys, inner_cols)
 
     # `pairs` feeds the output AND each pad branch's matched-id set. The pad
-    # branches re-evaluate the inner join, but column-pruned to ids+keys+
-    # bounds — cheap relative to the full-width output branch, and exchange
-    # reuse shares the shuffle files on the binning path. Materializing the
-    # full `pairs` instead is a trap: the pair set is the largest frame in
-    # the query (measured 8x slower on a 13M-pair left outer). What IS worth
-    # a barrier is the id-pair projection when how="full": TWO pad branches
-    # would otherwise each re-run the join; one lazy checkpoint of the
-    # (id, id) frame — two longs per pair — serves both.
+    # branches re-evaluate the inner join — column-pruned to ids+keys+
+    # bounds on the JVM binning path (exchange reuse shares the shuffle
+    # files); on the Python-backed index/partitioned paths the Arrow stage
+    # can't be pruned, so a single-sided outer genuinely runs the probe
+    # twice (output branch + pad branch). That is still the right trade:
+    # materializing the full `pairs` is a trap (the pair set is the largest
+    # frame in the query — measured 8x slower on a 13M-pair left outer),
+    # and an id-projection checkpoint doesn't help the single-sided case
+    # (its materialization IS a probe run, leaving the total at two).
+    # Consequence, documented in metrics.py: probe-side counters tally
+    # plan-branch executions, ~2x the logical row counts on outer joins.
+    # What IS worth a barrier is the id-pair projection when how="full":
+    # THREE probe runs (output + two pads) collapse to two; one lazy
+    # checkpoint of the (id, id) frame — two longs per pair — serves both
+    # pad branches.
     ids_src = pairs
     if stamp_l and stamp_r:
         try:

@@ -335,3 +335,58 @@ def test_low_memory_emit_cap_same_rows_and_conf_restored(spark, reads, targets):
         assert spark.conf.get(key) == "false"
     finally:
         spark.conf.unset(key)
+
+
+def test_index_algorithm_with_array_payload(spark):
+    """Array-typed build columns can't be dictionary-encoded — the index
+    path must carry them raw instead of crashing in the categorical
+    compaction (reviewer, r7)."""
+    left = spark.createDataFrame(
+        [("c1", 10, 20, [1, 2, 3]), ("c1", 30, 40, [])],
+        "contig string, pos_start int, pos_end int, tags array<int>",
+    )
+    right = spark.createDataFrame(
+        [("c1", 15, 16), ("c1", 35, 36), ("c1", 100, 101)],
+        "contig string, p_start int, p_end int",
+    )
+    kw = dict(on="contig", right_start="p_start", right_end="p_end")
+    got = {
+        (r["p_start"], tuple(r["tags"]))
+        for r in overlap_join(left, right, **kw, algorithm="index").collect()
+    }
+    want = {
+        (r["p_start"], tuple(r["tags"]))
+        for r in overlap_join(left, right, **kw, algorithm="naive").collect()
+    }
+    assert got == want == {(15, (1, 2, 3)), (35, ())}
+
+
+def test_rsuffix_collision_with_existing_column_raises(spark):
+    """Renaming right 'x' to 'x_r' when 'x_r' already exists would silently
+    drop the right side's data in the index/partitioned split — must raise
+    (reviewer, r7)."""
+    left = spark.createDataFrame(
+        [("c1", 1, 5, 7, 8)],
+        "contig string, pos_start int, pos_end int, x int, x_r int",
+    )
+    right = spark.createDataFrame(
+        [("c1", 2, 3, 9)], "contig string, pos_start int, pos_end int, x int"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        overlap_join(left, right, on="contig")
+
+
+def test_strict_at_int32_min_raises_bounds_error(spark):
+    """strict=True shrinks ends by 1 BEFORE the i32 check: an end of
+    exactly I32_MIN must surface as the documented cast error, never wrap
+    to +I32_MAX (reviewer, r7)."""
+    left = spark.createDataFrame(
+        [("c1", -2147483648, -2147483648)],
+        "contig string, pos_start long, pos_end long",
+    )
+    right = spark.createDataFrame(
+        [("c1", 5, 9)], "contig string, pos_start long, pos_end long"
+    )
+    with pytest.raises(Exception, match="[Cc]ast"):
+        overlap_join(left, right, on="contig", strict=True,
+                     rsuffix="_r").collect()
