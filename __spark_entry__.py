@@ -3112,7 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_clusters": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS canonical_id
-            FROM documents GROUP BY 1
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
         """,
         # minhash_delta_dups (r6 composite): the full-corpus pair twin
         # ('all', id_a < id_b) plus the corpus-delta twin ('delta': the same

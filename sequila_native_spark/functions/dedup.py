@@ -37,10 +37,13 @@ def exact_dedup_clusters(
     """One row per distinct fingerprint: cluster size + canonical (min) id.
 
     A single hash-shuffle; at 100 TB this is the cheapest possible exact
-    dedup (map-side partial aggregation applies).
+    dedup (map-side partial aggregation applies). NULL texts are unknown
+    content, not copies of each other — they form no cluster (reviewer,
+    r7; the former behavior reported every null row as one big cluster).
     """
     return (
-        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("canonical_id"),
@@ -51,10 +54,16 @@ def exact_dedup_clusters(
 def dedup_keep_canonical(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Drop exact duplicates, keeping the min-id row per fingerprint."""
+    """Drop exact duplicates, keeping the min-id row per fingerprint.
+
+    NULL-text rows all survive: a null fingerprint proves nothing about
+    content equality (the former single-null-partition window silently
+    deleted every null row but one — reviewer, r7)."""
     w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
     return (
-        df.withColumn("__sq_rn", F.row_number().over(w))
+        df.withColumn("__sq_rn",
+                      F.when(F.col(text_col).isNull(), F.lit(1))
+                      .otherwise(F.row_number().over(w)))
         .where(F.col("__sq_rn") == 1)
         .drop("__sq_rn")
     )
@@ -119,6 +128,9 @@ def shingles_fast(col: Column, n: int = 3) -> Column:
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                out.append([])  # shingles(NULL) is [] in the expression twin
+                continue
             toks = t.lower().split(" ")
             if len(toks) < n:
                 out.append([])
@@ -150,9 +162,16 @@ def minhash_signature_fast(col: Column, k: int = 8, n: int = 3) -> Column:
     def sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = t.lower().split(" ")
+            # NULL/short docs: the expression twin yields [NULL]*k
+            # (array_min over an empty shingle array is NULL per seed) —
+            # match it exactly, don't crash / don't return [] (reviewer, r7)
+            toks = (
+                t.lower().split(" ")
+                if not (t is None or (isinstance(t, float) and pd.isna(t)))
+                else []
+            )
             if len(toks) < n:
-                out.append([])
+                out.append([None] * k)
                 continue
             sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             out.append(
@@ -209,6 +228,9 @@ def minhash_signature_draws(col: Column, k: int = 8, n: int = 3) -> Column:
     def sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                out.append([])  # NULL text: no shingles -> banding drops it
+                continue
             toks = t.lower().split(" ")
             if len(toks) < n:
                 out.append([])
@@ -276,6 +298,9 @@ def minhash_signature_vectorized(col: Column, k: int = 8, n: int = 3) -> Column:
         out = []
         with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
             for t in texts:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    out.append([])  # NULL text: no shingles
+                    continue
                 toks = t.lower().split(" ")
                 if len(toks) < n:
                     out.append([])
@@ -305,8 +330,8 @@ def _jaccard_counts(a: Column, b: Column, n: int) -> Column:
     def jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
         common, union = [], []
         for x, y in zip(ta, tb):
-            tx = x.lower().split(" ")
-            ty = y.lower().split(" ")
+            tx = x.lower().split(" ") if isinstance(x, str) else []
+            ty = y.lower().split(" ") if isinstance(y, str) else []
             sx = {" ".join(tx[i : i + n]) for i in range(len(tx) - n + 1)}
             sy = {" ".join(ty[i : i + n]) for i in range(len(ty) - n + 1)}
             common.append(len(sx & sy))
@@ -345,20 +370,31 @@ def _band_structs(sig_col_name: str, k: int, bands: int) -> Column:
     )
 
 
-def _band_frame(src, id_col, text_col, k, bands, n, hash_family) -> DataFrame:
-    """``(__sq_id, band_idx, band_hash)`` LSH banding of ``src``.
+def _band_frame(
+    src, id_col, text_col, k, bands, n, hash_family,
+    *, out_id="__sq_id", sig_out=None, carry=(),
+) -> DataFrame:
+    """``(out_id, [carried...], [sig], band_idx, band_hash)`` LSH banding.
 
     Signatures (k hash passes over every shingle) are the expensive part —
-    computed once, on the banding branch only.
+    computed once, on the banding branch only. The ONE banding shape every
+    entry point shares (symmetric pairs, corpus-delta, the persisted index,
+    the streaming probe — reviewer, r7): ``sig_out`` keeps the full
+    signature under that name (the stream gates' min-matching-band dedup
+    needs it), ``carry`` projects extra ``(alias, source_col)`` pairs
+    through (the probe carries its text to the verification join).
     """
+    sig_name = sig_out or "__sq_sig"
     base = src.select(
-        F.col(id_col).alias("__sq_id"),
-        _sig_col(text_col, k, n, hash_family).alias("__sq_sig"),
-    ).where(F.size("__sq_sig") > 0)
+        F.col(id_col).alias(out_id),
+        *[F.col(c).alias(a) for a, c in carry],
+        _sig_col(text_col, k, n, hash_family).alias(sig_name),
+    ).where(F.size(sig_name) > 0)
+    keep = [out_id, *[a for a, _ in carry]] + ([sig_name] if sig_out else [])
     return base.select(
-        "__sq_id",
-        F.explode(_band_structs("__sq_sig", k, bands)).alias("__sq_band"),
-    ).select("__sq_id", "__sq_band.band_idx", "__sq_band.band_hash")
+        *keep,
+        F.explode(_band_structs(sig_name, k, bands)).alias("__sq_band"),
+    ).select(*keep, "__sq_band.band_idx", "__sq_band.band_hash")
 
 
 def minhash_pairs(
@@ -371,6 +407,7 @@ def minhash_pairs(
     n: int = 3,
     threshold_milli: int = 200,
     hash_family: str = "fast",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, then exact
     n-gram Jaccard verification on the candidates only.
@@ -389,6 +426,19 @@ def minhash_pairs(
     Both verify candidates with the same exact Jaccard test; they can differ
     only on pairs one family's LSH happens to miss.
 
+    GIANT-BUCKET PRECONDITION: pair explosion is quadratic PER BUCKET. A
+    corpus that still contains large groups of byte-identical documents
+    puts all of them in one bucket in EVERY band (identical signatures), so
+    a 100k-copy crawl artifact means ~5e9 in-row pair structs — run
+    :func:`exact_dedup` first (the standard pipeline order; it is also why
+    the "buckets stay small" sizing argument holds only post-exact-dedup).
+    ``max_bucket`` is the guard for corpora that skip that step: buckets
+    larger than it emit STAR pairs (every member against the bucket's min
+    id) instead of all combinations — linear in the bucket, connectivity-
+    preserving for :func:`dedup_clusters`, but NOT the complete pair set
+    (and a pair may then fail exact verification against the hub that
+    would have passed against a nearer member). Default ``None`` = exact.
+
     Output: ``id_a < id_b, n_common, n_union`` (integers only).
     """
     if k % bands:
@@ -402,10 +452,12 @@ def minhash_pairs(
     # rows and ONE evaluation of the signature UDF (a self-join would carry
     # the UDF on both branches — Catalyst does not reuse the exchange).
     # Pair explosion per bucket is quadratic by construction (that's LSH);
-    # buckets are small because band hashes are wide.
+    # buckets stay small AFTER exact dedup (see the docstring precondition
+    # — identical signatures of surviving exact duplicates would otherwise
+    # concentrate in single buckets).
     ids = F.sort_array(F.collect_list("__sq_id"))
     m = F.size(F.col("ids"))
-    combos = F.flatten(
+    all_combos = F.flatten(
         F.transform(
             F.sequence(F.lit(0), m - 2),
             lambda i: F.transform(
@@ -417,6 +469,20 @@ def minhash_pairs(
             ),
         )
     )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        # star fallback for over-cap buckets: hub = min id (ids is sorted)
+        star = F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda j: F.struct(
+                F.element_at("ids", 1).alias("id_a"),
+                F.element_at("ids", (j + 1).cast("int")).alias("id_b"),
+            ),
+        )
+        combos = F.when(m <= max_bucket, all_combos).otherwise(star)
+    else:
+        combos = all_combos
     # localCheckpoint: the candidate set feeds the verification join chain;
     # without it Catalyst re-evaluates the whole signature pipeline per plan
     # branch (8 ArrowEvalPython nodes observed). Candidates ≪ corpus by LSH's
@@ -572,15 +638,10 @@ def corpus_band_index(
     if corpus.isStreaming:
         raise ValueError("corpus side must be a static DataFrame")
     src = ensure_parallel(corpus.select(id_col, text_col))
-    base = src.select(
-        F.col(id_col).alias("corpus_id"),
-        _sig_col(text_col, k, n, hash_family).alias("__sq_csig"),
-    ).where(F.size("__sq_csig") > 0)
-    return base.select(
-        "corpus_id", "__sq_csig",
-        F.explode(_band_structs("__sq_csig", k, bands)).alias("__sq_band"),
-    ).select("corpus_id", "__sq_csig",
-             "__sq_band.band_idx", "__sq_band.band_hash")
+    return _band_frame(
+        src, id_col, text_col, k, bands, n, hash_family,
+        out_id="corpus_id", sig_out="__sq_csig",
+    )
 
 
 def append_corpus_band_index(
@@ -735,15 +796,11 @@ def stream_dedup_against_corpus(
             raise ValueError("corpus_index must be a static DataFrame")
 
     bsrc = ensure_parallel(docs.select(id_col, text_col))
-    probe = bsrc.select(
-        F.col(id_col).alias("batch_id"),
-        F.col(text_col).alias("__sq_tb"),
-        _sig_col(text_col, k, n, hash_family).alias("__sq_bsig"),
-    ).where(F.size("__sq_bsig") > 0).select(
-        "batch_id", "__sq_tb", "__sq_bsig",
-        F.explode(_band_structs("__sq_bsig", k, bands)).alias("__sq_band"),
-    ).select("batch_id", "__sq_tb", "__sq_bsig",
-             "__sq_band.band_idx", "__sq_band.band_hash")
+    probe = _band_frame(
+        bsrc, id_col, text_col, k, bands, n, hash_family,
+        out_id="batch_id", sig_out="__sq_bsig",
+        carry=(("__sq_tb", text_col),),
+    )
 
     r = k // bands
     matching_bands = F.filter(
@@ -878,9 +935,12 @@ WHERE n_common * 1000 >= {threshold_milli} * (ca.nsh + cb.nsh - n_common)
 # SimHash (pandas UDF — bit-vote aggregation isn't expressible in Catalyst)
 # ---------------------------------------------------------------------------
 
-def _simhash_one(text: str) -> int:
+def _simhash_one(text: str) -> int | None:
     """63-bit SimHash (bit 63 kept zero so the value stays a positive int64)
-    with md5-derived token hashes and per-token bit voting."""
+    with md5-derived token hashes and per-token bit voting. NULL text maps
+    to NULL (a null band key never equi-joins, so null docs can't pair)."""
+    if text is None or (isinstance(text, float) and pd.isna(text)):
+        return None
     votes = [0] * 63
     for tok in text.lower().split():  # any-whitespace split: normalization-robust
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") >> 1
@@ -897,7 +957,7 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     """Append a deterministic 63-bit SimHash column (Arrow-batched)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), False)])
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), True)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -985,7 +1045,13 @@ def hamming_band_pairs(
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.shiftrightunsigned(F.col("__sq_hash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(
+                            # width 64 (chunks=1, e.g. max_hamming=0 with
+                            # approximate bands): (1<<64)-1 overflows
+                            # LongType; all-ones == identity (reviewer, r7)
+                            F.lit(-1).cast("long") if width >= 64
+                            else F.lit((1 << width) - 1)
+                        )
                         .alias("band_bits"),
                     )
                     for i in range(chunks)
@@ -1093,11 +1159,14 @@ def dedup_clusters(
         return (row["h"], row["n"])
 
     prev = _sig(labels)
+    converged = False
+    stale: DataFrame | None = None
     for _ in range(max_rounds):
         via_edges = (
             edges.join(labels, edges["__sq_src"] == labels[id_col])
             .select(F.col("__sq_dst").alias(id_col), F.col(cluster_col))
         )
+        stale = labels
         labels = _lazy_ckpt(
             labels.select(id_col, cluster_col)
             .unionAll(via_edges)
@@ -1105,7 +1174,40 @@ def dedup_clusters(
             .agg(F.min(cluster_col).alias(cluster_col))
         )
         cur = _sig(labels)
+        # round r's checkpoint is materialized (the _sig action above), so
+        # round r-1's blocks are no longer referenced — free them instead
+        # of holding O(rounds) label copies until drop_stale_persisted
+        # (reviewer, r7). Best-effort: a plain (unpinned) frame no-ops.
+        try:
+            stale._jdf.rdd().unpersist(False)
+        except Exception:
+            pass
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the loop exhausted max_rounds with the LAST round still changing
+        # labels; run one verification propagation — if it would change them
+        # again, some component is wider than the budget and the labels are
+        # a WRONG partition of the graph (one component reported as several
+        # clusters; a silent return under-deletes duplicates downstream —
+        # reviewer, r7)
+        via_edges = (
+            edges.join(labels, edges["__sq_src"] == labels[id_col])
+            .select(F.col("__sq_dst").alias(id_col), F.col(cluster_col))
+        )
+        nxt = (
+            labels.select(id_col, cluster_col)
+            .unionAll(via_edges)
+            .groupBy(id_col)
+            .agg(F.min(cluster_col).alias(cluster_col))
+        )
+        if _sig(nxt) != prev:
+            raise RuntimeError(
+                f"dedup_clusters did not converge within "
+                f"max_rounds={max_rounds} (a component's diameter exceeds "
+                f"the round budget — raise max_rounds, or pre-collapse "
+                f"exact duplicates first)"
+            )
     return labels

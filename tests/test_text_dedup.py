@@ -820,3 +820,127 @@ def test_stream_dedup_runs_with_zero_state_operators(spark, docs, tmp_path):
     for p in progresses:
         assert p["stateOperators"] in ([], None) or not p["stateOperators"], \
             p["stateOperators"]
+
+
+# --- r7 hardening (reviewer findings) --------------------------------------
+
+
+def test_null_text_survives_every_dedup_path(spark):
+    """A NULL text row must not crash the pandas-UDF signature paths and
+    must never appear in any pair (no shingles ⇒ no bands)."""
+    from sequila_native_spark.functions import (
+        minhash_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from sequila_native_spark.functions.dedup import dedup_against_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, None),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("fast", "md5"):
+        got = minhash_pairs(docs, threshold_milli=100, hash_family=fam).collect()
+        ids = {i for r in got for i in (r["id_a"], r["id_b"])}
+        assert 2 not in ids and 3 not in ids, fam
+        assert (0, 1) in {(r["id_a"], r["id_b"]) for r in got}, fam
+    sp = simhash_pairs(docs, max_hamming=8).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in sp)
+    jp = ngram_jaccard_pairs(docs, threshold_milli=100).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in jp)
+    dc = dedup_against_corpus(
+        docs.where("doc_id IN (0, 2)"), docs.where("doc_id IN (1, 3)"),
+        threshold_milli=100,
+    ).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in dc} == {(0, 1)}
+
+
+def test_null_text_exact_dedup_semantics(spark):
+    """NULL texts are unknown content: they form no exact-dup cluster and
+    all survive keep_canonical (the old behavior silently deleted all but
+    one NULL row)."""
+    from sequila_native_spark.functions import (
+        dedup_keep_canonical,
+        exact_dedup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hi"), (4, "hi")],
+        "doc_id long, text string",
+    )
+    clusters = exact_dedup_clusters(docs).collect()
+    assert len(clusters) == 1 and clusters[0]["n_docs"] == 2  # just 'hi'
+    kept = {r["doc_id"] for r in dedup_keep_canonical(docs).collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_fast_family_short_doc_matches_expression(spark):
+    """Short/NULL docs: fast == expression ([NULL]*k), closing the
+    bit-identical claim's untested gap."""
+    from sequila_native_spark.functions import minhash_signature
+    from sequila_native_spark.functions.dedup import minhash_signature_fast
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, None), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        minhash_signature(F.col("text")).alias("e"),
+        minhash_signature_fast(F.col("text")).alias("f"),
+    ).collect()
+    for r in rows:
+        assert list(r["e"]) == list(r["f"])
+
+
+def test_hamming_band_pairs_max_hamming_zero(spark):
+    """max_hamming=0 (identical-hash pairs) banded the whole 64-bit hash
+    into one chunk whose (1<<64)-1 mask overflowed LongType."""
+    from sequila_native_spark.functions.dedup import hamming_band_pairs
+
+    h = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, 99999)], "__sq_id long, h long"
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in hamming_band_pairs(h, "h", max_hamming=0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than max_rounds means the returned labels would split
+    one component — must raise, not silently under-delete."""
+    from sequila_native_spark.functions import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_rounds=3).collect()
+    # ...and exactly-at-budget chains still converge to ONE component
+    out = dedup_clusters(chain, max_rounds=10).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_minhash_pairs_max_bucket_star_preserves_connectivity(spark):
+    """Over-cap buckets fall back to star pairs: fewer pairs, same
+    connected components."""
+    from sequila_native_spark.functions import dedup_clusters, minhash_pairs
+
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)] + [(99, "totally different words here")],
+        "doc_id long, text string",
+    )
+    exact = minhash_pairs(docs, threshold_milli=500)
+    star = minhash_pairs(docs, threshold_milli=500, max_bucket=3)
+    n_exact, n_star = exact.count(), star.count()
+    assert n_exact == 15 and n_star == 5  # C(6,2) vs star over 6 ids
+    ce = {tuple(sorted(r)) for r in dedup_clusters(
+        exact.select("id_a", "id_b")).groupBy("cluster_id").count().collect()}
+    cs = {tuple(sorted(r)) for r in dedup_clusters(
+        star.select("id_a", "id_b")).groupBy("cluster_id").count().collect()}
+    assert ce == cs
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_pairs(docs, max_bucket=1)
