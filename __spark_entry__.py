@@ -3183,7 +3183,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        list_dot_product(e.v, q.qv)
-                       / sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)) AS c
+                       / sqrt(greatest(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv), 1e-300)) AS c
                 FROM e, q
             )
             SELECT query_id, neighbor_id,
@@ -3200,20 +3200,20 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT 'all' AS family, a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(floor(list_dot_product(a.v, b.v)
-                        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                        / sqrt(greatest(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v), 1e-300))
                         * 1000) AS BIGINT) AS cos_milli
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE floor(list_dot_product(a.v, b.v)
-                  / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                  / sqrt(greatest(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v), 1e-300))
                   * 1000) >= 300
             UNION ALL
             SELECT 'delta' AS family, a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(floor(list_dot_product(a.v, b.v)
-                        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                        / sqrt(greatest(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v), 1e-300))
                         * 1000) AS BIGINT) AS cos_milli
             FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
             WHERE floor(list_dot_product(a.v, b.v)
-                  / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                  / sqrt(greatest(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v), 1e-300))
                   * 1000) >= 300
         """,
         "multimodal_meta": """

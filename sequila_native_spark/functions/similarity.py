@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sequila_native_spark.util import ensure_parallel
+from sequila_native_spark.util import ensure_parallel, lib_checkpoint
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -41,8 +41,18 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ``array<double>`` columns (JVM-side)."""
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    """Cosine similarity of two ``array<double>`` columns (JVM-side).
+
+    The norm product is floored at 1e-300: an all-zero vector (padded /
+    failed embedding) scores 0.0 ("no similarity") instead of NULL
+    (non-ANSI) or a DIVIDE_BY_ZERO error (ANSI) — which previously let
+    ``cosine_topk`` rank k arbitrary neighbors for a zero query by
+    tie-break alone (reviewer, r7). Bit-identical for any real norm; the
+    DuckDB twins carry the same greatest() floor.
+    """
+    return _dot(a, b) / F.sqrt(
+        F.greatest(_dot(a, a) * _dot(b, b), F.lit(1e-300))
+    )
 
 
 def _as_double(col: Column) -> Column:
@@ -97,6 +107,10 @@ def near_dup_pairs(
 
     ``cos_milli = floor(cos * 1000)`` keeps the output integral. The block
     column bounds the pair explosion: at scale, feed an LSH bucket id here.
+
+    Rows with a NULL block value never pair (NULL == NULL is NULL in the
+    join) — by design: a null block asserts no comparable group. Impute a
+    sentinel block first if null-block rows should compare (reviewer, r7).
     """
     df = ensure_parallel(df, [block_col])
     a = df.select(
@@ -253,7 +267,14 @@ def semantic_dedup(
     via ``id_col`` (r6), so the trained cells are repartition/retry-stable.
     """
     centers = _train_centroids(df, vec_col, n_cells, seed, stable_id_col=id_col)
+    # checkpoint the COMPACT (id, cell, cent_sim) assignment: it feeds the
+    # pair join's two branches AND the final flag join — without a barrier
+    # the full Arrow assignment pass re-runs per branch (reviewer, r7)
     assigned = _assign_cells_with_sim(df, centers, id_col=id_col, vec_col=vec_col)
+    try:
+        assigned = lib_checkpoint(assigned, eager=True)
+    except Exception:
+        pass  # Connect or API drift: plan just re-evaluates
     vecs = df.select(
         F.col(id_col).alias("__sq_id"), _as_double(F.col(vec_col)).alias("__sq_v")
     )
@@ -356,7 +377,11 @@ def cluster_balanced_sample(
 
     centers = _train_centroids(df, vec_col, n_cells, seed, stable_id_col=id_col)
     assigned = _assign_cells_with_sim(df, centers, id_col=id_col, vec_col=vec_col)
-
+    try:
+        # same barrier as semantic_dedup: quotas AND ranking both read it
+        assigned = lib_checkpoint(assigned, eager=True)
+    except Exception:
+        pass
     if per_cell is not None:
         quotas = None
         quota_col = F.lit(int(per_cell))
@@ -509,7 +534,11 @@ def ivf_ann_topk(
     while search stays fully distributed. Spherical (normalized) centroids
     match the cosine metric used for cell assignment at search time.
     """
-    centers = _train_centroids(corpus, vec_col, n_cells, seed)
+    # stable_id_col: without it the training sample rides df.sample's
+    # per-partition RNG — NOT repartition/retry-stable, unlike every other
+    # centroid consumer in this module (reviewer, r7)
+    centers = _train_centroids(corpus, vec_col, n_cells, seed,
+                               stable_id_col=id_col)
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
 
     from pyspark.sql.types import ArrayType, LongType
@@ -535,10 +564,13 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"),
         F.explode(_cells(n_probe)(F.col(vec_col))).alias("__sq_cell"),
     )
-    cands = (
-        e_cells.join(F.broadcast(q_cells), "__sq_cell")
-        .select("query_id", "neighbor_id")
-        .distinct()
+    # no distinct: each corpus vector carries exactly ONE cell and a
+    # query's probe cells are distinct, so (query, neighbor) can meet at
+    # most once — the former distinct() was a full shuffle+agg over the
+    # job's largest intermediate for nothing (reviewer, r7; unlike
+    # lsh_ann_topk, where multi-table collisions force it)
+    cands = e_cells.join(F.broadcast(q_cells), "__sq_cell").select(
+        "query_id", "neighbor_id"
     )
     e = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__sq_v")
@@ -559,6 +591,23 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first NON-NULL vector. The former
+    per-site ``.first()`` checks missed a NULL first row (size(NULL) is
+    NULL), sending dim=None into numpy as an opaque TypeError (reviewer,
+    r7)."""
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d")).first()
+    )
+    if first is None or first["d"] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from {vec_col!r} (no non-null "
+            f"vectors); pass dim= explicitly"
+        )
+    return first["d"]
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -584,10 +633,7 @@ def add_lsh_bucket(
     from pyspark.sql.types import LongType, StructField, StructType
 
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            raise ValueError("cannot infer embedding dim from an empty DataFrame")
-        dim = first["d"]
+        dim = _infer_dim(df, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType(), False)])
 
@@ -689,10 +735,7 @@ def vector_bucket_index(
     if corpus.isStreaming:
         raise ValueError("corpus side must be a static DataFrame")
     if dim is None:
-        first = corpus.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            raise ValueError("cannot infer embedding dim from an empty corpus")
-        dim = first["d"]
+        dim = _infer_dim(corpus, vec_col)
     return _multi_table_buckets(
         ensure_parallel(corpus.select(id_col, vec_col)), "corpus_id",
         id_col=id_col, vec_col=vec_col, n_planes=n_planes,
@@ -734,6 +777,10 @@ def stream_embedding_gate(
     if corpus_index is None:
         if corpus is None:
             raise ValueError("pass either corpus or corpus_index")
+        if dim is None:
+            # hoisted: vector_bucket_index would otherwise run a second
+            # .first() job for the same scalar (reviewer, r7)
+            dim = _infer_dim(corpus, vec_col)
         corpus_index = vector_bucket_index(
             corpus, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
             n_tables=n_tables, seed=seed, dim=dim,
@@ -749,18 +796,23 @@ def stream_embedding_gate(
             )
         if corpus_index.isStreaming:
             raise ValueError("corpus_index must be a static DataFrame")
-    if dim is None:
-        src = corpus if corpus is not None else None
-        if src is not None and not src.isStreaming:
-            first = src.select(F.size(vec_col).alias("d")).first()
-            dim = first["d"] if first is not None else None
-    if dim is None:
-        # streaming probe side can't be sampled for the dim — read it from
-        # the index instead (static by construction)
-        first = corpus_index.select(F.size("corpus_id_vec").alias("d")).first()
-        if first is None:
-            raise ValueError("empty corpus_index — cannot infer embedding dim")
-        dim = first["d"]
+        # an index built with a different n_tables would silently drop
+        # pairs (out-of-bounds element_at -> NULL predicate) or throw
+        # under ANSI — validate the one dimension we can read cheaply;
+        # n_planes/seed remain the caller's contract (reviewer, r7)
+        probe_row = (
+            corpus_index.where(F.col("corpus_id_bkts").isNotNull())
+            .select(F.size("corpus_id_bkts").alias("s")).first()
+        )
+        if probe_row is not None and probe_row["s"] != n_tables:
+            raise ValueError(
+                f"corpus_index was built with n_tables={probe_row['s']} "
+                f"but the gate was called with n_tables={n_tables}"
+            )
+        if dim is None:
+            # streaming probe side can't be sampled for the dim — read it
+            # from the index instead (static by construction)
+            dim = _infer_dim(corpus_index, "corpus_id_vec")
 
     probe = _multi_table_buckets(
         batch.select(id_col, vec_col), "batch_id",

@@ -716,3 +716,70 @@ def test_training_prep_pipeline_laws(spark):
     assert r["shards_match"] and r["shard_tokens_match"]
     assert 0 < r["sel_tokens"] <= 9000
     assert r["n_selected"] > 0 and r["n_packs"] > 0
+
+
+# --- r7 hardening (reviewer findings) --------------------------------------
+
+
+def test_zero_vector_cosine_is_zero_not_null(spark):
+    from sequila_native_spark.functions import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk(corpus, q, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in rows}
+    # the real query finds its true neighbor; the zero query scores every
+    # neighbor 0.0 (defined, not NULL) and falls back to the id tie-break
+    assert got[10] == 1 and got[11] == 1
+
+
+def test_dim_inference_skips_null_vectors(spark):
+    from sequila_native_spark.functions.similarity import (
+        _infer_dim,
+        add_lsh_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _infer_dim(df, "embedding") == 3
+    out = add_lsh_bucket(df.where("embedding IS NOT NULL"), n_planes=4)
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="non-null"):
+        _infer_dim(df.where("vec_id < 0"), "embedding")
+
+
+def test_stream_gate_rejects_mismatched_index_tables(spark):
+    from sequila_native_spark.functions import (
+        stream_embedding_gate,
+        vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    idx = vector_bucket_index(emb, n_planes=4, n_tables=2, seed=11)
+    with pytest.raises(ValueError, match="n_tables=2"):
+        stream_embedding_gate(
+            emb, threshold_milli=300, n_planes=4, n_tables=4, seed=11,
+            corpus_index=idx,
+        ).collect()
+
+
+def test_ivf_topk_partitioning_stable(spark):
+    """stable_id_col on the coarse quantizer: same corpus under different
+    partitioning must give identical IVF results (reviewer, r7)."""
+    from sequila_native_spark.functions import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(10)
+    a = {tuple(r) for r in ivf_ann_topk(emb, q, k=3, n_cells=8,
+                                        n_probe=4).collect()}
+    b = {tuple(r) for r in ivf_ann_topk(emb.repartition(13), q, k=3,
+                                        n_cells=8, n_probe=4).collect()}
+    assert a == b and a
