@@ -1721,6 +1721,69 @@ def q_doc_perplexity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet keep rule driven end-to-end (r8 — VERDICT r7 items 1+2):
+    ``perplexity_filter`` at the corpus median NLL, with the keep-rule laws
+    checked in-row the way ``doc_span_removal`` checks its conservation
+    law:
+
+    - ``n_keep_violations``: kept docs that are unscoreable or score above
+      the threshold (kept ⊆ {scored ≤ thr} — must be 0);
+    - ``n_drop_violations``: dropped docs that score ≤ thr (the other
+      inclusion — must be 0);
+    - with both at 0, each doc is in exactly one of kept/dropped/
+      unscoreable, so ``n_kept + n_dropped + n_unscoreable == n_docs`` by
+      construction — the counts are emitted so the driver hash pins them.
+
+    Rows-only (the model rides through ln); the filter's NOT-broadcast
+    keep-side plan is pinned in tests/test_lm.py (the r7 scale defect:
+    the keep set is the *majority* of the corpus under this rule —
+    broadcasting it is a driver OOM at 100 TB)."""
+    from sequila_native_spark.functions import (
+        perplexity_filter,
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, id_col="doc_id", seed=3)
+    scores = perplexity_score(docs, model)
+    # bounded scalar: the keep threshold (exact median of a percentile
+    # pair would need a sort; approx is deterministic for fixed input)
+    thr = int(
+        scores.agg(
+            F.expr("percentile_approx(nll_milli_per_token, 0.5)")
+        ).first()[0]
+    )
+    kept = perplexity_filter(docs, model, thr, id_col="doc_id").select(
+        "doc_id", F.lit(1).alias("__sq_kept")
+    )
+    j = (
+        scores.join(kept, "doc_id", "left")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    scoreable = F.col("nll_milli_per_token").isNotNull()
+    keeprule = scoreable & (F.col("nll_milli_per_token") <= F.lit(thr))
+    was_kept = F.col("__sq_kept").isNotNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(was_kept, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.sum(F.when(~was_kept & scoreable, 1).otherwise(0))
+            .cast("bigint").alias("n_dropped"),
+            F.sum(F.when(~scoreable, 1).otherwise(0))
+            .cast("bigint").alias("n_unscoreable"),
+            F.sum(F.when(was_kept & ~keeprule, 1).otherwise(0))
+            .cast("bigint").alias("n_keep_violations"),
+            F.sum(F.when(~was_kept & keeprule, 1).otherwise(0))
+            .cast("bigint").alias("n_drop_violations"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span REMOVAL (r7 — the Lee et al. 2021 deletion pass the
     stats row only measured): per-lang token totals before/after removal
@@ -2386,6 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep_pipeline": q_training_prep_pipeline,
         "doc_span_removal": q_doc_span_removal,
         "doc_perplexity_stats": q_doc_perplexity_stats,
+        # r8: the CCNet keep rule driven with in-row laws (VERDICT r7
+        # items 1+2 — the filter's keep side is no longer broadcast)
+        "perplexity_keep": q_perplexity_keep,
     }
 
 

@@ -99,6 +99,7 @@ HEADLINE = [
     "training_prep_pipeline",     # classify→BPE→budget→pack→shard writer (r7)
     "doc_span_removal",           # ExactSubstr deletion pass, HOF splice (r7)
     "doc_perplexity_stats",       # bigram-LM perplexity scoring, CCNet (r7)
+    "perplexity_keep",            # CCNet keep rule, law-checked in-row (r8)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

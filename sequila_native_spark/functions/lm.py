@@ -213,14 +213,20 @@ def perplexity_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep documents whose mean transition NLL clears the threshold —
-    the CCNet 'head/middle' keep rule as one broadcast-scored semi-join.
+    the CCNet 'head/middle' keep rule as one scored semi-join.
     Unscoreable documents (< 2 tokens) are dropped (no evidence of
-    fluency)."""
+    fluency).
+
+    Scale note: the keep set is the *majority* of the corpus in the CCNet
+    use case (head + middle), so it must NOT be broadcast — a hash
+    semi-join on the doc key is the only corpus-safe shape; AQE may still
+    downgrade it to broadcast at runtime when the keep side measures
+    small. Plan pinned in tests/test_lm.py (keep side never hinted)."""
     scores = perplexity_score(docs, model, text_col, id_col)
     keep = scores.where(
         F.col("nll_milli_per_token") <= F.lit(int(max_nll_milli))
     ).select(id_col)
-    return docs.join(F.broadcast(keep), id_col, "left_semi")
+    return docs.join(keep, id_col, "left_semi")
 
 
 def perplexity_score_py(

@@ -108,6 +108,34 @@ def test_perplexity_plan_broadcasts_model(spark, corpus, model):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_filter_plan_never_broadcasts_keep_set(spark, corpus, model):
+    """The keep set is corpus-sized in the CCNet use case (head+middle =
+    majority of docs), so perplexity_filter must NOT hint it broadcast.
+    With autoBroadcastJoinThreshold=-1 a hinted side would still broadcast
+    (hints override the threshold); an unhinted one must shuffle — so the
+    LeftSemi join planning as SortMergeJoin/ShuffledHashJoin here proves
+    no hint is attached, while the sample-bounded model joins (which ARE
+    hinted) keep broadcasting."""
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(perplexity_filter(corpus, model, 10_000))
+        assert "BroadcastHashJoin LeftSemi" not in plan, plan
+        assert (
+            "SortMergeJoin LeftSemi" in plan
+            or "ShuffledHashJoin LeftSemi" in plan
+        ), plan
+        # the model tables stay broadcast — their hint survives the -1
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_model_table_round_trip_and_tvf(spark, corpus, model):
     """Model-as-data: serialize → persist-shape relation → rehydrate must
     be identity, and the sequila_perplexity TVF scores through the table
