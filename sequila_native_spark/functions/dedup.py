@@ -680,8 +680,13 @@ def append_corpus_band_index(
     by probes (invisible rows, no error — reviewer, r7), so a mismatch —
     or a pre-existing table without the recorded properties — raises
     instead of corrupting the index. (Spark itself validates only the
-    bucket spec.)
+    bucket spec.) Bootstrap stamps the properties BEFORE any data lands
+    (``CREATE TABLE … TBLPROPERTIES``, then append) — the reverse order
+    had a crash window that left a table every future append rejected
+    (reviewer, r7).
     """
+    from sequila_native_spark.util import bootstrap_or_validate_index_table
+
     spark = new_docs.sparkSession
     params = {
         "sequila.index.k": str(int(k)),
@@ -689,34 +694,16 @@ def append_corpus_band_index(
         "sequila.index.n": str(int(n)),
         "sequila.index.hash_family": hash_family,
     }
-    exists = spark.catalog.tableExists(table)
-    if exists:
-        props = {
-            r["key"]: r["value"]
-            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        }
-        missing = [p for p in params if p not in props]
-        if missing:
-            raise ValueError(
-                f"table {table!r} carries no recorded signing parameters "
-                f"({missing}) — it was not bootstrapped by "
-                f"append_corpus_band_index; rebuild it through this "
-                f"function (or set the sequila.index.* TBLPROPERTIES "
-                f"to the parameters it was built with)"
-            )
-        bad = {p: (props[p], v) for p, v in params.items() if props[p] != v}
-        if bad:
-            raise ValueError(
-                f"signing-parameter mismatch against table {table!r}: "
-                + ", ".join(
-                    f"{p}: table={tv!r} vs append={av!r}"
-                    for p, (tv, av) in sorted(bad.items())
-                )
-                + " — appended rows would be invisible to probes"
-            )
     idx = corpus_band_index(
         new_docs, text_col, id_col,
         k=k, bands=bands, n=n, hash_family=hash_family,
+    )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in idx.schema.fields
+    )
+    bootstrap_or_validate_index_table(
+        spark, table, params,
+        schema_ddl=ddl, bucket_cols=["band_hash"], buckets=int(buckets),
     )
     (
         idx.write.bucketBy(int(buckets), "band_hash")
@@ -724,9 +711,6 @@ def append_corpus_band_index(
         .mode("append")
         .saveAsTable(table)
     )
-    if not exists:
-        kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
 def stream_dedup_against_corpus(
@@ -794,6 +778,24 @@ def stream_dedup_against_corpus(
             )
         if corpus_index.isStreaming:
             raise ValueError("corpus_index must be a static DataFrame")
+        # an index signed with a different k yields band slices of the
+        # wrong width — silently empty/partial pair sets, never an error.
+        # k is the one parameter readable from the rows themselves (the
+        # vector gate's n_tables check, band side — reviewer, r7);
+        # bands/n/hash_family remain the caller's contract, enforced end
+        # to end when the index comes from append_corpus_band_index's
+        # TBLPROPERTIES.
+        probe_row = (
+            corpus_index.where(F.col("__sq_csig").isNotNull())
+            .select(F.size("__sq_csig").alias("s")).first()
+        )
+        if probe_row is not None and probe_row["s"] != k:
+            raise ValueError(
+                f"corpus_index was signed with k={probe_row['s']} but the "
+                f"gate was called with k={k} — band slices would never "
+                f"match (build the index with the same parameters, or read "
+                f"them from the table's sequila.index.* TBLPROPERTIES)"
+            )
 
     bsrc = ensure_parallel(docs.select(id_col, text_col))
     probe = _band_frame(
@@ -1124,17 +1126,22 @@ def dedup_clusters(
 
     Output: one row per node — ``(id_col, cluster_col)``.
     """
-    def _lazy_ckpt(df: DataFrame) -> DataFrame:
+    from sequila_native_spark.util import lib_checkpoint_ids, unpersist_rdd_ids
+
+    def _lazy_ckpt(df: DataFrame) -> tuple[DataFrame, set]:
         # eager=False (VERDICT r3 What's-wrong #2): the eager default paid a
         # blocking materialization job PLUS a separate _sig probe job per
         # round; lazily-checkpointed frames materialize (and truncate
         # lineage) inside the _sig aggregation itself — one job per round.
+        # The pinned RDD ids ride along so the loop can free round r-1's
+        # blocks once round r is materialized — a DataFrame.rdd round-trip
+        # cannot reach them (reviewer, r7).
         try:
-            return lib_checkpoint(df)
+            return lib_checkpoint_ids(df)
         except Exception:  # Connect or API drift: plan just stays unpinned
-            return df
+            return df, set()
 
-    edges = _lazy_ckpt(
+    edges, _ = _lazy_ckpt(
         pairs.select(F.col(id_a).alias("__sq_src"), F.col(id_b).alias("__sq_dst"))
         .unionAll(
             pairs.select(F.col(id_b).alias("__sq_src"), F.col(id_a).alias("__sq_dst"))
@@ -1145,7 +1152,7 @@ def dedup_clusters(
         base = edges.select(F.col("__sq_src").alias(id_col)).distinct()
     else:
         base = nodes.select(F.col(nodes.columns[0]).alias(id_col)).distinct()
-    labels = _lazy_ckpt(base.withColumn(cluster_col, F.col(id_col)))
+    labels, live_ids = _lazy_ckpt(base.withColumn(cluster_col, F.col(id_col)))
 
     def _sig(df: DataFrame) -> int:
         # bit_xor: order-independent and overflow-free (rows are unique per
@@ -1160,28 +1167,27 @@ def dedup_clusters(
 
     prev = _sig(labels)
     converged = False
-    stale: DataFrame | None = None
     for _ in range(max_rounds):
         via_edges = (
             edges.join(labels, edges["__sq_src"] == labels[id_col])
             .select(F.col("__sq_dst").alias(id_col), F.col(cluster_col))
         )
-        stale = labels
-        labels = _lazy_ckpt(
+        stale_ids = live_ids
+        labels, live_ids = _lazy_ckpt(
             labels.select(id_col, cluster_col)
             .unionAll(via_edges)
             .groupBy(id_col)
             .agg(F.min(cluster_col).alias(cluster_col))
         )
         cur = _sig(labels)
-        # round r's checkpoint is materialized (the _sig action above), so
-        # round r-1's blocks are no longer referenced — free them instead
-        # of holding O(rounds) label copies until drop_stale_persisted
-        # (reviewer, r7). Best-effort: a plain (unpinned) frame no-ops.
-        try:
-            stale._jdf.rdd().unpersist(False)
-        except Exception:
-            pass
+        # round r's checkpoint is materialized (the _sig action above) and
+        # its lineage truncated, so round r-1's blocks are no longer
+        # referenced — free them BY PINNED RDD ID instead of holding
+        # O(rounds) label copies until drop_stale_persisted. (The previous
+        # stale._jdf.rdd().unpersist() was a silent no-op: that round-trip
+        # returns a derived deserialized RDD, never the RDD localCheckpoint
+        # pinned — reviewer, r7.)
+        unpersist_rdd_ids(labels.sparkSession, stale_ids)
         if cur == prev:
             converged = True
             break

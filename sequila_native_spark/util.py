@@ -243,3 +243,114 @@ def stamp_row_id(df: DataFrame, col_name: str) -> DataFrame:
         except Exception:
             return stamped  # no checkpoint support here (Connect): best effort
     return stamped
+
+
+def bootstrap_or_validate_index_table(
+    spark,
+    table: str,
+    params: dict[str, str],
+    *,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    buckets: int,
+) -> bool:
+    """Bootstrap a persisted bucketed index table, or validate a persisted
+    one's recorded build parameters — the shared guard under
+    ``dedup.append_corpus_band_index`` and
+    ``similarity.append_vector_bucket_index``.
+
+    Rows built with different signing parameters (MinHash ``k/bands``, LSH
+    ``planes/seed``) land in the table silently unmatched by probes —
+    invisible rows, no error — so the parameters are recorded as
+    ``TBLPROPERTIES`` and every later append must present the same values.
+
+    Bootstrap is properties-FIRST: ``CREATE TABLE … TBLPROPERTIES`` with no
+    data, then the caller appends. The reverse order (write data, then
+    ALTER) has a crash window that leaves a valid-looking table every
+    future append permanently rejects (reviewer, r7). A crash after this
+    CREATE leaves an empty-but-correctly-stamped table that the next
+    append simply fills.
+
+    Returns True when the table already existed (caller appends either way).
+    """
+    if spark.catalog.tableExists(table):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        missing = [p for p in params if p not in props]
+        if missing:
+            kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
+            raise ValueError(
+                f"table {table!r} carries no recorded signing parameters "
+                f"({missing}) — it was not bootstrapped by the index append "
+                f"function; rebuild it through that function, or — if it "
+                f"WAS built with exactly these parameters — repair it with: "
+                f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})"
+            )
+        bad = {p: (props[p], v) for p, v in params.items() if props[p] != v}
+        if bad:
+            raise ValueError(
+                f"index-parameter mismatch against table {table!r}: "
+                + ", ".join(
+                    f"{p}: table={tv!r} vs append={av!r}"
+                    for p, (tv, av) in sorted(bad.items())
+                )
+                + " — appended rows would be invisible to probes"
+            )
+        return True
+    cols = ", ".join(f"`{c}`" for c in bucket_cols)
+    kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {int(buckets)} BUCKETS TBLPROPERTIES ({kv})"
+    )
+    return False
+
+
+def lib_checkpoint_ids(df: DataFrame, eager: bool = False):
+    """:func:`lib_checkpoint` that ALSO returns the persisted RDD ids the
+    call pinned (before/after diff of ``getPersistentRDDs``), so iterative
+    loops can release exactly one round's blocks once the next round is
+    materialized. ``persist`` registers the RDD immediately — lazily
+    checkpointed frames are captured too, before any job runs.
+
+    Returns ``(checkpointed_df, new_ids)``; ``new_ids`` is empty when the
+    JVM handle is unavailable (Connect) — the caller's free becomes a no-op
+    and :func:`drop_stale_persisted` remains the backstop."""
+    spark = df.sparkSession
+    try:
+        jsc = spark.sparkContext._jsc
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    except Exception:
+        return lib_checkpoint(df, eager=eager), set()
+    out = lib_checkpoint(df, eager=eager)
+    try:
+        after = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    except Exception:
+        return out, set()
+    return out, after - before
+
+
+def unpersist_rdd_ids(spark, ids) -> int:
+    """Unpersist exactly the given persisted-RDD ids (library-internal:
+    the ids come from :func:`lib_checkpoint_ids`). A ``DataFrame._jdf.rdd()``
+    round-trip does NOT reach these blocks — it returns a derived
+    deserialized RDD, never the one ``localCheckpoint`` pinned (reviewer,
+    r7) — so the release must go through ``getPersistentRDDs`` by id.
+    Returns the number of RDDs actually dropped."""
+    if not ids:
+        return 0
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        reg = _ckpt_registry(spark)
+        for k, v in jmap.items():
+            if int(k) in ids:
+                v.unpersist()
+                reg.discard(int(k))
+                n += 1
+    except Exception:
+        pass
+    return n

