@@ -100,6 +100,9 @@ HEADLINE = [
     "doc_span_removal",           # ExactSubstr deletion pass, HOF splice (r7)
     "doc_perplexity_stats",       # bigram-LM perplexity scoring, CCNet (r7)
     "perplexity_keep",            # CCNet keep rule, law-checked in-row (r8)
+    "persisted_gate_probe_10x",   # at-rest probe vs 10x corpus index (r8):
+                                  # probe floor should grow far sublinearly
+    "doc_trigram_stats",          # trigram-LM scoring, 3-level backoff (r8)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -56,6 +56,10 @@ from sequila_native_spark.functions.lm import (
     perplexity_filter,
     perplexity_score,
     train_bigram_lm,
+    train_trigram_lm,
+    trigram_lm_from_table,
+    trigram_lm_to_table,
+    trigram_perplexity_score,
 )
 from sequila_native_spark.functions.dupspans import (
     duplicated_span_stats,
@@ -181,6 +185,8 @@ __all__ = [
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
     "train_bigram_lm", "perplexity_score", "perplexity_filter",
+    "train_trigram_lm", "trigram_perplexity_score",
+    "trigram_lm_to_table", "trigram_lm_from_table",
     "bigram_lm_to_table", "bigram_lm_from_table",
     "attach_binary", "decode_media_meta", "sample_chunks",
     "resize_media", "extract_features",

@@ -167,3 +167,108 @@ def test_model_table_round_trip_and_tvf(spark, corpus, model):
         sequila_sql(spark, "SELECT * FROM sequila_perplexity('lm_docs')")
     with pytest.raises(ValueError, match="missing columns"):
         bigram_lm_from_table(corpus)
+
+
+@pytest.fixture(scope="module")
+def tri_model(corpus):
+    from sequila_native_spark.functions import train_trigram_lm
+
+    return train_trigram_lm(corpus, id_col="doc_id", seed=3)
+
+
+def test_trigram_python_reference_parity(spark, corpus, tri_model):
+    from sequila_native_spark.functions import trigram_perplexity_score
+    from sequila_native_spark.functions.lm import trigram_perplexity_score_py
+
+    docs = corpus.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(10**9, None), (10**9 + 1, ""), (10**9 + 2, "one two"),
+             (10**9 + 3, "zz qq xx totally unseen words here")],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["nll_milli_per_token"])
+        for r in trigram_perplexity_score(docs, tri_model).collect()
+    }
+    for doc_id, text in docs.collect():
+        assert got[doc_id] == trigram_perplexity_score_py(text, tri_model), doc_id
+    finite = [v for _, v in got.values() if v is not None]
+    assert finite and all(v > 0 for v in finite)
+
+
+def test_trigram_training_repartition_stable(corpus):
+    from sequila_native_spark.functions import train_trigram_lm
+
+    a = train_trigram_lm(corpus, id_col="doc_id", seed=3)
+    b = train_trigram_lm(corpus.repartition(7), id_col="doc_id", seed=3)
+    assert a == b
+
+
+def test_trigram_separates_fluent_from_shuffled_more_than_bigram(
+    spark, corpus, model, tri_model
+):
+    """The extra order must buy discrimination: in-domain text scores
+    lower NLL than the same tokens shuffled, and the trigram model's
+    relative separation is at least the bigram model's (longer context =
+    sharper fluency signal — the reason CCNet uses a 5-gram model)."""
+    import random
+
+    from sequila_native_spark.functions import trigram_perplexity_score
+
+    rows = [r["text"] for r in corpus.limit(20).collect() if r["text"]]
+    rng = random.Random(5)
+    shuffled = []
+    for t in rows:
+        toks = t.lower().split(" ")
+        rng.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    both = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)]
+        + [(1000 + i, t) for i, t in enumerate(shuffled)],
+        "doc_id long, text string",
+    )
+
+    def sep(scores):
+        s = {r["doc_id"]: r["nll_milli_per_token"] for r in scores.collect()}
+        orig = sum(s[i] for i in range(len(rows))) / len(rows)
+        shuf = sum(s[1000 + i] for i in range(len(rows))) / len(rows)
+        return orig, shuf
+
+    t_orig, t_shuf = sep(trigram_perplexity_score(both, tri_model))
+    b_orig, b_shuf = sep(perplexity_score(both, model))
+    assert t_orig < t_shuf
+    assert (t_shuf - t_orig) / t_orig >= (b_shuf - b_orig) / b_orig
+
+
+def test_trigram_plan_broadcasts_all_three_model_tables(spark, corpus, tri_model):
+    """One more broadcast join than the bigram plan, same shape: all three
+    sample-bounded model tables broadcast, transitions reduced with a
+    partial aggregation — the corpus is never shuffled against the model."""
+    from sequila_native_spark.functions import trigram_perplexity_score
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(trigram_perplexity_score(corpus, tri_model))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_trigram_validation(spark, corpus):
+    from sequila_native_spark.functions import train_trigram_lm
+
+    with pytest.raises(ValueError, match="lam2"):
+        train_trigram_lm(corpus, lam2=1.0)
+    with pytest.raises(ValueError, match="lam1"):
+        train_trigram_lm(corpus, lam1=0.0)
+
+
+def test_trigram_model_table_round_trip(spark, tri_model):
+    from sequila_native_spark.functions import (
+        trigram_lm_from_table,
+        trigram_lm_to_table,
+    )
+
+    tbl = trigram_lm_to_table(spark, tri_model)
+    assert trigram_lm_from_table(tbl) == tri_model
+    with pytest.raises(ValueError, match="missing columns"):
+        trigram_lm_from_table(tbl.drop("ctx2"))
