@@ -368,6 +368,8 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_dupspans('docs', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_span_removal('docs', 'text', 'doc_id', 8)
 #     SELECT * FROM sequila_perplexity('docs', 'model', 'text', 'doc_id')
+#     SELECT * FROM sequila_trigram_perplexity('docs', 'model', 'text',
+#                                              'doc_id')
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -378,7 +380,7 @@ _TVF = re.compile(
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
     r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal"
-    r"|perplexity)"
+    r"|trigram_perplexity|perplexity)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -739,6 +741,21 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             model = bigram_lm_from_table(spark.table(a[1]))
             return perplexity_score(
                 spark.table(a[0]), model, text_col=a[2], id_col=a[3]
+            )
+        if op == "trigram_perplexity":
+            if len(a) != 4:
+                raise ValueError(
+                    f"sequila_trigram_perplexity takes (docs, model, text, "
+                    f"id), got {a!r}"
+                )
+            from sequila_native_spark.functions.lm import (
+                trigram_lm_from_table,
+                trigram_perplexity_score,
+            )
+
+            tri_model = trigram_lm_from_table(spark.table(a[1]))
+            return trigram_perplexity_score(
+                spark.table(a[0]), tri_model, text_col=a[2], id_col=a[3]
             )
         if op == "span_removal":
             if not (3 <= len(a) <= 5):

@@ -272,3 +272,32 @@ def test_trigram_model_table_round_trip(spark, tri_model):
     assert trigram_lm_from_table(tbl) == tri_model
     with pytest.raises(ValueError, match="missing columns"):
         trigram_lm_from_table(tbl.drop("ctx2"))
+
+
+def test_trigram_tvf_matches_function(spark, corpus, tri_model):
+    """sequila_trigram_perplexity scores through the persisted-model table
+    form identically to the in-memory model (and must not be shadowed by
+    the shorter sequila_perplexity TVF in the rewriter)."""
+    from sequila_native_spark.functions import (
+        trigram_lm_to_table,
+        trigram_perplexity_score,
+    )
+    from sequila_native_spark.sql import sequila_sql
+
+    trigram_lm_to_table(spark, tri_model).createOrReplaceTempView("tri_model")
+    corpus.limit(50).createOrReplaceTempView("tri_docs")
+    got = {
+        (r["doc_id"], r["n_transitions"], r["nll_milli_per_token"])
+        for r in sequila_sql(
+            spark,
+            "SELECT * FROM sequila_trigram_perplexity('tri_docs', "
+            "'tri_model', 'text', 'doc_id')",
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_transitions"], r["nll_milli_per_token"])
+        for r in trigram_perplexity_score(corpus.limit(50), tri_model).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="sequila_trigram_perplexity takes"):
+        sequila_sql(spark, "SELECT * FROM sequila_trigram_perplexity('tri_docs')")
