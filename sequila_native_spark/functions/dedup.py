@@ -724,7 +724,7 @@ def stream_dedup_against_corpus(
     n: int = 3,
     threshold_milli: int = 200,
     hash_family: str = "fast",
-    corpus_index: DataFrame | None = None,
+    corpus_index: DataFrame | str | None = None,
 ) -> DataFrame:
     """Streaming-capable corpus-delta near-dup: verified ``(batch_id,
     corpus_id, n_common, n_union)`` pairs for a (possibly streaming) ``docs``
@@ -757,6 +757,10 @@ def stream_dedup_against_corpus(
     ``corpus_index``: pass a persisted :func:`corpus_band_index` frame to
     skip re-signing the corpus (it must have been built with the same
     ``k/bands/n/hash_family``); default builds it from ``corpus`` in-plan.
+    Pass the index TABLE NAME (a :func:`append_corpus_band_index` table)
+    instead of a frame and ALL FOUR signing parameters are validated
+    against the recorded TBLPROPERTIES before the plan is built — the
+    frame form can only cheap-check k from the rows themselves.
     """
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k}")
@@ -764,6 +768,17 @@ def stream_dedup_against_corpus(
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     if corpus.isStreaming:
         raise ValueError("corpus side must be a static DataFrame")
+    if isinstance(corpus_index, str):
+        from sequila_native_spark.util import validate_index_table_params
+
+        spark = corpus.sparkSession
+        validate_index_table_params(spark, corpus_index, {
+            "sequila.index.k": str(int(k)),
+            "sequila.index.bands": str(int(bands)),
+            "sequila.index.n": str(int(n)),
+            "sequila.index.hash_family": hash_family,
+        })
+        corpus_index = spark.table(corpus_index)
     if corpus_index is None:
         corpus_index = corpus_band_index(
             corpus, text_col, id_col,

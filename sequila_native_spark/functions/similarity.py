@@ -824,7 +824,7 @@ def stream_embedding_gate(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
-    corpus_index: DataFrame | None = None,
+    corpus_index: DataFrame | str | None = None,
 ) -> DataFrame:
     """Streaming-capable embedding near-dup gate: ``(batch_id, corpus_id,
     cos_milli)`` pairs for a (possibly streaming) ``batch`` probed against a
@@ -842,8 +842,35 @@ def stream_embedding_gate(
     watermark; append mode.
 
     ``corpus_index``: pass a persisted :func:`vector_bucket_index` frame
-    (same ``n_planes/n_tables/seed``) to skip re-hashing the corpus.
+    (same ``n_planes/n_tables/seed``) to skip re-hashing the corpus. Pass
+    the index TABLE NAME (an :func:`append_vector_bucket_index` table)
+    instead and ALL hashing parameters — planes, tables, seed, dim — are
+    validated against the recorded TBLPROPERTIES before the plan is built
+    (the frame form can only cheap-check n_tables from the rows).
     """
+    if isinstance(corpus_index, str):
+        from sequila_native_spark.util import (
+            read_index_table_params,
+            validate_index_table_params,
+        )
+
+        spark = (
+            corpus.sparkSession if corpus is not None else batch.sparkSession
+        )
+        if dim is None:
+            rec = read_index_table_params(spark, corpus_index).get(
+                "sequila.index.dim"
+            )
+            dim = int(rec) if rec is not None else None
+        params = {
+            "sequila.index.n_planes": str(int(n_planes)),
+            "sequila.index.n_tables": str(int(n_tables)),
+            "sequila.index.seed": str(int(seed)),
+        }
+        if dim is not None:
+            params["sequila.index.dim"] = str(int(dim))
+        validate_index_table_params(spark, corpus_index, params)
+        corpus_index = spark.table(corpus_index)
     if corpus_index is None:
         if corpus is None:
             raise ValueError("pass either corpus or corpus_index")

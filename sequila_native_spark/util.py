@@ -245,6 +245,46 @@ def stamp_row_id(df: DataFrame, col_name: str) -> DataFrame:
     return stamped
 
 
+def read_index_table_params(spark, table: str) -> dict[str, str]:
+    """The ``sequila.index.*`` TBLPROPERTIES of a persisted index table."""
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if r["key"].startswith("sequila.index.")
+    }
+
+
+def validate_index_table_params(
+    spark, table: str, params: dict[str, str]
+) -> None:
+    """Assert a persisted index table's recorded ``sequila.index.*``
+    TBLPROPERTIES match ``params`` exactly; raise with a repair hint when
+    the table carries no record, and with the full diff on a mismatch.
+    Shared by the append functions (write side) and the gates' table-name
+    path (probe side) — both directions of the silent-mismatch hazard."""
+    props = read_index_table_params(spark, table)
+    missing = [p for p in params if p not in props]
+    if missing:
+        kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
+        raise ValueError(
+            f"table {table!r} carries no recorded signing parameters "
+            f"({missing}) — it was not bootstrapped by the index append "
+            f"function; rebuild it through that function, or — if it "
+            f"WAS built with exactly these parameters — repair it with: "
+            f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})"
+        )
+    bad = {p: (props[p], v) for p, v in params.items() if props[p] != v}
+    if bad:
+        raise ValueError(
+            f"index-parameter mismatch against table {table!r}: "
+            + ", ".join(
+                f"{p}: table={tv!r} vs caller={av!r}"
+                for p, (tv, av) in sorted(bad.items())
+            )
+            + " — rows signed with differing parameters never match"
+        )
+
+
 def bootstrap_or_validate_index_table(
     spark,
     table: str,
@@ -274,30 +314,7 @@ def bootstrap_or_validate_index_table(
     Returns True when the table already existed (caller appends either way).
     """
     if spark.catalog.tableExists(table):
-        props = {
-            r["key"]: r["value"]
-            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        }
-        missing = [p for p in params if p not in props]
-        if missing:
-            kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
-            raise ValueError(
-                f"table {table!r} carries no recorded signing parameters "
-                f"({missing}) — it was not bootstrapped by the index append "
-                f"function; rebuild it through that function, or — if it "
-                f"WAS built with exactly these parameters — repair it with: "
-                f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})"
-            )
-        bad = {p: (props[p], v) for p, v in params.items() if props[p] != v}
-        if bad:
-            raise ValueError(
-                f"index-parameter mismatch against table {table!r}: "
-                + ", ".join(
-                    f"{p}: table={tv!r} vs append={av!r}"
-                    for p, (tv, av) in sorted(bad.items())
-                )
-                + " — appended rows would be invisible to probes"
-            )
+        validate_index_table_params(spark, table, params)
         return True
     cols = ", ".join(f"`{c}`" for c in bucket_cols)
     kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))

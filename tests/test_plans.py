@@ -670,3 +670,55 @@ def test_stream_dedup_gate_rejects_mismatched_index_k(spark):
     assert stream_dedup_against_corpus(
         docs, docs, k=8, bands=4, hash_family="md5", corpus_index=idx8,
     ).count() >= 0
+
+
+def test_gates_accept_index_table_name_and_validate_all_params(spark):
+    """Passing the index TABLE NAME (not a frame) to either gate validates
+    the FULL signing-parameter set against the recorded TBLPROPERTIES —
+    closing the 'bands/n/hash_family are the caller's contract' gap the
+    frame form leaves (it can only probe k / n_tables from the rows)."""
+    from sequila_native_spark.functions import (
+        append_corpus_band_index,
+        append_vector_bucket_index,
+        stream_embedding_gate,
+    )
+    from sequila_native_spark.functions.dedup import stream_dedup_against_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(80)
+    bt, vt = "sq_gate_band_tn", "sq_gate_vec_tn"
+    try:
+        append_corpus_band_index(docs, bt, buckets=8, k=8, bands=4,
+                                 hash_family="md5")
+        append_vector_bucket_index(emb, vt, buckets=8, n_planes=6,
+                                   n_tables=4, seed=11)
+        # band gate: same params flow; wrong hash_family (row-invisible
+        # to the k probe) is refused via TBLPROPERTIES
+        out = stream_dedup_against_corpus(
+            docs, docs, k=8, bands=4, hash_family="md5", corpus_index=bt)
+        want = stream_dedup_against_corpus(
+            docs, docs, k=8, bands=4, hash_family="md5",
+            corpus_index=spark.table(bt))
+        assert {tuple(r) for r in out.collect()} == {
+            tuple(r) for r in want.collect()}
+        with pytest.raises(ValueError, match="hash_family"):
+            stream_dedup_against_corpus(
+                docs, docs, k=8, bands=4, hash_family="fast",
+                corpus_index=bt)
+        # vector gate: dim comes from the table record when omitted;
+        # wrong seed (row-invisible to the n_tables probe) is refused
+        out_v = stream_embedding_gate(
+            emb, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+            corpus_index=vt)
+        want_v = stream_embedding_gate(
+            emb, threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+            corpus_index=spark.table(vt))
+        assert {tuple(r) for r in out_v.collect()} == {
+            tuple(r) for r in want_v.collect()}
+        with pytest.raises(ValueError, match="seed"):
+            stream_embedding_gate(
+                emb, threshold_milli=300, n_planes=6, n_tables=4, seed=99,
+                corpus_index=vt)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt}")
+        spark.sql(f"DROP TABLE IF EXISTS {vt}")
