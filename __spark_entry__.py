@@ -1964,6 +1964,85 @@ def q_persisted_gate_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED vector index (r8): top-k for a query
+    batch answered entirely off the at-rest bucketed index — no corpus
+    re-hash, no corpus vector re-scan (index rows carry the vectors).
+    Self-checking like ``persisted_index_gates``: the index-served rows
+    are full-outer-diffed against the in-plan ``lsh_ann_topk`` at the
+    same parameters, and both one-sided counts are emitted as must-be-zero
+    law columns the driver hashes. Rows-only (seeded planes); equality
+    with the in-plan path also pinned in
+    tests/test_similarity_multimodal.py."""
+    import os
+    import shutil
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        lsh_ann_topk,
+    )
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    opts = dict(n_planes=6, n_tables=4, seed=11)
+    t = "sq_bench_ann_idx"
+    if not spark.catalog.tableExists(t):
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, t)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (vector_bucket_index(corpus, **opts)
+         .write.bucketBy(8, "__sq_table", "__sq_bkt")
+         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+    served = ann_topk_against_index(queries, spark.table(t), 5, **opts)
+    inplan = lsh_ann_topk(corpus, queries, 5, **opts)
+    j = served.withColumn("__sq_s", F.lit(1)).join(
+        inplan.withColumn("__sq_p", F.lit(1)),
+        ["query_id", "neighbor_id", "rank"], "full_outer",
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("__sq_p").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_only_index"),
+        F.sum(F.when(F.col("__sq_s").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_only_inplan"),
+    )
+
+
+def q_ann_index_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY row: the pure SERVING side of ``ann_index_topk`` — top-k
+    off the persisted index alone (no in-plan comparison re-rank). Index
+    built+persisted in sample 1; later samples time serving only —
+    min-of-samples is the at-rest serving floor."""
+    import os
+    import shutil
+
+    from sequila_native_spark.functions import ann_topk_against_index
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    opts = dict(n_planes=6, n_tables=4, seed=11)
+    t = "sq_bench_ann_idx"
+    if not spark.catalog.tableExists(t):
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, t)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (vector_bucket_index(corpus, **opts)
+         .write.bucketBy(8, "__sq_table", "__sq_bkt")
+         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+    return ann_topk_against_index(queries, spark.table(t), 5, **opts)
+
+
 def q_stream_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the streaming embedding gate vs the EXACT broadcast
     corpus-delta at the same threshold (VERDICT r6 item 5 — the
@@ -2559,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the trigram upgrade (item 7)
         "perplexity_keep": q_perplexity_keep,
         "doc_trigram_stats": q_doc_trigram_stats,
+        "ann_index_topk": q_ann_index_topk,
     }
 
 

@@ -103,6 +103,8 @@ HEADLINE = [
     "persisted_gate_probe_10x",   # at-rest probe vs 10x corpus index (r8):
                                   # probe floor should grow far sublinearly
     "doc_trigram_stats",          # trigram-LM scoring, 3-level backoff (r8)
+    "ann_index_topk_probe",       # ANN serving off the persisted index (r8):
+                                  # sample 1 builds, later samples = serving
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

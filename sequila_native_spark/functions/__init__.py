@@ -38,6 +38,7 @@ from sequila_native_spark.functions.dedup import (
     simhash_pairs,
 )
 from sequila_native_spark.functions.similarity import (
+    ann_topk_against_index,
     append_vector_bucket_index,
     cluster_balanced_sample,
     cosine,
@@ -181,7 +182,7 @@ __all__ = [
     "cluster_balanced_sample",
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "stream_embedding_gate", "vector_bucket_index",
-    "append_vector_bucket_index",
+    "append_vector_bucket_index", "ann_topk_against_index",
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
     "train_bigram_lm", "perplexity_score", "perplexity_filter",

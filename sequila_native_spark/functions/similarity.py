@@ -990,3 +990,113 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ann_topk_against_index(
+    queries: DataFrame,
+    corpus_index: DataFrame | str,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN SERVING against the at-rest index: :func:`lsh_ann_topk`'s
+    candidate-then-exact-re-rank contract, but the corpus side is a
+    persisted :func:`vector_bucket_index` — the corpus is never re-hashed
+    AND never re-scanned for vectors (the index rows carry them), so a
+    query batch costs O(batch signing + candidate re-rank) plus one
+    shuffle-free columnar index scan. The daily-serving shape next to the
+    gate's daily-ingest shape: build/append the index once per corpus
+    version (:func:`append_vector_bucket_index`), answer every later
+    top-k batch from the bucket layout.
+
+    Pass the index TABLE NAME and all recorded hashing parameters are
+    validated against the TBLPROPERTIES (``dim`` read from the record
+    when omitted); a frame is validated on ``n_tables`` only (the one
+    row-readable parameter).
+
+    Multi-table candidate dedup is stateless, as in
+    :func:`stream_embedding_gate`: both sides carry their full per-table
+    bucket arrays, so the joined row recomputes every table the pair
+    collides in and only the smallest-table row survives — no
+    ``distinct()`` over the candidate set. Output schema matches
+    :func:`cosine_topk` (``query_id, neighbor_id, rank``); equality with
+    :func:`lsh_ann_topk` at the same parameters is pinned in tests.
+    """
+    if isinstance(corpus_index, str):
+        from sequila_native_spark.util import (
+            read_index_table_params,
+            validate_index_table_params,
+        )
+
+        spark = queries.sparkSession
+        if dim is None:
+            rec = read_index_table_params(spark, corpus_index).get(
+                "sequila.index.dim"
+            )
+            dim = int(rec) if rec is not None else None
+        params = {
+            "sequila.index.n_planes": str(int(n_planes)),
+            "sequila.index.n_tables": str(int(n_tables)),
+            "sequila.index.seed": str(int(seed)),
+        }
+        if dim is not None:
+            params["sequila.index.dim"] = str(int(dim))
+        validate_index_table_params(spark, corpus_index, params)
+        corpus_index = spark.table(corpus_index)
+    else:
+        need = {"corpus_id", "__sq_table", "__sq_bkt",
+                "corpus_id_vec", "corpus_id_bkts"}
+        if not need <= set(corpus_index.columns):
+            raise ValueError(
+                f"corpus_index missing columns "
+                f"{sorted(need - set(corpus_index.columns))} — build it "
+                f"with vector_bucket_index()"
+            )
+        probe_row = (
+            corpus_index.where(F.col("corpus_id_bkts").isNotNull())
+            .select(F.size("corpus_id_bkts").alias("s")).first()
+        )
+        if probe_row is not None and probe_row["s"] != n_tables:
+            raise ValueError(
+                f"corpus_index was built with n_tables={probe_row['s']} "
+                f"but top-k was called with n_tables={n_tables}"
+            )
+        if dim is None:
+            dim = _infer_dim(corpus_index, "corpus_id_vec")
+    if dim is None:
+        dim = _infer_dim(corpus_index, "corpus_id_vec")
+
+    qb = _multi_table_buckets(
+        queries.select(id_col, vec_col), "query_id",
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
+    )
+    joined = corpus_index.join(F.broadcast(qb), ["__sq_table", "__sq_bkt"])
+    matching = F.filter(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.element_at(F.col("query_id_bkts"), (t + 1).cast("int"))
+        == F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int")),
+    )
+    scored = (
+        joined.where(F.col("__sq_table") == F.array_min(matching))
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            cosine(F.col("corpus_id_vec"), F.col("query_id_vec")).alias(
+                "__sq_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

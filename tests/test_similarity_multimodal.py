@@ -783,3 +783,47 @@ def test_ivf_topk_partitioning_stable(spark):
     b = {tuple(r) for r in ivf_ann_topk(emb.repartition(13), q, k=3,
                                         n_cells=8, n_probe=4).collect()}
     assert a == b and a
+
+
+def test_ann_topk_against_index_equals_lsh_ann_topk(spark):
+    """ANN serving off the at-rest index (r8): identical (query, neighbor,
+    rank) rows to lsh_ann_topk at the same parameters — same planes, same
+    candidate rule (bucket collision in ANY table), same exact re-rank —
+    through both the frame and the persisted-table path, with the table
+    path validating the recorded hashing parameters."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_vector_bucket_index,
+        lsh_ann_topk,
+        vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(20)
+    opts = dict(n_planes=6, n_tables=4, seed=11)
+    want = {tuple(r) for r in lsh_ann_topk(corpus, queries, 5, **opts).collect()}
+
+    idx = vector_bucket_index(corpus, **opts)
+    got = {tuple(r) for r in
+           ann_topk_against_index(queries, idx, 5, **opts).collect()}
+    assert got == want and got
+
+    t = f"sq_ann_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        append_vector_bucket_index(corpus, t, buckets=8, **opts)
+        got_t = {tuple(r) for r in
+                 ann_topk_against_index(queries, t, 5, **opts).collect()}
+        assert got_t == want
+        with pytest.raises(ValueError, match="mismatch"):
+            ann_topk_against_index(queries, t, 5, n_planes=6, n_tables=4,
+                                   seed=99)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with pytest.raises(ValueError, match="n_tables=4"):
+        ann_topk_against_index(queries, idx, 5, n_planes=6, n_tables=2,
+                               seed=11)
+    with pytest.raises(ValueError, match="missing columns"):
+        ann_topk_against_index(queries, emb, 5, **opts)
