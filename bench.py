@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_trigram_stats",          # trigram-LM scoring, 3-level backoff (r8)
     "ann_index_topk_probe",       # ANN serving off the persisted index (r8):
                                   # sample 1 builds, later samples = serving
+    "ivf_index_topk_probe",       # IVF serving off the persisted pair (r8)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -39,7 +39,12 @@ from sequila_native_spark.functions.dedup import (
 )
 from sequila_native_spark.functions.similarity import (
     ann_topk_against_index,
+    append_ivf_index,
     append_vector_bucket_index,
+    build_ivf_index,
+    centroids_from_table,
+    centroids_to_table,
+    ivf_topk_against_index,
     cluster_balanced_sample,
     cosine,
     cosine_topk,
@@ -183,6 +188,8 @@ __all__ = [
     "dsir_weights", "dsir_score", "dsir_resample", "hashed_ngram_counts",
     "stream_embedding_gate", "vector_bucket_index",
     "append_vector_bucket_index", "ann_topk_against_index",
+    "build_ivf_index", "append_ivf_index", "ivf_topk_against_index",
+    "centroids_to_table", "centroids_from_table",
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
     "train_bigram_lm", "perplexity_score", "perplexity_filter",

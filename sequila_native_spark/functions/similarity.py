@@ -1100,3 +1100,209 @@ def ann_topk_against_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _cell_assigner(spark, centers: np.ndarray, n: int):
+    """Pandas UDF assigning each vector its ``n`` nearest spherical-k-means
+    cells (cosine): ``array<bigint>`` of cell ids, best first. The centroid
+    matrix rides a Spark broadcast — one copy per executor."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    bc = spark.sparkContext.broadcast(centers)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c_norm.T
+        top = np.argsort(-sims, axis=1)[:, :n]
+        return pd.Series(list(top.astype(np.int64)))
+
+    return assign
+
+
+def centroids_to_table(spark, centers: np.ndarray) -> DataFrame:
+    """Serialize an IVF coarse quantizer as a relation ``(cell, centroid)``
+    — the house model-as-data form (cf. the LM/classifier tables): persist
+    it next to the cells index and probe any later query batch without
+    retraining."""
+    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)]
+    return spark.createDataFrame(rows, "cell bigint, centroid array<double>")
+
+
+def centroids_from_table(df: DataFrame) -> np.ndarray:
+    """Rehydrate a :func:`centroids_to_table` relation (bounded collect —
+    ``n_cells`` rows by construction)."""
+    need = {"cell", "centroid"}
+    if not need <= set(df.columns):
+        raise ValueError(
+            f"centroids table missing columns {sorted(need - set(df.columns))}"
+            f" — build it with centroids_to_table()"
+        )
+    rows = sorted(df.collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("centroids table is empty")
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroids table cells must be exactly 0..n_cells-1")
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _centroid_fingerprint(centers: np.ndarray) -> str:
+    """Deterministic content hash of the quantizer — the validation token
+    recorded as a TBLPROPERTY: cells assigned under a DIFFERENT quantizer
+    are silently wrong neighbors, the same hazard class as mismatched LSH
+    planes, but parameterized by a matrix instead of scalars."""
+    import hashlib
+
+    return hashlib.md5(
+        np.ascontiguousarray(centers, dtype=np.float64).tobytes()
+    ).hexdigest()
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The static IVF probe pair: ``(cells, centroids)`` — cells rows
+    ``(corpus_id, __sq_cell, corpus_id_vec)`` (assignment + vector carried,
+    so serving never re-reads the corpus) and the quantizer as a
+    :func:`centroids_to_table` relation.
+
+    100 TB shape: train once (bounded driver-side sample), persist cells
+    ``bucketBy(B, "__sq_cell")`` and the centroids table beside it; every
+    later query batch probes ``n_probe`` cells through the bucket layout
+    (:func:`ivf_topk_against_index`), and daily ingest appends with
+    :func:`append_ivf_index` under the recorded quantizer fingerprint."""
+    centers = _train_centroids(corpus, vec_col, n_cells, seed,
+                               stable_id_col=id_col)
+    spark = corpus.sparkSession
+    assign = _cell_assigner(spark, centers, 1)
+    cells = ensure_parallel(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("corpus_id"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("__sq_cell"),
+        _as_double(F.col(vec_col)).alias("corpus_id_vec"),
+    )
+    return cells, centroids_to_table(spark, centers)
+
+
+def append_ivf_index(
+    new_vecs: DataFrame,
+    table: str,
+    centroids: DataFrame | np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 8,
+) -> None:
+    """Incremental maintenance of a PERSISTED bucketed IVF cells table:
+    assign the increment under the GIVEN quantizer and append with the
+    same ``bucketBy(buckets, "__sq_cell")`` spec — O(new vectors), the IVF
+    twin of :func:`append_vector_bucket_index`.
+
+    The quantizer's content hash is recorded as a TBLPROPERTY at bootstrap
+    and validated on every append: rows assigned under a different
+    centroid matrix are silently wrong neighbors (no error at probe time),
+    so a fingerprint mismatch raises instead of corrupting the index.
+    Bootstrap is properties-first (shared helper) — no crash window."""
+    from sequila_native_spark.util import bootstrap_or_validate_index_table
+
+    spark = new_vecs.sparkSession
+    centers = (
+        centroids_from_table(centroids)
+        if isinstance(centroids, DataFrame) else
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+    params = {
+        "sequila.index.n_cells": str(int(centers.shape[0])),
+        "sequila.index.dim": str(int(centers.shape[1])),
+        "sequila.index.centroid_md5": _centroid_fingerprint(centers),
+    }
+    assign = _cell_assigner(spark, centers, 1)
+    idx = ensure_parallel(new_vecs.select(id_col, vec_col)).select(
+        F.col(id_col).alias("corpus_id"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("__sq_cell"),
+        _as_double(F.col(vec_col)).alias("corpus_id_vec"),
+    )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in idx.schema.fields
+    )
+    bootstrap_or_validate_index_table(
+        spark, table, params,
+        schema_ddl=ddl, bucket_cols=["__sq_cell"], buckets=int(buckets),
+    )
+    (
+        idx.write.bucketBy(int(buckets), "__sq_cell")
+        .sortBy("__sq_cell")
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
+def ivf_topk_against_index(
+    queries: DataFrame,
+    cells: DataFrame | str,
+    centroids: DataFrame | np.ndarray,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF SERVING off the at-rest index: :func:`ivf_ann_topk`'s
+    probe-cells-then-exact-re-rank contract with the corpus side a
+    persisted :func:`build_ivf_index` cells table — no quantizer
+    retraining, no corpus re-assignment, no corpus vector re-scan. Pass
+    the cells TABLE NAME and the quantizer fingerprint recorded at
+    bootstrap is validated against the given centroids before the plan is
+    built. Output schema matches :func:`cosine_topk`; equality with
+    :func:`ivf_ann_topk` at the same seed is pinned in tests."""
+    spark = queries.sparkSession
+    centers = (
+        centroids_from_table(centroids)
+        if isinstance(centroids, DataFrame) else
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+    if isinstance(cells, str):
+        from sequila_native_spark.util import validate_index_table_params
+
+        validate_index_table_params(spark, cells, {
+            "sequila.index.n_cells": str(int(centers.shape[0])),
+            "sequila.index.dim": str(int(centers.shape[1])),
+            "sequila.index.centroid_md5": _centroid_fingerprint(centers),
+        })
+        cells = spark.table(cells)
+    else:
+        need = {"corpus_id", "__sq_cell", "corpus_id_vec"}
+        if not need <= set(cells.columns):
+            raise ValueError(
+                f"cells index missing columns "
+                f"{sorted(need - set(cells.columns))} — build it with "
+                f"build_ivf_index()"
+            )
+    assign = _cell_assigner(spark, centers, int(n_probe))
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("query_vec"),
+        F.explode(assign(F.col(vec_col))).alias("__sq_cell"),
+    )
+    # one cell per corpus row, distinct probe cells per query ⇒ each
+    # (query, neighbor) meets at most once — no distinct (cf. ivf_ann_topk)
+    scored = cells.join(F.broadcast(q_cells), "__sq_cell").select(
+        "query_id",
+        F.col("corpus_id").alias("neighbor_id"),
+        cosine(F.col("corpus_id_vec"), F.col("query_vec")).alias("__sq_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -827,3 +827,63 @@ def test_ann_topk_against_index_equals_lsh_ann_topk(spark):
                                seed=11)
     with pytest.raises(ValueError, match="missing columns"):
         ann_topk_against_index(queries, emb, 5, **opts)
+
+
+def test_ivf_topk_against_index_equals_ivf_ann_topk(spark):
+    """IVF serving off the at-rest cells table (r8): identical rows to
+    ivf_ann_topk at the same quantizer seed — same trained centroids, same
+    cell assignment, same probe cells, same exact re-rank — through both
+    the frame and the persisted-table path (bootstrap + daily append),
+    with the table path validating the quantizer's content fingerprint."""
+    import uuid
+
+    import numpy as np
+
+    from sequila_native_spark.functions import (
+        append_ivf_index,
+        build_ivf_index,
+        centroids_from_table,
+        centroids_to_table,
+        ivf_topk_against_index,
+    )
+    from sequila_native_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(15)
+    want = {tuple(r) for r in ivf_ann_topk(
+        corpus, queries, 5, n_cells=8, n_probe=3, seed=11).collect()}
+
+    cells, cents = build_ivf_index(corpus, n_cells=8, seed=11)
+    got = {tuple(r) for r in ivf_topk_against_index(
+        queries, cells, cents, 5, n_probe=3).collect()}
+    assert got == want and got
+
+    # centroids round-trip is identity
+    assert np.array_equal(
+        centroids_from_table(cents),
+        centroids_from_table(centroids_to_table(
+            spark, centroids_from_table(cents))),
+    )
+
+    t = f"sq_ivf_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        old = corpus.where(F.col("vec_id") % 3 != 0)
+        new = corpus.where(F.col("vec_id") % 3 == 0)
+        append_ivf_index(old, t, cents, buckets=8)
+        append_ivf_index(new, t, cents, buckets=8)
+        got_t = {tuple(r) for r in ivf_topk_against_index(
+            queries, t, cents, 5, n_probe=3).collect()}
+        assert got_t == want
+        # a different quantizer (other seed) must be refused by fingerprint
+        _, cents2 = build_ivf_index(corpus, n_cells=8, seed=12)
+        with pytest.raises(ValueError, match="centroid_md5"):
+            append_ivf_index(new, t, cents2, buckets=8)
+        with pytest.raises(ValueError, match="centroid_md5"):
+            ivf_topk_against_index(queries, t, cents2, 5, n_probe=3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with pytest.raises(ValueError, match="missing columns"):
+        ivf_topk_against_index(queries, emb, cents, 5)
+    with pytest.raises(ValueError, match="missing columns"):
+        centroids_from_table(emb)
