@@ -1820,6 +1820,53 @@ def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (r8 — Wenzek et al. 2020 §4.4: the
+    per-language perplexity-tertile split that IS the published CCNet
+    corpus layout). Per-language bucket counts with the laws in-row:
+    ``n_boundary_violations`` (max head NLL ≤ min middle NLL ≤ min tail
+    NLL within each language — must be 0) and bucket-count conservation
+    (head+middle+tail == scoreable docs, by construction once the
+    violation count is 0 and every scoreable doc got a bucket, which
+    ``n_unbucketed`` checks). Rows-only (ln in training); partition/
+    monotonicity laws also pinned in tests/test_lm.py."""
+    from sequila_native_spark.functions import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, id_col="doc_id", seed=3)
+    b = perplexity_buckets(docs, model, lang_col="lang")
+    scoreable = F.col("nll_milli_per_token").isNotNull()
+    per_lang = b.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
+        .cast("bigint").alias("n_head"),
+        F.sum(F.when(F.col("bucket") == "middle", 1).otherwise(0))
+        .cast("bigint").alias("n_middle"),
+        F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
+        .cast("bigint").alias("n_tail"),
+        F.sum(F.when(scoreable & F.col("bucket").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_unbucketed"),
+        F.max(F.when(F.col("bucket") == "head",
+                     F.col("nll_milli_per_token"))).alias("__sq_max_h"),
+        F.min(F.when(F.col("bucket") == "middle",
+                     F.col("nll_milli_per_token"))).alias("__sq_min_m"),
+        F.max(F.when(F.col("bucket") == "middle",
+                     F.col("nll_milli_per_token"))).alias("__sq_max_m"),
+        F.min(F.when(F.col("bucket") == "tail",
+                     F.col("nll_milli_per_token"))).alias("__sq_min_t"),
+    )
+    return per_lang.select(
+        "lang", "n_docs", "n_head", "n_middle", "n_tail", "n_unbucketed",
+        (
+            F.when(F.col("__sq_max_h") > F.col("__sq_min_m"), 1).otherwise(0)
+            + F.when(F.col("__sq_max_m") > F.col("__sq_min_t"), 1).otherwise(0)
+        ).cast("bigint").alias("n_boundary_violations"),
+    ).orderBy("lang")
+
+
 def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span REMOVAL (r7 — the Lee et al. 2021 deletion pass the
     stats row only measured): per-lang token totals before/after removal
@@ -2723,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_stats": q_doc_trigram_stats,
         "ann_index_topk": q_ann_index_topk,
         "ivf_index_topk": q_ivf_index_topk,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 

@@ -106,6 +106,7 @@ HEADLINE = [
     "ann_index_topk_probe",       # ANN serving off the persisted index (r8):
                                   # sample 1 builds, later samples = serving
     "ivf_index_topk_probe",       # IVF serving off the persisted pair (r8)
+    "ccnet_buckets",              # per-lang perplexity tertile split (r8)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -59,6 +59,7 @@ from sequila_native_spark.functions.similarity import (
 from sequila_native_spark.functions.lm import (
     bigram_lm_from_table,
     bigram_lm_to_table,
+    perplexity_buckets,
     perplexity_filter,
     perplexity_score,
     train_bigram_lm,
@@ -193,6 +194,7 @@ __all__ = [
     "duplicated_span_stats", "duplicated_span_stats_sql", "positioned_shingles",
     "remove_duplicate_spans",
     "train_bigram_lm", "perplexity_score", "perplexity_filter",
+    "perplexity_buckets",
     "train_trigram_lm", "trigram_perplexity_score",
     "trigram_lm_to_table", "trigram_lm_from_table",
     "bigram_lm_to_table", "bigram_lm_from_table",

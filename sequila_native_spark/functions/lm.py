@@ -583,3 +583,73 @@ def bigram_lm_from_table(df: DataFrame) -> BigramLM:
         n_tokens=meta["n_tokens"],
         vocab_size=meta["vocab_size"],
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: "BigramLM | TrigramLM",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    *,
+    head_pct: float = 1.0 / 3.0,
+    middle_pct: float = 2.0 / 3.0,
+) -> DataFrame:
+    """The CCNet production artifact (Wenzek et al. 2020 §4.4): bucket every
+    document ``head`` / ``middle`` / ``tail`` by its LM score's position in
+    the PER-LANGUAGE score distribution — cutoffs are language-relative
+    because absolute perplexity is not comparable across languages.
+
+    Distributed shape: one scoring pass (:func:`perplexity_score` or the
+    trigram scorer, chosen by the model type), a per-language
+    ``percentile_approx`` pair (output = 2 numbers × n_languages — a
+    broadcast-sized cutoffs relation), then a broadcast join + two
+    comparisons. The corpus is scanned once for scoring and once for the
+    final projection; no corpus-sized shuffle beyond the scorer's own
+    per-doc aggregation. With ``lang_col=None`` the whole corpus is one
+    distribution (single-language crawls).
+
+    Output: ``(id_col, [lang], n_tokens, nll_milli_per_token, bucket)``;
+    unscoreable docs (< 2/3 tokens) get bucket NULL. Laws pinned in
+    tests and the ``ccnet_buckets`` driver row: buckets partition the
+    scoreable docs, and every head score ≤ every tail score within a
+    language (cutoff monotonicity).
+    """
+    if not (0.0 < head_pct < middle_pct < 1.0):
+        raise ValueError(
+            f"need 0 < head_pct < middle_pct < 1, got {head_pct}, {middle_pct}"
+        )
+    score_fn = (
+        trigram_perplexity_score if isinstance(model, TrigramLM)
+        else perplexity_score
+    )
+    scores = score_fn(docs, model, text_col, id_col)
+    if lang_col is not None:
+        scores = scores.join(docs.select(id_col, lang_col), id_col)
+        grp = scores.groupBy(lang_col)
+        join_keys = [lang_col]
+    else:
+        grp = scores.groupBy()
+        join_keys = None
+    cuts = grp.agg(
+        F.expr(
+            f"percentile_approx(nll_milli_per_token, {float(head_pct)})"
+        ).alias("__sq_cut_head"),
+        F.expr(
+            f"percentile_approx(nll_milli_per_token, {float(middle_pct)})"
+        ).alias("__sq_cut_mid"),
+    )
+    joined = (
+        scores.join(F.broadcast(cuts), join_keys)
+        if join_keys else scores.crossJoin(F.broadcast(cuts))
+    )
+    bucket = (
+        F.when(F.col("nll_milli_per_token").isNull(), F.lit(None))
+        .when(F.col("nll_milli_per_token") <= F.col("__sq_cut_head"), "head")
+        .when(F.col("nll_milli_per_token") <= F.col("__sq_cut_mid"), "middle")
+        .otherwise("tail")
+    )
+    out_cols = [id_col] + ([lang_col] if lang_col else []) + [
+        "n_tokens", "n_transitions", "nll_milli_per_token",
+    ]
+    return joined.select(*out_cols, bucket.alias("bucket"))

@@ -301,3 +301,52 @@ def test_trigram_tvf_matches_function(spark, corpus, tri_model):
     assert got == want
     with pytest.raises(ValueError, match="sequila_trigram_perplexity takes"):
         sequila_sql(spark, "SELECT * FROM sequila_trigram_perplexity('tri_docs')")
+
+
+def test_perplexity_buckets_laws(spark, corpus, model):
+    """CCNet bucketing laws: buckets partition the scoreable docs; within
+    each language every head score ≤ every middle score ≤ every tail score
+    (cutoff monotonicity); tertile-ish sizes; unscoreable docs get NULL."""
+    from sequila_native_spark.functions import perplexity_buckets
+
+    docs = corpus.select("doc_id", "text", "lang").unionByName(
+        spark.createDataFrame([(10**9, None, "en"), (10**9 + 1, "one", "en")],
+                              "doc_id long, text string, lang string")
+    )
+    out = perplexity_buckets(docs, model, lang_col="lang").collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        if r["nll_milli_per_token"] is None:
+            assert r["bucket"] is None
+            continue
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["bucket"], []).append(r["nll_milli_per_token"])
+    for lang, bk in by_lang.items():
+        assert set(bk) <= {"head", "middle", "tail"}, (lang, set(bk))
+        if {"head", "middle"} <= set(bk):
+            assert max(bk["head"]) <= min(bk["middle"]), lang
+        if {"middle", "tail"} <= set(bk):
+            assert max(bk["middle"]) <= min(bk["tail"]), lang
+        n = sum(len(v) for v in bk.values())
+        # percentile_approx tertiles: head holds roughly a third
+        assert len(bk.get("head", [])) >= n // 6, (lang, {k: len(v) for k, v in bk.items()})
+    # single-distribution mode (no lang) runs and partitions too
+    one = perplexity_buckets(corpus, model).collect()
+    assert {r["bucket"] for r in one if r["bucket"]} <= {"head", "middle", "tail"}
+    with pytest.raises(ValueError, match="head_pct"):
+        perplexity_buckets(corpus, model, head_pct=0.9, middle_pct=0.5)
+
+
+def test_perplexity_buckets_accepts_trigram_model(spark, corpus, tri_model):
+    """Model-type dispatch: a TrigramLM routes through the trigram scorer
+    (3-token docs score; 2-token docs are unscoreable under trigrams)."""
+    from sequila_native_spark.functions import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "now three tokens here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(docs, tri_model).collect()}
+    assert got[1] is None and got[2] is not None
