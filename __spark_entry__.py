@@ -1781,9 +1781,17 @@ def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bigram_lm,
     )
 
+    from sequila_native_spark.util import lib_checkpoint
+
     docs = _t(spark, sf_dir, "documents")
     model = train_bigram_lm(docs, id_col="doc_id", seed=3)
-    scores = perplexity_score(docs, model)
+    # scores pinned once (r8): the row consumes the frame three times
+    # (threshold, filter, law join) and per-branch column pruning defeats
+    # Spark's exchange reuse (measured: 12 scans, 0 ReusedExchange).
+    # Scores are (id, 3 ints) per doc — the standard doc-cardinality pin,
+    # same class as dedup_clusters' labels; the threshold first() below
+    # doubles as the lazy checkpoint's materialization job.
+    scores = lib_checkpoint(perplexity_score(docs, model))
     # bounded scalar: the keep threshold (exact median of a percentile
     # pair would need a sort; approx is deterministic for fixed input)
     thr = int(
@@ -1791,9 +1799,9 @@ def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_approx(nll_milli_per_token, 0.5)")
         ).first()[0]
     )
-    kept = perplexity_filter(docs, model, thr, id_col="doc_id").select(
-        "doc_id", F.lit(1).alias("__sq_kept")
-    )
+    kept = perplexity_filter(
+        docs, model, thr, id_col="doc_id", scores=scores
+    ).select("doc_id", F.lit(1).alias("__sq_kept"))
     j = (
         scores.join(kept, "doc_id", "left")
         .join(docs.select("doc_id", "lang"), "doc_id")

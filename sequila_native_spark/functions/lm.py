@@ -207,22 +207,40 @@ def perplexity_score(
 
 def perplexity_filter(
     docs: DataFrame,
-    model: BigramLM,
+    model: BigramLM | None,
     max_nll_milli: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Keep documents whose mean transition NLL clears the threshold —
     the CCNet 'head/middle' keep rule as one scored semi-join.
     Unscoreable documents (< 2 tokens) are dropped (no evidence of
     fluency).
 
+    ``scores``: pass a precomputed :func:`perplexity_score` (or trigram)
+    frame to skip re-scoring — the CCNet pipeline scores once and reuses
+    the frame for threshold selection, bucketing, AND this filter; without
+    it each consumer re-scans the corpus through the scoring plan.
+
     Scale note: the keep set is the *majority* of the corpus in the CCNet
     use case (head + middle), so it must NOT be broadcast — a hash
     semi-join on the doc key is the only corpus-safe shape; AQE may still
     downgrade it to broadcast at runtime when the keep side measures
     small. Plan pinned in tests/test_lm.py (keep side never hinted)."""
-    scores = perplexity_score(docs, model, text_col, id_col)
+    if scores is None:
+        if model is None:
+            raise ValueError("pass either model or scores")
+        scores = perplexity_score(docs, model, text_col, id_col)
+    else:
+        need = {id_col, "nll_milli_per_token"}
+        if not need <= set(scores.columns):
+            raise ValueError(
+                f"scores frame missing columns "
+                f"{sorted(need - set(scores.columns))} — build it with "
+                f"perplexity_score()/trigram_perplexity_score()"
+            )
     keep = scores.where(
         F.col("nll_milli_per_token") <= F.lit(int(max_nll_milli))
     ).select(id_col)

@@ -350,3 +350,26 @@ def test_perplexity_buckets_accepts_trigram_model(spark, corpus, tri_model):
     got = {r["doc_id"]: r["bucket"]
            for r in perplexity_buckets(docs, tri_model).collect()}
     assert got[1] is None and got[2] is not None
+
+
+def test_filter_accepts_precomputed_scores(spark, corpus, model, tri_model):
+    """scores= reuse: identical keep set to the self-scoring path, works
+    with a trigram scores frame (model=None), and validates the frame."""
+    from sequila_native_spark.functions import trigram_perplexity_score
+
+    scores = perplexity_score(corpus, model)
+    want = {r["doc_id"] for r in
+            perplexity_filter(corpus, model, 3000).select("doc_id").collect()}
+    got = {r["doc_id"] for r in perplexity_filter(
+        corpus, None, 3000, scores=scores).select("doc_id").collect()}
+    assert got == want
+    tri = perplexity_filter(
+        corpus, None, 3000,
+        scores=trigram_perplexity_score(corpus, tri_model),
+    )
+    assert set(tri.columns) == set(corpus.columns)
+    assert 0 < tri.count() <= corpus.count()
+    with pytest.raises(ValueError, match="either model or scores"):
+        perplexity_filter(corpus, None, 3000)
+    with pytest.raises(ValueError, match="missing columns"):
+        perplexity_filter(corpus, None, 3000, scores=corpus)

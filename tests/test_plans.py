@@ -722,3 +722,96 @@ def test_gates_accept_index_table_name_and_validate_all_params(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bt}")
         spark.sql(f"DROP TABLE IF EXISTS {vt}")
+
+
+def test_ann_serving_consumes_bucket_layout_no_index_exchange(spark):
+    """The ANN serving scan must stream the persisted index with no
+    Exchange between its scan and the candidate join (query side
+    broadcasts — the daily-serving shape), and the scan must be the
+    bucketed layout."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(10)
+    t = f"sq_ann_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        append_vector_bucket_index(corpus, t, buckets=8, n_planes=6,
+                                   n_tables=4, seed=11)
+        out = ann_topk_against_index(queries, t, 5, n_planes=6,
+                                     n_tables=4, seed=11)
+        plan = formatted_plan(out)
+        details = _index_scan_details(plan, t)
+        # queries broadcast; the only exchange below the join on the
+        # index side would show as Exchange hashpartitioning over the
+        # scan — assert the scan feeds a BroadcastHashJoin directly
+        assert "BroadcastHashJoin" in plan, plan
+        tree = plan[: plan.find("\n\n(")]
+        lines = tree.splitlines()
+        scan_ln = next(i for i, ln in enumerate(lines)
+                       if f"spark_catalog.default.{t}" in ln)
+
+        def indent(ln: str) -> int:
+            return ln.index("- ") if "- " in ln else len(ln)
+
+        cur = indent(lines[scan_ln])
+        for i in range(scan_ln - 1, -1, -1):
+            ln = lines[i]
+            if "- " not in ln or indent(ln) >= cur:
+                continue
+            cur = indent(ln)
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+        assert out.count() >= 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_serving_no_corpus_exchange_before_join(spark):
+    """IVF serving: persisted cells scan feeds the probe join with no
+    exchange (probe cells broadcast); re-rank window shuffles only the
+    candidate rows, never the full cells table before the join."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_against_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(10)
+    _, cents = build_ivf_index(corpus, n_cells=8, seed=11)
+    t = f"sq_ivf_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        append_ivf_index(corpus, t, cents, buckets=8)
+        out = ivf_topk_against_index(queries, t, cents, 5, n_probe=3)
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan, plan
+        tree = plan[: plan.find("\n\n(")]
+        lines = tree.splitlines()
+        scan_ln = next(i for i, ln in enumerate(lines)
+                       if f"spark_catalog.default.{t}" in ln)
+
+        def indent(ln: str) -> int:
+            return ln.index("- ") if "- " in ln else len(ln)
+
+        cur = indent(lines[scan_ln])
+        for i in range(scan_ln - 1, -1, -1):
+            ln = lines[i]
+            if "- " not in ln or indent(ln) >= cur:
+                continue
+            cur = indent(ln)
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+        assert out.count() >= 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
