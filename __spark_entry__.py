@@ -1828,6 +1828,42 @@ def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representative selection (r8 — the RefinedWeb-style keep
+    rule): minhash pairs → connected components → keep the
+    highest-``n_chars`` member per cluster. Laws in-row:
+    ``n_kept == n_clusters`` (exactly one representative each, emitted as
+    both counts so the driver hash pins the equality) and
+    ``n_quality_violations`` (a kept doc below its cluster's max priority
+    — must be 0). Rows-only (cluster labels ride the LSH family); the
+    component labeling itself is the hash-green ``near_dup_clusters``
+    prefix oracle."""
+    from sequila_native_spark.functions import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        minhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs, hash_family="md5")
+    labels = dedup_clusters(
+        pairs.select("id_a", "id_b"), nodes=docs.select("doc_id")
+    )
+    kept = keep_best_per_cluster(docs, labels, "n_chars")
+    mx = (
+        docs.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("n_chars").alias("__sq_mx"))
+    )
+    chk = kept.join(mx, "cluster_id")
+    return chk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("n_chars") != F.col("__sq_mx"), 1).otherwise(0))
+        .cast("bigint").alias("n_quality_violations"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    ).orderBy("lang")
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (r8 — Wenzek et al. 2020 §4.4: the
     per-language perplexity-tertile split that IS the published CCNet
@@ -2779,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": q_ann_index_topk,
         "ivf_index_topk": q_ivf_index_topk,
         "ccnet_buckets": q_ccnet_buckets,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 

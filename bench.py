@@ -107,6 +107,7 @@ HEADLINE = [
                                   # sample 1 builds, later samples = serving
     "ivf_index_topk_probe",       # IVF serving off the persisted pair (r8)
     "ccnet_buckets",              # per-lang perplexity tertile split (r8)
+    "dedup_keep_best",            # keep best-quality member per cluster (r8)
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

@@ -1232,3 +1232,50 @@ def dedup_clusters(
                 f"exact duplicates first)"
             )
     return labels
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Production cluster representative selection: keep the
+    HIGHEST-``priority_col`` member of every near-dup cluster (quality
+    score, length, recency — ties broken by smallest id for determinism),
+    instead of an arbitrary member. The step after
+    :func:`dedup_clusters`: pairwise keep rules under-delete because
+    near-dup similarity is not transitive, and min-id keep throws away
+    quality information the pipeline already computed.
+
+    Output: the kept docs with all original columns plus ``cluster_col``
+    — exactly one row per cluster (docs absent from ``labels`` are
+    dropped; pass ``nodes=`` to :func:`dedup_clusters` to give singletons
+    a label and keep them).
+
+    100 TB shape: one equi-join on the doc key and one window partitioned
+    by cluster — the shuffle is by cluster id, and near-dup clusters are
+    small by construction, so no partition hot-spots; everything stays in
+    codegen.
+    """
+    if priority_col not in docs.columns:
+        raise ValueError(
+            f"priority column {priority_col!r} not in docs columns "
+            f"{docs.columns}"
+        )
+    need = {id_col, cluster_col}
+    if not need <= set(labels.columns):
+        raise ValueError(
+            f"labels frame missing columns {sorted(need - set(labels.columns))}"
+            f" — build it with dedup_clusters()"
+        )
+    j = docs.join(labels.select(id_col, cluster_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__sq_rn", F.row_number().over(w))
+        .where(F.col("__sq_rn") == 1)
+        .drop("__sq_rn")
+    )

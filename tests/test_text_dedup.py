@@ -971,3 +971,56 @@ def test_dedup_clusters_frees_stale_round_blocks(spark):
     # edges + final labels (+ at most one in-flight extra) — NOT ~15 copies
     assert leftover <= 4, f"{leftover} persisted RDDs leaked (O(rounds) hold)"
     drop_stale_persisted(spark)
+
+
+def test_keep_best_per_cluster(spark):
+    """Exactly one kept doc per cluster; the kept doc carries the cluster
+    max priority; ties break to the smallest id; unlabeled docs drop;
+    bad inputs are refused."""
+    from sequila_native_spark.functions import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 7), (9, 99)],
+        "doc_id long, quality long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    kept = keep_best_per_cluster(docs, labels, "quality").collect()
+    got = {r["cluster_id"]: (r["doc_id"], r["quality"]) for r in kept}
+    # cluster 1: quality tie 30/30 between ids 2,3 -> smallest id 2
+    assert got == {1: (2, 30), 4: (5, 7)}
+    assert len(kept) == labels.select("cluster_id").distinct().count()
+    with pytest.raises(ValueError, match="priority column"):
+        keep_best_per_cluster(docs, labels, "nope")
+    with pytest.raises(ValueError, match="missing columns"):
+        keep_best_per_cluster(docs, docs, "quality")
+
+
+def test_keep_best_per_cluster_end_to_end(spark):
+    """Composed with the real pair graph: minhash pairs -> clusters ->
+    keep best by n_chars; every kept doc's n_chars is its cluster's max."""
+    from sequila_native_spark.functions import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        minhash_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_pairs(docs, hash_family="md5")
+    nodes = docs.select("doc_id")
+    labels = dedup_clusters(
+        pairs.select("id_a", "id_b"), nodes=nodes)
+    kept = keep_best_per_cluster(docs, labels, "n_chars")
+    jl = docs.join(labels, "doc_id")
+    mx = jl.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chk = kept.join(mx, "cluster_id")
+    assert chk.where(F.col("n_chars") != F.col("mx")).count() == 0
+    assert kept.count() == mx.count()
+    # duplicates exist at sf0.001, so selection is non-trivial
+    assert kept.count() < docs.count()
