@@ -1003,6 +1003,7 @@ def ann_topk_against_index(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ANN SERVING against the at-rest index: :func:`lsh_ann_topk`'s
     candidate-then-exact-re-rank contract, but the corpus side is a
@@ -1026,6 +1027,13 @@ def ann_topk_against_index(
     ``distinct()`` over the candidate set. Output schema matches
     :func:`cosine_topk` (``query_id, neighbor_id, rank``); equality with
     :func:`lsh_ann_topk` at the same parameters is pinned in tests.
+
+    ``broadcast_queries`` (default True) hints the signed query side —
+    right for the daily-serving shape where a batch is broadcast-sized
+    BY DEFINITION. Serving a corpus-scale query set through the hint
+    would OOM the driver (the perplexity-filter hazard class): pass
+    False and the join falls back to an unhinted equi-join — the index
+    side still reads its bucketed layout with no exchange.
     """
     if isinstance(corpus_index, str):
         from sequila_native_spark.util import (
@@ -1076,7 +1084,8 @@ def ann_topk_against_index(
         id_col=id_col, vec_col=vec_col, n_planes=n_planes,
         n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
     )
-    joined = corpus_index.join(F.broadcast(qb), ["__sq_table", "__sq_bkt"])
+    qb_side = F.broadcast(qb) if broadcast_queries else qb
+    joined = corpus_index.join(qb_side, ["__sq_table", "__sq_bkt"])
     matching = F.filter(
         F.sequence(F.lit(0), F.lit(n_tables - 1)),
         lambda t: F.element_at(F.col("query_id_bkts"), (t + 1).cast("int"))
@@ -1253,6 +1262,7 @@ def ivf_topk_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 8,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF SERVING off the at-rest index: :func:`ivf_ann_topk`'s
     probe-cells-then-exact-re-rank contract with the corpus side a
@@ -1261,7 +1271,9 @@ def ivf_topk_against_index(
     the cells TABLE NAME and the quantizer fingerprint recorded at
     bootstrap is validated against the given centroids before the plan is
     built. Output schema matches :func:`cosine_topk`; equality with
-    :func:`ivf_ann_topk` at the same seed is pinned in tests."""
+    :func:`ivf_ann_topk` at the same seed is pinned in tests.
+    ``broadcast_queries=False`` drops the query-side hint for
+    larger-than-broadcast batches (see ``ann_topk_against_index``)."""
     spark = queries.sparkSession
     centers = (
         centroids_from_table(centroids)
@@ -1293,7 +1305,8 @@ def ivf_topk_against_index(
     )
     # one cell per corpus row, distinct probe cells per query ⇒ each
     # (query, neighbor) meets at most once — no distinct (cf. ivf_ann_topk)
-    scored = cells.join(F.broadcast(q_cells), "__sq_cell").select(
+    q_side = F.broadcast(q_cells) if broadcast_queries else q_cells
+    scored = cells.join(q_side, "__sq_cell").select(
         "query_id",
         F.col("corpus_id").alias("neighbor_id"),
         cosine(F.col("corpus_id_vec"), F.col("query_vec")).alias("__sq_cos"),

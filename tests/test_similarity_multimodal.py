@@ -887,3 +887,46 @@ def test_ivf_topk_against_index_equals_ivf_ann_topk(spark):
         ivf_topk_against_index(queries, emb, cents, 5)
     with pytest.raises(ValueError, match="missing columns"):
         centroids_from_table(emb)
+
+
+def test_serving_broadcast_queries_dial(spark):
+    """broadcast_queries=False must produce identical results through an
+    unhinted join (the larger-than-broadcast batch escape hatch — the
+    perplexity-filter hazard class, preempted)."""
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        build_ivf_index,
+        ivf_topk_against_index,
+        vector_bucket_index,
+    )
+    from sequila_native_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(10)
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    cells, cents = build_ivf_index(corpus, n_cells=8, seed=11)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for hinted, unhinted in (
+            (ann_topk_against_index(queries, idx, 5, n_planes=6,
+                                    n_tables=4, seed=11),
+             ann_topk_against_index(queries, idx, 5, n_planes=6,
+                                    n_tables=4, seed=11,
+                                    broadcast_queries=False)),
+            (ivf_topk_against_index(queries, cells, cents, 5, n_probe=3),
+             ivf_topk_against_index(queries, cells, cents, 5, n_probe=3,
+                                    broadcast_queries=False)),
+        ):
+            got_h = {tuple(r) for r in hinted.collect()}
+            got_u = {tuple(r) for r in unhinted.collect()}
+            assert got_h == got_u and got_h
+            # under threshold=-1 the hinted plan still broadcasts (hints
+            # override), the unhinted one must not broadcast the probe join
+            assert "BroadcastHashJoin" in formatted_plan(hinted)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
