@@ -1270,6 +1270,11 @@ def keep_best_per_cluster(
             f"labels frame missing columns {sorted(need - set(labels.columns))}"
             f" — build it with dedup_clusters()"
         )
+    if cluster_col in docs.columns:
+        raise ValueError(
+            f"docs already has a {cluster_col!r} column — the join would "
+            f"be ambiguous; rename one side (cluster_col=...)"
+        )
     j = docs.join(labels.select(id_col, cluster_col), id_col)
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(priority_col).desc(), F.col(id_col).asc()

@@ -657,10 +657,17 @@ def perplexity_buckets(
             f"percentile_approx(nll_milli_per_token, {float(middle_pct)})"
         ).alias("__sq_cut_mid"),
     )
-    joined = (
-        scores.join(F.broadcast(cuts), join_keys)
-        if join_keys else scores.crossJoin(F.broadcast(cuts))
-    )
+    if join_keys:
+        # NULL-safe on the language key: NULL-lang docs form their own
+        # distribution group, and a plain equi-join would silently DROP
+        # them (NULL never equals NULL) — every doc must come back out
+        cuts_r = cuts.withColumnRenamed(lang_col, "__sq_cut_lang")
+        joined = scores.join(
+            F.broadcast(cuts_r),
+            F.col(lang_col).eqNullSafe(F.col("__sq_cut_lang")),
+        ).drop("__sq_cut_lang")
+    else:
+        joined = scores.crossJoin(F.broadcast(cuts))
     bucket = (
         F.when(F.col("nll_milli_per_token").isNull(), F.lit(None))
         .when(F.col("nll_milli_per_token") <= F.col("__sq_cut_head"), "head")

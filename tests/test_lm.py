@@ -373,3 +373,21 @@ def test_filter_accepts_precomputed_scores(spark, corpus, model, tri_model):
         perplexity_filter(corpus, None, 3000)
     with pytest.raises(ValueError, match="missing columns"):
         perplexity_filter(corpus, None, 3000, scores=corpus)
+
+
+def test_perplexity_buckets_null_lang_not_dropped(spark, corpus, model):
+    """NULL-lang docs form their own distribution group and must come
+    back out bucketed — a plain equi-join on the lang key silently
+    dropped them (found in round-8 self-review)."""
+    from sequila_native_spark.functions import perplexity_buckets
+
+    docs = corpus.select("doc_id", "text").withColumn(
+        "lang", F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(
+            F.lit("en"))
+    )
+    out = perplexity_buckets(docs, model, lang_col="lang").collect()
+    assert len(out) == docs.count()
+    nulls = [r for r in out if r["lang"] is None]
+    assert nulls and all(
+        r["bucket"] in ("head", "middle", "tail") for r in nulls
+        if r["nll_milli_per_token"] is not None)

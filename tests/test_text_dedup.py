@@ -1024,3 +1024,13 @@ def test_keep_best_per_cluster_end_to_end(spark):
     assert kept.count() == mx.count()
     # duplicates exist at sf0.001, so selection is non-trivial
     assert kept.count() < docs.count()
+
+
+def test_keep_best_rejects_cluster_col_collision(spark):
+    from sequila_native_spark.functions import keep_best_per_cluster
+
+    docs = spark.createDataFrame([(1, 5, 9)],
+                                 "doc_id long, quality long, cluster_id long")
+    labels = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    with pytest.raises(ValueError, match="ambiguous"):
+        keep_best_per_cluster(docs, labels, "quality")
