@@ -102,4 +102,12 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import shutil
+
+    try:
+        raise SystemExit(main())
+    finally:
+        # DuckDB's out-of-core spill can reach tens of GB on the sf0.1
+        # twins and is NOT reclaimed if the process is killed mid-query
+        # (observed: 79 GB left behind, disk at 99%); always sweep it
+        shutil.rmtree("/tmp/sq_duckdb_spill", ignore_errors=True)
