@@ -1794,11 +1794,17 @@ def q_perplexity_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lib_checkpoint(perplexity_score(docs, model))
     # bounded scalar: the keep threshold (exact median of a percentile
     # pair would need a sort; approx is deterministic for fixed input)
-    thr = int(
-        scores.agg(
-            F.expr("percentile_approx(nll_milli_per_token, 0.5)")
-        ).first()[0]
-    )
+    thr_row = scores.agg(
+        F.expr("percentile_approx(nll_milli_per_token, 0.5)")
+    ).first()
+    if thr_row is None or thr_row[0] is None:
+        # every doc unscoreable under the model (percentile of no rows is
+        # NULL) — int(None) would raise an opaque TypeError (advisor, r8)
+        raise ValueError(
+            "perplexity_keep: no document is scoreable under the trained "
+            "model — cannot derive a median keep threshold"
+        )
+    thr = int(thr_row[0])
     kept = perplexity_filter(
         docs, model, thr, id_col="doc_id", scores=scores
     ).select("doc_id", F.lit(1).alias("__sq_kept"))
@@ -1948,6 +1954,46 @@ def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_table_stale(spark: SparkSession, t: str, sf_dir: str) -> bool:
+    """True when bench index table ``t`` must be (re)built: missing, or
+    recorded as built from a DIFFERENT ``sf_dir`` (advisor, r8: reuse keyed
+    on ``tableExists`` alone would let a warehouse persisting across runs
+    silently serve a stale corpus in the ``*_probe`` floor rows — only the
+    self-checking diff rows would expose it). A stale table is dropped
+    here; the caller rebuilds and then stamps with
+    :func:`_stamp_bench_table`. Also clears a location orphaned by a
+    previous session (in-memory catalog), which blocks ``saveAsTable``."""
+    import os
+    import shutil
+
+    if spark.catalog.tableExists(t):
+        rec = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        if rec.get("sequila.bench.sf_dir") == sf_dir:
+            return False
+        spark.sql(f"DROP TABLE {t}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(wh, t)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    return True
+
+
+def _stamp_bench_table(spark: SparkSession, t: str, sf_dir: str) -> None:
+    """Record the corpus a bench index table was built from (see
+    :func:`_bench_table_stale`). Stamped AFTER the data lands — the stamp
+    asserts "this table's contents came from sf_dir", so a crash mid-build
+    leaves an unstamped table the next run treats as stale and rebuilds."""
+    spark.sql(
+        f"ALTER TABLE {t} SET TBLPROPERTIES "
+        f"('sequila.bench.sf_dir'='{sf_dir}')"
+    )
+
+
 def q_persisted_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY row (not in ``queries()``): probe the PERSISTED bucketed
     band index through the streaming dedup gate. The index is built once
@@ -1956,9 +2002,6 @@ def q_persisted_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-signing, no corpus-side shuffle (plan asserted in
     tests/test_plans.py). Output equality with the in-plan index is the
     driver row ``persisted_index_gates``."""
-    import os
-    import shutil
-
     from sequila_native_spark.functions.dedup import (
         corpus_band_index,
         stream_dedup_against_corpus,
@@ -1968,18 +2011,11 @@ def q_persisted_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.where(F.col("doc_id") % 5 == 0)
     dc = docs.where(F.col("doc_id") % 5 != 0)
     t = "sq_bench_band_idx"
-    if not spark.catalog.tableExists(t):
-        # a location orphaned by a previous session (in-memory catalog)
-        # blocks saveAsTable even with overwrite — clear it first
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, t)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+    if _bench_table_stale(spark, t, sf_dir):
         (corpus_band_index(dc, k=8, bands=4, hash_family="md5")
          .write.bucketBy(8, "band_hash").sortBy("band_hash")
          .saveAsTable(t))
+        _stamp_bench_table(spark, t, sf_dir)
     return stream_dedup_against_corpus(
         db, dc, k=8, bands=4, hash_family="md5",
         corpus_index=spark.table(t),
@@ -2027,9 +2063,6 @@ def q_persisted_gate_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ratio recorded in DESIGN.md). Index built+persisted in
     sample 1; later samples time the pure probe — min-of-samples is the
     probe floor, the ``persisted_gate_probe`` methodology."""
-    import os
-    import shutil
-
     from sequila_native_spark.functions.dedup import (
         corpus_band_index,
         stream_dedup_against_corpus,
@@ -2039,16 +2072,11 @@ def q_persisted_gate_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.where(F.col("doc_id") % 5 == 0)
     dc10 = _gate_corpus_10x(spark, sf_dir)
     t = "sq_bench_band_idx10"
-    if not spark.catalog.tableExists(t):
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, t)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+    if _bench_table_stale(spark, t, sf_dir):
         (corpus_band_index(dc10, k=8, bands=4, hash_family="md5")
          .write.bucketBy(8, "band_hash").sortBy("band_hash")
          .saveAsTable(t))
+        _stamp_bench_table(spark, t, sf_dir)
     return stream_dedup_against_corpus(
         db, dc10, k=8, bands=4, hash_family="md5",
         corpus_index=spark.table(t),
@@ -2065,30 +2093,16 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     law columns the driver hashes. Rows-only (seeded planes); equality
     with the in-plan path also pinned in
     tests/test_similarity_multimodal.py."""
-    import os
-    import shutil
-
     from sequila_native_spark.functions import (
         ann_topk_against_index,
         lsh_ann_topk,
     )
-    from sequila_native_spark.functions.similarity import vector_bucket_index
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 10 != 0)
     queries = emb.where(F.col("vec_id") % 137 == 0)
     opts = dict(n_planes=6, n_tables=4, seed=11)
-    t = "sq_bench_ann_idx"
-    if not spark.catalog.tableExists(t):
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, t)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
-        (vector_bucket_index(corpus, **opts)
-         .write.bucketBy(8, "__sq_table", "__sq_bkt")
-         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+    t = _bench_ann_table(spark, sf_dir)
     served = ann_topk_against_index(queries, spark.table(t), 5, **opts)
     inplan = lsh_ann_topk(corpus, queries, 5, **opts)
     j = served.withColumn("__sq_s", F.lit(1)).join(
@@ -2105,53 +2119,60 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_ann_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-and-persist the bench vector-bucket index (n_planes=6,
+    n_tables=4, seed=11 over the 90% corpus split) once per (session,
+    sf_dir) — shared by the self-checking driver row, the serving bench
+    row, and the recall row."""
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    t = "sq_bench_ann_idx"
+    if _bench_table_stale(spark, t, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 10 != 0)
+        (vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+         .write.bucketBy(8, "__sq_table", "__sq_bkt")
+         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+        _stamp_bench_table(spark, t, sf_dir)
+    return t
+
+
 def q_ann_index_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY row: the pure SERVING side of ``ann_index_topk`` — top-k
     off the persisted index alone (no in-plan comparison re-rank). Index
     built+persisted in sample 1; later samples time serving only —
     min-of-samples is the at-rest serving floor."""
-    import os
-    import shutil
-
     from sequila_native_spark.functions import ann_topk_against_index
-    from sequila_native_spark.functions.similarity import vector_bucket_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.where(F.col("vec_id") % 10 != 0)
     queries = emb.where(F.col("vec_id") % 137 == 0)
     opts = dict(n_planes=6, n_tables=4, seed=11)
-    t = "sq_bench_ann_idx"
-    if not spark.catalog.tableExists(t):
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, t)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
-        (vector_bucket_index(corpus, **opts)
-         .write.bucketBy(8, "__sq_table", "__sq_bkt")
-         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+    t = _bench_ann_table(spark, sf_dir)
     return ann_topk_against_index(queries, spark.table(t), 5, **opts)
 
 
 def _bench_ivf_tables(spark: SparkSession, sf_dir: str) -> None:
     """Build-and-persist the IVF pair (cells bucketed by cell, centroids
-    model table) once per session — shared by the self-checking driver row
-    and the serving bench row."""
+    model table) once per (session, sf_dir) — shared by the self-checking
+    driver row and the serving bench row. Staleness is keyed on the CELLS
+    table's recorded sf_dir; the centroids model table is rebuilt with it
+    (they are only ever valid as a pair — the fingerprint check would
+    reject a mixed pair anyway)."""
     import os
     import shutil
 
-    if spark.catalog.tableExists("sq_bench_ivf_idx"):
+    if not _bench_table_stale(spark, "sq_bench_ivf_idx", sf_dir):
         return
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 10 != 0)
+    if spark.catalog.tableExists("sq_bench_ivf_cent"):
+        spark.sql("DROP TABLE sq_bench_ivf_cent")
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    for t in ("sq_bench_ivf_idx", "sq_bench_ivf_cent"):
-        loc = os.path.join(wh, t)
-        if not spark.catalog.tableExists(t) and os.path.exists(loc):
-            shutil.rmtree(loc)
+    loc = os.path.join(wh, "sq_bench_ivf_cent")
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     from sequila_native_spark.functions import append_ivf_index
     from sequila_native_spark.functions.similarity import (
         _train_centroids,
@@ -2165,6 +2186,7 @@ def _bench_ivf_tables(spark: SparkSession, sf_dir: str) -> None:
     append_ivf_index(corpus, "sq_bench_ivf_idx", centers, buckets=8)
     (centroids_to_table(spark, centers)
      .write.mode("overwrite").saveAsTable("sq_bench_ivf_cent"))
+    _stamp_bench_table(spark, "sq_bench_ivf_idx", sf_dir)
 
 
 def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1201,8 +1201,13 @@ def dedup_clusters(
         # O(rounds) label copies until drop_stale_persisted. (The previous
         # stale._jdf.rdd().unpersist() was a silent no-op: that round-trip
         # returns a derived deserialized RDD, never the RDD localCheckpoint
-        # pinned — reviewer, r7.)
-        unpersist_rdd_ids(labels.sparkSession, stale_ids)
+        # pinned — reviewer, r7.) Only when round r actually PINNED
+        # (live_ids non-empty): an unpinned fallback frame still reads
+        # round r-1's checkpoint blocks on every later action, and
+        # localCheckpointed RDDs are not recomputable once dropped
+        # (advisor, r8); drop_stale_persisted remains the backstop.
+        if live_ids:
+            unpersist_rdd_ids(labels.sparkSession, stale_ids)
         if cur == prev:
             converged = True
             break

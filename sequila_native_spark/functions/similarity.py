@@ -551,7 +551,9 @@ def ivf_ann_topk(
             mat = np.array(vecs.tolist(), dtype=np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ c_norm.T
-            top = np.argsort(-sims, axis=1)[:, :n]
+            # stable: ties → lowest cell id, matching _cell_assigner so the
+            # in-plan and serving paths stay row-identical (advisor, r8)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
             return pd.Series(list(top.astype(np.int64)))
 
         return assign
@@ -1126,7 +1128,11 @@ def _cell_assigner(spark, centers: np.ndarray, n: int):
         mat = np.array(vecs.tolist(), dtype=np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ c_norm.T
-        top = np.argsort(-sims, axis=1)[:, :n]
+        # stable sort: exact similarity ties resolve to the LOWEST cell id
+        # on every numpy version/platform — the default introsort's tie
+        # order is unspecified, which would let probe-cell choice (and thus
+        # served IVF neighbors) drift across environments (advisor, r8)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
         return pd.Series(list(top.astype(np.int64)))
 
     return assign

@@ -51,3 +51,23 @@ def test_orphan_oracles_are_known_composite_members():
     }
     orphans = {k for k in entry.oracle_sql() if k not in qs}
     assert orphans <= known_absorbed, orphans - known_absorbed
+
+
+def test_bench_table_staleness_guard(spark):
+    """Advisor r8: bench index tables were reused purely on tableExists; a
+    warehouse persisting across runs with a different sf_dir would silently
+    serve a stale corpus in the *_probe floor rows. The guard keys reuse on
+    the recorded sf_dir stamp and treats missing/unstamped/mismatched
+    tables as stale (dropping them so the caller rebuilds)."""
+    t = "sq_test_stale_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert entry._bench_table_stale(spark, t, "/dirA")  # missing → stale
+    spark.range(3).write.saveAsTable(t)
+    entry._stamp_bench_table(spark, t, "/dirA")
+    assert not entry._bench_table_stale(spark, t, "/dirA")  # fresh
+    assert entry._bench_table_stale(spark, t, "/dirB")  # other corpus
+    assert not spark.catalog.tableExists(t)  # stale table dropped
+    # an UNSTAMPED table (crash between build and stamp) is stale too
+    spark.range(3).write.saveAsTable(t)
+    assert entry._bench_table_stale(spark, t, "/dirA")
+    assert not spark.catalog.tableExists(t)

@@ -973,6 +973,39 @@ def test_dedup_clusters_frees_stale_round_blocks(spark):
     drop_stale_persisted(spark)
 
 
+def test_dedup_clusters_survives_unpinned_round(spark, monkeypatch):
+    """Advisor r8: when a round's checkpoint falls back to an UNPINNED frame
+    (lib_checkpoint_ids unavailable mid-run), the previous round's pinned
+    blocks must NOT be freed — the unpinned frame re-reads them on every
+    later action, and localCheckpointed RDDs are not recomputable once
+    their blocks are dropped. Pre-guard this crashed with missing
+    checkpoint blocks on the next round's convergence probe."""
+    import sequila_native_spark.util as util
+    from sequila_native_spark.functions import dedup_clusters
+
+    real = util.lib_checkpoint_ids
+    calls = {"n": 0}
+
+    def flaky(df, eager=False):
+        calls["n"] += 1
+        if calls["n"] > 3:  # edges + labels + round 1 pin, then fall back
+            return df, set()
+        return real(df, eager=eager)
+
+    monkeypatch.setattr(util, "lib_checkpoint_ids", flaky)
+    # 9-node path graph → ~8 propagation rounds, most of them unpinned
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    labels = dedup_clusters(chain, max_rounds=20)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(9)}
+    # a second action re-evaluates the unpinned tail of the plan — it must
+    # still find the pinned blocks it hangs off
+    assert labels.count() == 9
+    util.drop_stale_persisted(spark)
+
+
 def test_keep_best_per_cluster(spark):
     """Exactly one kept doc per cluster; the kept doc carries the cluster
     max priority; ties break to the smallest id; unlabeled docs drop;
