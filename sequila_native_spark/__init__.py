@@ -70,13 +70,19 @@ from sequila_native_spark.sql import (
     run_sql_script,
     sequila_sql,
 )
-from sequila_native_spark.util import drop_stale_persisted
+from sequila_native_spark.util import (
+    compact_index_table,
+    drop_stale_persisted,
+    index_table_file_stats,
+)
 from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
 __all__ = [
     "SequilaConf",
     "sequila_session",
     "drop_stale_persisted",
+    "compact_index_table",
+    "index_table_file_stats",
     "overlap_join",
     "map_intervals",
     "stab",

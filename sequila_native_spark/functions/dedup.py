@@ -768,49 +768,47 @@ def stream_dedup_against_corpus(
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     if corpus.isStreaming:
         raise ValueError("corpus side must be a static DataFrame")
-    if isinstance(corpus_index, str):
-        from sequila_native_spark.util import validate_index_table_params
-
-        spark = corpus.sparkSession
-        validate_index_table_params(spark, corpus_index, {
-            "sequila.index.k": str(int(k)),
-            "sequila.index.bands": str(int(bands)),
-            "sequila.index.n": str(int(n)),
-            "sequila.index.hash_family": hash_family,
-        })
-        corpus_index = spark.table(corpus_index)
     if corpus_index is None:
         corpus_index = corpus_band_index(
             corpus, text_col, id_col,
             k=k, bands=bands, n=n, hash_family=hash_family,
         )
     else:
-        need = {"corpus_id", "__sq_csig", "band_idx", "band_hash"}
-        if not need <= set(corpus_index.columns):
-            raise ValueError(
-                f"corpus_index missing columns {sorted(need - set(corpus_index.columns))}"
-                f" — build it with corpus_band_index()"
+        from sequila_native_spark.util import resolve_index_frame
+
+        # Frame probe: an index signed with a different k yields band
+        # slices of the wrong width — silently empty/partial pair sets,
+        # never an error. k is the one parameter readable from the rows
+        # themselves (the vector gate's n_tables check, band side —
+        # reviewer, r7); bands/n/hash_family remain the caller's contract,
+        # enforced end to end when the index is passed as an
+        # append_corpus_band_index TABLE NAME (TBLPROPERTIES validation).
+        def probe(frame: DataFrame) -> None:
+            probe_row = (
+                frame.where(F.col("__sq_csig").isNotNull())
+                .select(F.size("__sq_csig").alias("s")).first()
             )
-        if corpus_index.isStreaming:
-            raise ValueError("corpus_index must be a static DataFrame")
-        # an index signed with a different k yields band slices of the
-        # wrong width — silently empty/partial pair sets, never an error.
-        # k is the one parameter readable from the rows themselves (the
-        # vector gate's n_tables check, band side — reviewer, r7);
-        # bands/n/hash_family remain the caller's contract, enforced end
-        # to end when the index comes from append_corpus_band_index's
-        # TBLPROPERTIES.
-        probe_row = (
-            corpus_index.where(F.col("__sq_csig").isNotNull())
-            .select(F.size("__sq_csig").alias("s")).first()
+            if probe_row is not None and probe_row["s"] != k:
+                raise ValueError(
+                    f"corpus_index was signed with k={probe_row['s']} but "
+                    f"the gate was called with k={k} — band slices would "
+                    f"never match (build the index with the same "
+                    f"parameters, or read them from the table's "
+                    f"sequila.index.* TBLPROPERTIES)"
+                )
+
+        corpus_index, _ = resolve_index_frame(
+            corpus.sparkSession, corpus_index,
+            params={
+                "sequila.index.k": str(int(k)),
+                "sequila.index.bands": str(int(bands)),
+                "sequila.index.n": str(int(n)),
+                "sequila.index.hash_family": hash_family,
+            },
+            required_cols=("corpus_id", "__sq_csig", "band_idx", "band_hash"),
+            builder_name="corpus_band_index",
+            frame_probe=probe,
         )
-        if probe_row is not None and probe_row["s"] != k:
-            raise ValueError(
-                f"corpus_index was signed with k={probe_row['s']} but the "
-                f"gate was called with k={k} — band slices would never "
-                f"match (build the index with the same parameters, or read "
-                f"them from the table's sequila.index.* TBLPROPERTIES)"
-            )
 
     bsrc = ensure_parallel(docs.select(id_col, text_col))
     probe = _band_frame(

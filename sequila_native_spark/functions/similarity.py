@@ -714,6 +714,58 @@ def _multi_table_buckets(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _resolve_vector_index(
+    spark,
+    corpus_index,
+    *,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int | None,
+    caller: str,
+) -> tuple[DataFrame, int]:
+    """Resolve a :func:`vector_bucket_index` given as table name or frame,
+    via :func:`~sequila_native_spark.util.resolve_index_frame` — table
+    names get full TBLPROPERTIES validation (``dim`` filled from the
+    record when omitted); frames get the column check plus the one
+    row-readable probe (bucket-array length == ``n_tables``: an index
+    built with a different n_tables would silently drop pairs via
+    out-of-bounds ``element_at`` → NULL predicate, or throw under ANSI).
+    Returns ``(frame, dim)`` with ``dim`` always resolved (from the
+    record, or inferred from the carried vectors — static by
+    construction, so safe even when the probe side is a stream)."""
+    from sequila_native_spark.util import resolve_index_frame
+
+    def probe(frame: DataFrame) -> None:
+        probe_row = (
+            frame.where(F.col("corpus_id_bkts").isNotNull())
+            .select(F.size("corpus_id_bkts").alias("s")).first()
+        )
+        if probe_row is not None and probe_row["s"] != n_tables:
+            raise ValueError(
+                f"corpus_index was built with n_tables={probe_row['s']} "
+                f"but {caller} was called with n_tables={n_tables}"
+            )
+
+    frame, resolved = resolve_index_frame(
+        spark, corpus_index,
+        params={
+            "sequila.index.n_planes": str(int(n_planes)),
+            "sequila.index.n_tables": str(int(n_tables)),
+            "sequila.index.seed": str(int(seed)),
+            "sequila.index.dim": str(int(dim)) if dim is not None else None,
+        },
+        required_cols=("corpus_id", "__sq_table", "__sq_bkt",
+                       "corpus_id_vec", "corpus_id_bkts"),
+        builder_name="vector_bucket_index",
+        frame_probe=probe,
+    )
+    if dim is None:
+        rec = resolved.get("sequila.index.dim")
+        dim = int(rec) if rec is not None else _infer_dim(frame, "corpus_id_vec")
+    return frame, dim
+
+
 def vector_bucket_index(
     corpus: DataFrame,
     *,
@@ -850,29 +902,6 @@ def stream_embedding_gate(
     validated against the recorded TBLPROPERTIES before the plan is built
     (the frame form can only cheap-check n_tables from the rows).
     """
-    if isinstance(corpus_index, str):
-        from sequila_native_spark.util import (
-            read_index_table_params,
-            validate_index_table_params,
-        )
-
-        spark = (
-            corpus.sparkSession if corpus is not None else batch.sparkSession
-        )
-        if dim is None:
-            rec = read_index_table_params(spark, corpus_index).get(
-                "sequila.index.dim"
-            )
-            dim = int(rec) if rec is not None else None
-        params = {
-            "sequila.index.n_planes": str(int(n_planes)),
-            "sequila.index.n_tables": str(int(n_tables)),
-            "sequila.index.seed": str(int(seed)),
-        }
-        if dim is not None:
-            params["sequila.index.dim"] = str(int(dim))
-        validate_index_table_params(spark, corpus_index, params)
-        corpus_index = spark.table(corpus_index)
     if corpus_index is None:
         if corpus is None:
             raise ValueError("pass either corpus or corpus_index")
@@ -885,33 +914,13 @@ def stream_embedding_gate(
             n_tables=n_tables, seed=seed, dim=dim,
         )
     else:
-        need = {"corpus_id", "__sq_table", "__sq_bkt",
-                "corpus_id_vec", "corpus_id_bkts"}
-        if not need <= set(corpus_index.columns):
-            raise ValueError(
-                f"corpus_index missing columns "
-                f"{sorted(need - set(corpus_index.columns))} — build it "
-                f"with vector_bucket_index()"
-            )
-        if corpus_index.isStreaming:
-            raise ValueError("corpus_index must be a static DataFrame")
-        # an index built with a different n_tables would silently drop
-        # pairs (out-of-bounds element_at -> NULL predicate) or throw
-        # under ANSI — validate the one dimension we can read cheaply;
-        # n_planes/seed remain the caller's contract (reviewer, r7)
-        probe_row = (
-            corpus_index.where(F.col("corpus_id_bkts").isNotNull())
-            .select(F.size("corpus_id_bkts").alias("s")).first()
+        spark = (
+            corpus.sparkSession if corpus is not None else batch.sparkSession
         )
-        if probe_row is not None and probe_row["s"] != n_tables:
-            raise ValueError(
-                f"corpus_index was built with n_tables={probe_row['s']} "
-                f"but the gate was called with n_tables={n_tables}"
-            )
-        if dim is None:
-            # streaming probe side can't be sampled for the dim — read it
-            # from the index instead (static by construction)
-            dim = _infer_dim(corpus_index, "corpus_id_vec")
+        corpus_index, dim = _resolve_vector_index(
+            spark, corpus_index, n_planes=n_planes, n_tables=n_tables,
+            seed=seed, dim=dim, caller="the gate",
+        )
 
     probe = _multi_table_buckets(
         batch.select(id_col, vec_col), "batch_id",
@@ -1037,49 +1046,10 @@ def ann_topk_against_index(
     False and the join falls back to an unhinted equi-join — the index
     side still reads its bucketed layout with no exchange.
     """
-    if isinstance(corpus_index, str):
-        from sequila_native_spark.util import (
-            read_index_table_params,
-            validate_index_table_params,
-        )
-
-        spark = queries.sparkSession
-        if dim is None:
-            rec = read_index_table_params(spark, corpus_index).get(
-                "sequila.index.dim"
-            )
-            dim = int(rec) if rec is not None else None
-        params = {
-            "sequila.index.n_planes": str(int(n_planes)),
-            "sequila.index.n_tables": str(int(n_tables)),
-            "sequila.index.seed": str(int(seed)),
-        }
-        if dim is not None:
-            params["sequila.index.dim"] = str(int(dim))
-        validate_index_table_params(spark, corpus_index, params)
-        corpus_index = spark.table(corpus_index)
-    else:
-        need = {"corpus_id", "__sq_table", "__sq_bkt",
-                "corpus_id_vec", "corpus_id_bkts"}
-        if not need <= set(corpus_index.columns):
-            raise ValueError(
-                f"corpus_index missing columns "
-                f"{sorted(need - set(corpus_index.columns))} — build it "
-                f"with vector_bucket_index()"
-            )
-        probe_row = (
-            corpus_index.where(F.col("corpus_id_bkts").isNotNull())
-            .select(F.size("corpus_id_bkts").alias("s")).first()
-        )
-        if probe_row is not None and probe_row["s"] != n_tables:
-            raise ValueError(
-                f"corpus_index was built with n_tables={probe_row['s']} "
-                f"but top-k was called with n_tables={n_tables}"
-            )
-        if dim is None:
-            dim = _infer_dim(corpus_index, "corpus_id_vec")
-    if dim is None:
-        dim = _infer_dim(corpus_index, "corpus_id_vec")
+    corpus_index, dim = _resolve_vector_index(
+        queries.sparkSession, corpus_index, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim, caller="top-k",
+    )
 
     qb = _multi_table_buckets(
         queries.select(id_col, vec_col), "query_id",
@@ -1286,23 +1256,18 @@ def ivf_topk_against_index(
         if isinstance(centroids, DataFrame) else
         np.ascontiguousarray(centroids, dtype=np.float64)
     )
-    if isinstance(cells, str):
-        from sequila_native_spark.util import validate_index_table_params
+    from sequila_native_spark.util import resolve_index_frame
 
-        validate_index_table_params(spark, cells, {
+    cells, _ = resolve_index_frame(
+        spark, cells,
+        params={
             "sequila.index.n_cells": str(int(centers.shape[0])),
             "sequila.index.dim": str(int(centers.shape[1])),
             "sequila.index.centroid_md5": _centroid_fingerprint(centers),
-        })
-        cells = spark.table(cells)
-    else:
-        need = {"corpus_id", "__sq_cell", "corpus_id_vec"}
-        if not need <= set(cells.columns):
-            raise ValueError(
-                f"cells index missing columns "
-                f"{sorted(need - set(cells.columns))} — build it with "
-                f"build_ivf_index()"
-            )
+        },
+        required_cols=("corpus_id", "__sq_cell", "corpus_id_vec"),
+        builder_name="build_ivf_index",
+    )
     assign = _cell_assigner(spark, centers, int(n_probe))
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),

@@ -326,6 +326,219 @@ def bootstrap_or_validate_index_table(
     return False
 
 
+def _describe_bucket_spec(spark, table: str) -> tuple[list[str], list[str], int]:
+    """The (bucket_cols, sort_cols, n_buckets) a table was created with,
+    from ``DESCRIBE FORMATTED`` — how :func:`compact_index_table` recovers
+    the layout it must preserve without the caller restating it."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {
+        (r["col_name"] or "").strip(): (r["data_type"] or "").strip()
+        for r in rows
+    }
+    nb, bc = info.get("Num Buckets"), info.get("Bucket Columns")
+    if not nb or not bc:
+        raise ValueError(
+            f"table {table!r} is not bucketed — only the bucketed index "
+            f"tables this library appends to can be compacted"
+        )
+
+    def cols(s: str) -> list[str]:
+        return [c.strip().strip("`") for c in s.strip("[]").split(",") if c.strip()]
+
+    return cols(bc), cols(info.get("Sort Columns", "")), int(nb)
+
+
+def _table_location(spark, table: str) -> str | None:
+    """Local-filesystem path of a table, or None (non-file scheme)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            loc = (r["data_type"] or "").strip()
+            if loc.startswith("file:"):
+                return loc.removeprefix("file:")
+            if loc.startswith("/"):
+                return loc
+    return None
+
+
+def index_table_file_stats(spark, table: str) -> dict:
+    """Small-file HEALTH PROBE for an append-mode bucketed index table:
+    every ``append_*_index`` call adds at least one new file per touched
+    bucket, so a daily-ingest loop accumulates thousands of small files
+    per bucket within months — and every bucket-pruned probe then opens
+    all of them. Alert on ``max_files_per_bucket`` (or schedule
+    :func:`compact_index_table`) before probe latency decays.
+
+    Returns ``{n_files, n_buckets, n_buckets_with_files,
+    max_files_per_bucket, mean_files_per_bucket}`` — file→bucket
+    attribution parses the ``_NNNNN`` bucket id Spark encodes in bucketed
+    file names; unattributable files (none, for tables this library
+    wrote) count under bucket -1."""
+    import re as _re
+
+    _, _, buckets = _describe_bucket_spec(spark, table)
+    counts: dict[int, int] = {}
+    for f in spark.table(table).inputFiles():
+        m = _re.search(r"_(\d{5})\.", f.rsplit("/", 1)[-1])
+        b = int(m.group(1)) if m else -1
+        counts[b] = counts.get(b, 0) + 1
+    n_files = sum(counts.values())
+    return {
+        "n_files": n_files,
+        "n_buckets": buckets,
+        "n_buckets_with_files": len(counts),
+        "max_files_per_bucket": max(counts.values(), default=0),
+        "mean_files_per_bucket": round(n_files / max(len(counts), 1), 3),
+    }
+
+
+def compact_index_table(spark, table: str) -> dict:
+    """MAINTENANCE for the append-mode bucketed index tables
+    (``dedup.append_corpus_band_index``,
+    ``similarity.append_vector_bucket_index``,
+    ``similarity.append_ivf_index``): rewrite ``table`` in place with its
+    own recorded bucket spec, collapsing the one-file-per-bucket-per-append
+    accumulation back to one file per bucket — probes read the same rows
+    through the same bucket layout, just without the small-file fan-out.
+
+    The rewrite shuffles once, hash-partitioned by the bucket columns into
+    exactly ``n_buckets`` tasks — the same Murmur3 hash bucketBy uses, so
+    each task holds exactly one bucket and writes exactly one file. Cost
+    is one table scan + one shuffle of the INDEX (signatures/vectors, not
+    the corpus), embarrassingly parallel; run it on the ingest cadence
+    where :func:`index_table_file_stats` says so.
+
+    All ``sequila.*`` TBLPROPERTIES are re-stamped on the replacement
+    table before any data lands (properties-first, as bootstrap does), so
+    appends and validated probes keep working across compactions.
+
+    Crash safety (three catalog ops, no transaction): the rewrite lands in
+    ``{table}__sq_compact`` first, then the swap is RENAME old →
+    ``{table}__sq_precompact``, RENAME staging → ``table``, DROP old. A
+    crash mid-swap leaves both tables intact under the side names — no
+    data loss at any step; re-running compact (or renaming back) recovers.
+    Leftover side tables from a crashed run are cleared on the next call.
+
+    Returns ``{files_before, files_after, rows}``.
+    """
+    import os
+    import shutil
+
+    bucket_cols, sort_cols, buckets = _describe_bucket_spec(spark, table)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if r["key"].startswith("sequila.")
+    }
+    before = index_table_file_stats(spark, table)
+    df = spark.table(table)
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    parent = os.path.dirname(_table_location(spark, table) or "") or None
+    staging, old = f"{table}__sq_compact", f"{table}__sq_precompact"
+    for tmp in (staging, old):
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        if parent:  # a dir orphaned by a crashed prior run blocks CREATE
+            loc = os.path.join(parent, tmp.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+    bootstrap_or_validate_index_table(
+        spark, staging,
+        {k: v for k, v in props.items() if k.startswith("sequila.index.")},
+        schema_ddl=schema_ddl, bucket_cols=bucket_cols, buckets=buckets,
+    )
+    extra = {
+        k: v for k, v in props.items() if not k.startswith("sequila.index.")
+    }
+    if extra:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(extra.items()))
+        spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({kv})")
+    # The rewrite must read RAW FILE SPLITS, not the bucketed scan: against
+    # a bucketed source the planner elides the repartition as redundant
+    # (the scan claims the required HashPartitioning) and then
+    # DisableUnnecessaryBucketedScan drops the bucketed read itself —
+    # leaving one output file per (input split × bucket), i.e. no
+    # compaction at all (measured: 192 → 48 files instead of → 8).
+    prev = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        writer = (
+            df.repartition(buckets, *bucket_cols)
+            .write.bucketBy(buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.mode("append").saveAsTable(staging)
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")  # restore; keep staging
+        raise
+    spark.sql(f"DROP TABLE {old}")
+    after = index_table_file_stats(spark, table)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "rows": spark.table(table).count(),
+    }
+
+
+def resolve_index_frame(
+    spark,
+    index,
+    *,
+    params: dict[str, str | None],
+    required_cols,
+    builder_name: str,
+    frame_probe=None,
+) -> tuple[DataFrame, dict[str, str | None]]:
+    """Shared table-name-vs-frame resolution for every persisted-index
+    CONSUMER (the dedup band gate, the vector gate, ANN serving, IVF
+    serving) — one copy of the silent-corruption guard instead of four
+    ~40-line near-identical blocks (reviewer, r8: four copies is where the
+    next drift bug lives).
+
+    ``index`` is either a TABLE NAME (an ``append_*_index`` table: every
+    entry of ``params`` is validated against the recorded
+    ``sequila.index.*`` TBLPROPERTIES before any plan is built) or a
+    DataFrame (only row-readable checks are possible: ``required_cols``
+    membership, not-streaming, plus the caller's ``frame_probe`` — e.g.
+    signature-width / bucket-array-length probes; the remaining parameters
+    stay the caller's contract).
+
+    ``params`` values may be None: a None is FILLED from the table's
+    recorded properties when the table form is used (how ``dim`` defaults
+    to the recorded build value) and left None for the frame form — the
+    caller falls back to its own inference. Returns
+    ``(frame, resolved_params)``.
+    """
+    if isinstance(index, str):
+        props = read_index_table_params(spark, index)
+        resolved = {
+            key: (props.get(key) if val is None else val)
+            for key, val in params.items()
+        }
+        validate_index_table_params(
+            spark, index,
+            {k: v for k, v in resolved.items() if v is not None},
+        )
+        return spark.table(index), resolved
+    missing = sorted(set(required_cols) - set(index.columns))
+    if missing:
+        raise ValueError(
+            f"index frame missing columns {missing} — build it with "
+            f"{builder_name}()"
+        )
+    if index.isStreaming:
+        raise ValueError("the index side must be a static DataFrame")
+    if frame_probe is not None:
+        frame_probe(index)
+    return index, dict(params)
+
+
 def lib_checkpoint_ids(df: DataFrame, eager: bool = False):
     """:func:`lib_checkpoint` that ALSO returns the persisted RDD ids the
     call pinned (before/after diff of ``getPersistentRDDs``), so iterative

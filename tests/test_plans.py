@@ -815,3 +815,158 @@ def test_ivf_serving_no_corpus_exchange_before_join(spark):
         assert out.count() >= 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_band_index_probe_identical_fewer_files(spark):
+    """Compaction contract, band family (VERDICT r8 item 1): after N
+    appends the table carries ~N files per touched bucket; compact must
+    collapse to ONE file per bucket, keep the gate's probe output
+    row-identical, keep the bucketed layout (no exchange on the index
+    side), preserve the recorded TBLPROPERTIES (a later append still
+    validates), and report honest before/after counts."""
+    import uuid
+
+    from sequila_native_spark.functions import append_corpus_band_index
+    from sequila_native_spark.functions.dedup import stream_dedup_against_corpus
+    from sequila_native_spark.util import compact_index_table, index_table_file_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    parts = [docs.where((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == i))
+             for i in range(3)]
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    kw = dict(buckets=8, k=8, bands=4, hash_family="md5")
+    try:
+        for p in parts:
+            append_corpus_band_index(p, t, **kw)
+        before = index_table_file_stats(spark, t)
+        assert before["max_files_per_bucket"] > 1, before
+
+        def probe():
+            return {tuple(r) for r in stream_dedup_against_corpus(
+                batch, docs.where(F.col("doc_id") % 5 != 0),
+                k=8, bands=4, hash_family="md5", corpus_index=t,
+            ).collect()}
+
+        want = probe()
+        report = compact_index_table(spark, t)
+        after = index_table_file_stats(spark, t)
+        assert report["files_after"] < report["files_before"]
+        assert after["max_files_per_bucket"] == 1, after
+        assert probe() == want and want
+        # layout survived: the probe still reads the bucketed scan (same
+        # conf shape as the append-equals-rebuild test — with a broadcast
+        # candidate join the planner rightly skips the bucketed read)
+        try:
+            spark.conf.set(
+                "spark.sql.requireAllClusterKeysForCoPartition", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = stream_dedup_against_corpus(
+                batch, docs.where(F.col("doc_id") % 5 != 0),
+                k=8, bands=4, hash_family="md5", corpus_index=t)
+            assert "Bucketed: true" in _index_scan_details(
+                formatted_plan(out), t)
+        finally:
+            spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # properties survived: a post-compact append still validates+lands
+        append_corpus_band_index(parts[0].limit(5), t, **kw)
+        with pytest.raises(ValueError, match="mismatch"):
+            append_corpus_band_index(parts[0], t, buckets=8, k=8, bands=2,
+                                     hash_family="md5")
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_compact_vector_index_probe_identical_fewer_files(spark):
+    """Compaction contract, vector-LSH family: serving off the table name
+    (full TBLPROPERTIES validation) must return the same top-k before and
+    after compact, with strictly fewer files."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_vector_bucket_index,
+    )
+    from sequila_native_spark.util import compact_index_table, index_table_file_stats
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 37 == 0)
+    parts = [emb.where((F.col("vec_id") % 37 != 0) & (F.col("vec_id") % 3 == i))
+             for i in range(3)]
+    t = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    kw = dict(buckets=8, n_planes=6, n_tables=4, seed=11)
+    try:
+        for p in parts:
+            append_vector_bucket_index(p, t, **kw)
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] > 1
+
+        def probe():
+            return {tuple(r) for r in ann_topk_against_index(
+                queries, t, 5, n_planes=6, n_tables=4, seed=11).collect()}
+
+        want = probe()
+        report = compact_index_table(spark, t)
+        assert report["files_after"] < report["files_before"]
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] == 1
+        assert probe() == want and want
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_compact_ivf_index_probe_identical_fewer_files(spark):
+    """Compaction contract, IVF family: the quantizer fingerprint must
+    survive the rewrite (serving validates it against the given centroids)
+    and served neighbors must be row-identical."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_ivf_index,
+        ivf_topk_against_index,
+    )
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        centroids_to_table,
+    )
+    from sequila_native_spark.util import compact_index_table, index_table_file_stats
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 37 == 0)
+    corpus = emb.where(F.col("vec_id") % 37 != 0)
+    centers = _train_centroids(corpus, "embedding", 8, 11, stable_id_col="vec_id")
+    cent_tbl = centroids_to_table(spark, centers)
+    parts = [corpus.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    t = f"sq_ivf_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        for p in parts:
+            append_ivf_index(p, t, centers, buckets=8)
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] > 1
+
+        def probe():
+            return {tuple(r) for r in ivf_topk_against_index(
+                queries, t, cent_tbl, 5, n_probe=3).collect()}
+
+        want = probe()
+        report = compact_index_table(spark, t)
+        assert report["files_after"] < report["files_before"]
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] == 1
+        assert probe() == want and want
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_compact_rejects_unbucketed_table(spark):
+    import uuid
+
+    from sequila_native_spark.util import compact_index_table
+
+    t = f"sq_plain_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.range(10).write.saveAsTable(t)
+        with pytest.raises(ValueError, match="not bucketed"):
+            compact_index_table(spark, t)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
