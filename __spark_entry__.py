@@ -1870,6 +1870,40 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_dedup_keep_best_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY twin of ``dedup_keep_best`` on the PRODUCTION hash family
+    (r9 — VERDICT r8 item 7): the driver row deliberately keeps the md5
+    family because its clusters tie to the hash-green ``near_dup_clusters``
+    oracle; this row shows users the cost of the same keep-best pipeline
+    on the vectorized ``fast`` family (cf. ``minhash_near_dups_fast`` vs
+    ``minhash_near_dups``). Same laws in-row; family agreement is pinned
+    in tests/test_text_dedup.py."""
+    from sequila_native_spark.functions import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        minhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs, hash_family="fast")
+    labels = dedup_clusters(
+        pairs.select("id_a", "id_b"), nodes=docs.select("doc_id")
+    )
+    kept = keep_best_per_cluster(docs, labels, "n_chars")
+    mx = (
+        docs.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("n_chars").alias("__sq_mx"))
+    )
+    chk = kept.join(mx, "cluster_id")
+    return chk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("n_chars") != F.col("__sq_mx"), 1).otherwise(0))
+        .cast("bigint").alias("n_quality_violations"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    ).orderBy("lang")
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (r8 — Wenzek et al. 2020 §4.4: the
     per-language perplexity-tertile split that IS the published CCNet
@@ -2123,16 +2157,19 @@ def _bench_ann_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-and-persist the bench vector-bucket index (n_planes=6,
     n_tables=4, seed=11 over the 90% corpus split) once per (session,
     sf_dir) — shared by the self-checking driver row, the serving bench
-    row, and the recall row."""
-    from sequila_native_spark.functions.similarity import vector_bucket_index
+    row, and the recall row. Built THROUGH append_vector_bucket_index so
+    the hashing parameters land in TBLPROPERTIES — consumers passing the
+    table NAME (the recall row) get full validation; the diff rows keep
+    passing the frame."""
+    from sequila_native_spark.functions import append_vector_bucket_index
 
     t = "sq_bench_ann_idx"
     if _bench_table_stale(spark, t, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         corpus = emb.where(F.col("vec_id") % 10 != 0)
-        (vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
-         .write.bucketBy(8, "__sq_table", "__sq_bkt")
-         .sortBy("__sq_table", "__sq_bkt").saveAsTable(t))
+        append_vector_bucket_index(
+            corpus, t, buckets=8, n_planes=6, n_tables=4, seed=11
+        )
         _stamp_bench_table(spark, t, sf_dir)
     return t
 
@@ -2237,6 +2274,185 @@ def q_ivf_index_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, "sq_bench_ivf_idx", spark.table("sq_bench_ivf_cent"),
         5, n_probe=4,
     )
+
+
+def _skewed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with a DENSE REGION: 60% of the vectors pulled toward one
+    anchor (``0.7·anchor + 0.3·v``, pure-codegen zip_with) — internal
+    variance survives so the region is geometrically splittable, but an
+    unguarded coarse quantizer concentrates it into ~1 giant cell: the
+    embedding-side analogue of the skewed contig
+    (``q_overlap_count_skewed``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    lit_anchor = F.array(*[F.lit(float(v)) for v in anchor])
+    mixed = F.zip_with(
+        lit_anchor, F.col("embedding").cast("array<double>"),
+        lambda a, v: F.lit(0.7) * a + F.lit(0.3) * v,
+    )
+    return emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 < 6, mixed)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+
+
+def q_ivf_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-skew guard driven end-to-end (r9 — VERDICT r8 item 2): the
+    skewed corpus quantized WITHOUT and WITH ``max_cell_frac=0.10``,
+    corpus-level populations measured by ``ivf_cell_stats``. Laws in-row:
+
+    - ``n_vectors`` (per variant) — conservation: every corpus vector is
+      in exactly one cell, so both variants emit the same total and the
+      driver hash pins it;
+    - ``n_over_cap`` — guarded cells whose CORPUS fraction exceeds 2x the
+      cap (sample-vs-corpus drift slack) — must be 0 for the guarded
+      variant; the unguarded variant's count is the skew demonstration
+      (≥1 by construction);
+    - ``max_frac_milli`` guarded < unguarded — the guard's effect as a
+      hashed number.
+
+    Rows-only (iterative k-means has no SQL twin); the split mechanics,
+    termination on unsplittable mass, and parameter validation are
+    unit-pinned in tests/test_coverage_ivf.py."""
+    from sequila_native_spark.functions import build_ivf_index, ivf_cell_stats
+
+    skewed = _skewed_embeddings(spark, sf_dir)
+    out = None
+    for variant, cap in (("guarded", 0.10), ("unguarded", None)):
+        cells, cent = build_ivf_index(
+            skewed, n_cells=16, seed=11, max_cell_frac=cap
+        )
+        row = (
+            ivf_cell_stats(cells)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                F.sum("n_vectors").cast("bigint").alias("n_vectors"),
+                F.max("frac_milli").cast("bigint").alias("max_frac_milli"),
+                F.sum(F.when(F.col("frac_milli") > 200, 1).otherwise(0))
+                .cast("bigint").alias("n_over_cap"),
+            )
+            .select(F.lit(variant).alias("variant"), "n_cells", "n_vectors",
+                    "max_frac_milli", "n_over_cap")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("variant")
+
+
+def q_ivf_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY scale row (r9): IVF serving against a PERSISTED index
+    over the SKEWED corpus, built with the cell-size guard
+    (``max_cell_frac=0.10``) — the output-matched twin of
+    ``ivf_index_topk_probe`` (same query set, same k, same corpus size).
+    The claim: with the guard, a dense embedding region does not turn one
+    cell into a straggler every probe scans, so the skewed probe floor
+    stays within ~1.3x of the uniform one. Sample 1 trains+persists;
+    later samples time the pure probe."""
+    from sequila_native_spark.functions import append_ivf_index, ivf_topk_against_index
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        centroids_to_table,
+    )
+
+    skewed = _skewed_embeddings(spark, sf_dir)
+    corpus = skewed.where(F.col("vec_id") % 10 != 0)
+    queries = skewed.where(F.col("vec_id") % 137 == 0)
+    t = "sq_bench_ivf_skew_idx"
+    if _bench_table_stale(spark, t, sf_dir):
+        if spark.catalog.tableExists("sq_bench_ivf_skew_cent"):
+            spark.sql("DROP TABLE sq_bench_ivf_skew_cent")
+        centers = _train_centroids(
+            corpus, "embedding", 16, 11, stable_id_col="vec_id",
+            max_cell_frac=0.10,
+        )
+        append_ivf_index(corpus, t, centers, buckets=8)
+        (centroids_to_table(spark, centers)
+         .write.mode("overwrite").saveAsTable("sq_bench_ivf_skew_cent"))
+        _stamp_bench_table(spark, t, sf_dir)
+    return ivf_topk_against_index(
+        queries, t, spark.table("sq_bench_ivf_skew_cent"), 5, n_probe=4,
+    )
+
+
+def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-recall dial row (r9 — VERDICT r8 item 3): recall@k of BOTH
+    at-rest serving paths vs the exact ``cosine_topk`` baseline, at two
+    dial settings each:
+
+    - LSH index serving (``ann_topk_against_index``, the bench index's 6
+      planes x 4 tables): plain vs ``multiprobe_flips=1`` (every
+      Hamming-1 bucket also probed — the recall dial that needs NO index
+      rebuild);
+    - IVF serving (``ivf_topk_against_index``, 16 cells): ``n_probe`` 2
+      vs 8.
+
+    Emits per setting: ``n_queries, n_exact, n_served, n_hit,
+    recall_milli`` and ``n_underk`` — queries that came back with fewer
+    than k rows, the LSH-miss/under-k story a user tunes the dial
+    against. Dial monotonicity (multiprobe recall ≥ plain, probe8 ≥
+    probe2, n_underk non-increasing) is pinned with floors in
+    tests/test_similarity_multimodal.py; rows-only here (seeded planes /
+    k-means have no SQL twin)."""
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        cosine_topk,
+        ivf_topk_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    k = 5
+    # pinned once: every setting's hit count reads the same exact pair set
+    exact = cosine_topk(corpus, queries, k).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    ann_t = _bench_ann_table(spark, sf_dir)
+    _bench_ivf_tables(spark, sf_dir)
+    ann_kw = dict(n_planes=6, n_tables=4, seed=11)
+    settings = [
+        ("ann", 0, lambda: ann_topk_against_index(
+            queries, ann_t, k, **ann_kw)),
+        ("ann_multiprobe", 1, lambda: ann_topk_against_index(
+            queries, ann_t, k, multiprobe_flips=1, **ann_kw)),
+        ("ivf", 2, lambda: ivf_topk_against_index(
+            queries, "sq_bench_ivf_idx", spark.table("sq_bench_ivf_cent"),
+            k, n_probe=2)),
+        ("ivf", 8, lambda: ivf_topk_against_index(
+            queries, "sq_bench_ivf_idx", spark.table("sq_bench_ivf_cent"),
+            k, n_probe=8)),
+    ]
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    out = None
+    for method, dial, fn in settings:
+        served = fn().select("query_id", "neighbor_id").localCheckpoint(
+            eager=True
+        )
+        hit = exact.join(served, ["query_id", "neighbor_id"], "left_semi")
+        full = served.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("__sq_n")
+        ).where(F.col("__sq_n") >= k)
+        row = (
+            nq.crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+            .crossJoin(served.agg(F.count(F.lit(1)).alias("n_served")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .crossJoin(full.agg(F.count(F.lit(1)).alias("__sq_full")))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(dial).cast("bigint").alias("dial"),
+                F.col("n_queries").cast("bigint").alias("n_queries"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                F.col("n_served").cast("bigint").alias("n_served"),
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                F.floor(F.col("n_hit") * 1000 / F.col("n_exact"))
+                .cast("bigint").alias("recall_milli"),
+                (F.col("n_queries") - F.col("__sq_full"))
+                .cast("bigint").alias("n_underk"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("method", "dial")
 
 
 def q_stream_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2838,6 +3054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
+        # r9: IVF cell-skew guard (VERDICT r8 item 2) and at-rest serving
+        # recall dial (item 3)
+        "ivf_cell_skew": q_ivf_cell_skew,
+        "ann_index_recall": q_ann_index_recall,
     }
 
 

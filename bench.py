@@ -108,6 +108,13 @@ HEADLINE = [
     "ivf_index_topk_probe",       # IVF serving off the persisted pair (r8)
     "ccnet_buckets",              # per-lang perplexity tertile split (r8)
     "dedup_keep_best",            # keep best-quality member per cluster (r8)
+    "dedup_keep_best_fast",       # same pipeline, production hash family (r9)
+    "ivf_skew_probe",             # IVF serving vs a dense region, with the
+                                  # max_cell_frac guard (r9): sample 1 builds,
+                                  # later samples = probe floor — compare
+                                  # ivf_index_topk_probe (uniform twin)
+    "ann_index_recall",           # serving recall dial row (r9): 2 LSH +
+                                  # 2 IVF settings vs exact top-k
 ]
 
 # Cross-round host-drift anchors: queries UNCHANGED since round 3, with

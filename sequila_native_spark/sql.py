@@ -370,6 +370,10 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_perplexity('docs', 'model', 'text', 'doc_id')
 #     SELECT * FROM sequila_trigram_perplexity('docs', 'model', 'text',
 #                                              'doc_id')
+#     SELECT * FROM sequila_ann_topk('queries', 'idx_tbl', 'vec_id',
+#                                    'embedding', 5, 6, 4, 11)      -- +[flips]
+#     SELECT * FROM sequila_ivf_topk('queries', 'cells_tbl', 'cent_tbl',
+#                                    'vec_id', 'embedding', 5, 8)
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -380,7 +384,7 @@ _TVF = re.compile(
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
     r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal"
-    r"|trigram_perplexity|perplexity)"
+    r"|trigram_perplexity|perplexity|ann_topk|ivf_topk)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -756,6 +760,42 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
             tri_model = trigram_lm_from_table(spark.table(a[1]))
             return trigram_perplexity_score(
                 spark.table(a[0]), tri_model, text_col=a[2], id_col=a[3]
+            )
+        if op == "ann_topk":
+            if not (8 <= len(a) <= 9):
+                raise ValueError(
+                    f"sequila_ann_topk takes (queries, index_table, id, "
+                    f"vec, k, n_planes, n_tables, seed, "
+                    f"[multiprobe_flips]), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import (
+                ann_topk_against_index,
+            )
+
+            # index_table stays a NAME: the serving path validates every
+            # recorded hashing parameter against the TBLPROPERTIES before
+            # the plan is built — the SQL surface inherits the guard
+            return ann_topk_against_index(
+                spark.table(a[0]), a[1], int(a[4]),
+                id_col=a[2], vec_col=a[3],
+                n_planes=int(a[5]), n_tables=int(a[6]), seed=int(a[7]),
+                multiprobe_flips=int(a[8]) if len(a) > 8 else 0,
+            )
+        if op == "ivf_topk":
+            if len(a) != 7:
+                raise ValueError(
+                    f"sequila_ivf_topk takes (queries, cells_table, "
+                    f"centroids_table, id, vec, k, n_probe), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import (
+                ivf_topk_against_index,
+            )
+
+            # cells_table stays a NAME (quantizer fingerprint validated);
+            # the centroids table is MODEL DATA (cf. sequila_perplexity)
+            return ivf_topk_against_index(
+                spark.table(a[0]), a[1], spark.table(a[2]), int(a[5]),
+                id_col=a[3], vec_col=a[4], n_probe=int(a[6]),
             )
         if op == "span_removal":
             if not (3 <= len(a) <= 5):

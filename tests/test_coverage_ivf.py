@@ -107,3 +107,113 @@ def test_ivf_ann_recall(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
     assert all((q, q) in approx for q in range(8))  # self always in own cell
+
+
+def _skewed_embeddings(spark, frac_dense=0.6, mix=0.7):
+    """Embeddings with a dense region: ``frac_dense`` of the vectors pulled
+    toward one anchor (``mix·anchor + (1-mix)·v``, JVM-side zip_with) —
+    internal variance survives, so the region is geometrically splittable,
+    but an unguarded coarse quantizer concentrates it in ~1 cell."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    lit_anchor = F.array(*[F.lit(float(v)) for v in anchor])
+    dense_ids = F.col("vec_id") % 10 < int(frac_dense * 10)
+    mixed = F.zip_with(
+        lit_anchor, F.col("embedding").cast("array<double>"),
+        lambda a, v: F.lit(mix) * a + F.lit(1.0 - mix) * v,
+    )
+    return emb.select(
+        "vec_id",
+        F.when(dense_ids, mixed)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+
+
+def test_ivf_skew_guard_splits_dense_region(spark):
+    """max_cell_frac (VERDICT r8 item 2): on a corpus with 60% of the mass
+    in one dense region, the unguarded quantizer concentrates it in a
+    giant cell; the guarded build must spread it so no corpus cell exceeds
+    the cap with modest sample-vs-corpus slack — and the stats report must
+    expose both (conservation law: fractions sum to ~1000)."""
+    from sequila_native_spark.functions import build_ivf_index, ivf_cell_stats
+
+    skewed = _skewed_embeddings(spark)
+    n = skewed.count()
+
+    def max_frac(cells):
+        stats = ivf_cell_stats(cells).collect()
+        assert sum(r["n_vectors"] for r in stats) == n
+        tot = sum(r["frac_milli"] for r in stats)
+        assert 1000 - len(stats) <= tot <= 1000  # floor rounding
+        return max(r["frac_milli"] for r in stats)
+
+    cells_raw, cent_raw = build_ivf_index(skewed, n_cells=16, seed=11)
+    cells_g, cent_g = build_ivf_index(
+        skewed, n_cells=16, seed=11, max_cell_frac=0.10
+    )
+    raw_max = max_frac(cells_raw)
+    g_max = max_frac(cells_g)
+    assert raw_max >= 300, raw_max   # the skew is real
+    assert g_max <= 200, g_max       # cap 100 milli + 2x corpus-drift slack
+    assert cent_g.count() > cent_raw.count()  # splitting added cells
+
+
+def test_ivf_skew_guard_unsplittable_terminates(spark):
+    """A region of IDENTICAL vectors cannot be split by geometry — the
+    guard must terminate (no-progress break) and leave a working
+    quantizer, not loop or explode the cell count."""
+    from sequila_native_spark.functions import build_ivf_index, ivf_cell_stats
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    lit_anchor = F.array(*[F.lit(float(v)) for v in anchor])
+    df = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 < 6, lit_anchor)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    cells, cent = build_ivf_index(df, n_cells=8, seed=11, max_cell_frac=0.10)
+    stats = ivf_cell_stats(cells).collect()
+    assert sum(r["n_vectors"] for r in stats) == df.count()
+    assert cent.count() <= 8 + 41  # hard budget: n_cells + ceil(4/cap)
+
+
+def test_ivf_skew_guard_validation(spark):
+    from sequila_native_spark.functions import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    with pytest.raises(ValueError, match="max_cell_frac"):
+        build_ivf_index(emb, n_cells=4, max_cell_frac=0.0)
+    with pytest.raises(ValueError, match="max_cell_frac"):
+        build_ivf_index(emb, n_cells=4, max_cell_frac=1.5)
+
+
+def test_ivf_cell_stats_table_name_and_errors(spark):
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_cell_stats,
+    )
+    from sequila_native_spark.functions.similarity import _train_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centers = _train_centroids(emb, "embedding", 8, 11, stable_id_col="vec_id")
+    t = f"sq_ivf_stats_{uuid.uuid4().hex[:8]}"
+    try:
+        append_ivf_index(emb, t, centers, buckets=4)
+        by_name = {(r["cell"], r["n_vectors"])
+                   for r in ivf_cell_stats(t, spark=spark).collect()}
+        cells, _ = build_ivf_index(emb, n_cells=8, seed=11)
+        by_frame = {(r["cell"], r["n_vectors"])
+                    for r in ivf_cell_stats(cells).collect()}
+        assert by_name == by_frame and by_name
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with pytest.raises(ValueError, match="spark="):
+        ivf_cell_stats("some_table")
+    with pytest.raises(ValueError, match="__sq_cell"):
+        ivf_cell_stats(emb)

@@ -930,3 +930,60 @@ def test_serving_broadcast_queries_dial(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ann_index_recall_dial_floors(spark):
+    """The r9 serving-recall row (VERDICT r8 item 3): dial monotonicity —
+    multiprobe recall ≥ plain, IVF probe8 ≥ probe2, under-k non-increasing
+    in the dial — plus pinned floors from the deterministic seeded planes /
+    k-means at sf0.001 (measured: ann 250 → 650 milli with one Hamming-1
+    flip, ivf 200 → 800 milli from 2 → 8 of 16 cells)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for t in ("sq_bench_ann_idx", "sq_bench_ivf_idx", "sq_bench_ivf_cent"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = {
+        (r["method"], r["dial"]): r
+        for r in mod.q_ann_index_recall(spark, SF).collect()
+    }
+    for r in rows.values():
+        assert r["n_exact"] == r["n_queries"] * 5
+        assert r["n_hit"] <= min(r["n_served"], r["n_exact"])
+        assert 0 <= r["n_underk"] <= r["n_queries"]
+    ann0, ann1 = rows[("ann", 0)], rows[("ann_multiprobe", 1)]
+    ivf2, ivf8 = rows[("ivf", 2)], rows[("ivf", 8)]
+    assert ann1["recall_milli"] >= max(ann0["recall_milli"], 600)
+    assert ann1["n_underk"] <= ann0["n_underk"]
+    assert ivf8["recall_milli"] >= max(ivf2["recall_milli"], 700)
+    assert ivf8["n_underk"] <= ivf2["n_underk"]
+    for t in ("sq_bench_ann_idx", "sq_bench_ivf_idx", "sq_bench_ivf_cent"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_multiprobe_candidates_superset_and_validation(spark):
+    """multiprobe_flips=1 probes every Hamming-1 bucket IN ADDITION to the
+    native one, so at k ≥ |corpus| (no rank truncation) its pair set must
+    be a strict-or-equal superset of the plain path's, with each pair
+    emitted exactly once (the dropDuplicates dedup)."""
+    from sequila_native_spark.functions import ann_topk_against_index
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    k = corpus.count()
+    kw = dict(n_planes=6, n_tables=4, seed=11)
+    plain = [(r["query_id"], r["neighbor_id"]) for r in
+             ann_topk_against_index(queries, idx, k, **kw).collect()]
+    multi = [(r["query_id"], r["neighbor_id"]) for r in
+             ann_topk_against_index(queries, idx, k, multiprobe_flips=1,
+                                    **kw).collect()]
+    assert len(set(plain)) == len(plain) and len(set(multi)) == len(multi)
+    assert set(plain) <= set(multi) and plain
+    with pytest.raises(ValueError, match="multiprobe_flips"):
+        ann_topk_against_index(queries, idx, 5, multiprobe_flips=2, **kw)

@@ -449,3 +449,87 @@ def test_tvf_map_bad_spec(spark, reads, targets):
         """)
     with pytest.raises(ValueError, match="sequila_map takes"):
         sequila_sql(spark, "SELECT * FROM sequila_map('a', 'b')")
+
+
+def test_serving_tvfs_match_api_and_inherit_validation(spark):
+    """r9 (VERDICT r8 item 6): the serving layer's SQL phrasing —
+    sequila_ann_topk / sequila_ivf_topk route to the VALIDATED
+    table-name paths, so results equal the Python API row-for-row and the
+    TBLPROPERTIES mismatch guards fire through SQL too."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_ivf_index,
+        append_vector_bucket_index,
+        ivf_topk_against_index,
+    )
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        centroids_to_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    queries.createOrReplaceTempView("sql_ann_queries")
+    vec_t = f"sq_vec_idx_{uuid.uuid4().hex[:8]}"
+    ivf_t = f"sq_ivf_idx_{uuid.uuid4().hex[:8]}"
+    cent_t = f"sq_ivf_cent_{uuid.uuid4().hex[:8]}"
+    try:
+        append_vector_bucket_index(corpus, vec_t, buckets=8, n_planes=6,
+                                   n_tables=4, seed=11)
+        centers = _train_centroids(corpus, "embedding", 8, 11,
+                                   stable_id_col="vec_id")
+        append_ivf_index(corpus, ivf_t, centers, buckets=4)
+        centroids_to_table(spark, centers).write.saveAsTable(cent_t)
+
+        got = sequila_sql(spark, f"""
+            SELECT * FROM sequila_ann_topk('sql_ann_queries', '{vec_t}',
+                'vec_id', 'embedding', 5, 6, 4, 11)
+        """)
+        want = ann_topk_against_index(queries, vec_t, 5, n_planes=6,
+                                      n_tables=4, seed=11)
+        assert {tuple(r) for r in got.collect()} == \
+               {tuple(r) for r in want.collect()} != set()
+
+        got_mp = sequila_sql(spark, f"""
+            SELECT * FROM sequila_ann_topk('sql_ann_queries', '{vec_t}',
+                'vec_id', 'embedding', 5, 6, 4, 11, 1)
+        """)
+        want_mp = ann_topk_against_index(queries, vec_t, 5, n_planes=6,
+                                         n_tables=4, seed=11,
+                                         multiprobe_flips=1)
+        assert {tuple(r) for r in got_mp.collect()} == \
+               {tuple(r) for r in want_mp.collect()} != set()
+
+        got_ivf = sequila_sql(spark, f"""
+            SELECT * FROM sequila_ivf_topk('sql_ann_queries', '{ivf_t}',
+                '{cent_t}', 'vec_id', 'embedding', 5, 3)
+        """)
+        want_ivf = ivf_topk_against_index(
+            queries, ivf_t, spark.table(cent_t), 5, n_probe=3)
+        assert {tuple(r) for r in got_ivf.collect()} == \
+               {tuple(r) for r in want_ivf.collect()} != set()
+
+        # the validation guards fire THROUGH the SQL surface
+        with pytest.raises(ValueError, match="mismatch"):
+            sequila_sql(spark, f"""
+                SELECT * FROM sequila_ann_topk('sql_ann_queries', '{vec_t}',
+                    'vec_id', 'embedding', 5, 6, 4, 99)
+            """)
+        with pytest.raises(ValueError, match="multiprobe_flips"):
+            sequila_sql(spark, f"""
+                SELECT * FROM sequila_ann_topk('sql_ann_queries', '{vec_t}',
+                    'vec_id', 'embedding', 5, 6, 4, 11, 3)
+            """)
+        with pytest.raises(ValueError, match="sequila_ann_topk takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_ann_topk('q', 't')")
+        with pytest.raises(ValueError, match="sequila_ivf_topk takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_ivf_topk('q', 't')")
+    finally:
+        for t in (vec_t, ivf_t, cent_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.dropTempView("sql_ann_queries")
