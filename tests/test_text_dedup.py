@@ -773,7 +773,7 @@ def test_stream_dedup_prebuilt_index_and_guards(spark, docs):
 
     with pytest.raises(ValueError, match="must divide"):
         stream_dedup_against_corpus(batch, corpus, k=8, bands=3)
-    with pytest.raises(ValueError, match="corpus_index missing columns"):
+    with pytest.raises(ValueError, match="missing columns"):
         stream_dedup_against_corpus(
             batch, corpus, corpus_index=idx.drop("__sq_csig"))
     with pytest.raises(ValueError, match="hash_family"):
