@@ -2017,6 +2017,24 @@ def _bench_table_stale(spark: SparkSession, t: str, sf_dir: str) -> bool:
     return True
 
 
+def _clear_bench_table(spark: SparkSession, t: str) -> None:
+    """DROP a companion bench table AND clear its orphaned warehouse
+    location — a previous session's in-memory catalog forgets the table
+    but leaves the directory, which blocks the next ``saveAsTable``
+    (bench run 1, r9: ``sq_bench_ivf_skew_cent`` killed the whole run)."""
+    import os
+    import shutil
+
+    if spark.catalog.tableExists(t):
+        spark.sql(f"DROP TABLE {t}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(wh, t)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
 def _stamp_bench_table(spark: SparkSession, t: str, sf_dir: str) -> None:
     """Record the corpus a bench index table was built from (see
     :func:`_bench_table_stale`). Stamped AFTER the data lands — the stamp
@@ -2195,21 +2213,11 @@ def _bench_ivf_tables(spark: SparkSession, sf_dir: str) -> None:
     table's recorded sf_dir; the centroids model table is rebuilt with it
     (they are only ever valid as a pair — the fingerprint check would
     reject a mixed pair anyway)."""
-    import os
-    import shutil
-
     if not _bench_table_stale(spark, "sq_bench_ivf_idx", sf_dir):
         return
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 10 != 0)
-    if spark.catalog.tableExists("sq_bench_ivf_cent"):
-        spark.sql("DROP TABLE sq_bench_ivf_cent")
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    loc = os.path.join(wh, "sq_bench_ivf_cent")
-    if os.path.exists(loc):
-        shutil.rmtree(loc)
+    _clear_bench_table(spark, "sq_bench_ivf_cent")
     from sequila_native_spark.functions import append_ivf_index
     from sequila_native_spark.functions.similarity import (
         _train_centroids,
@@ -2360,8 +2368,7 @@ def q_ivf_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = skewed.where(F.col("vec_id") % 137 == 0)
     t = "sq_bench_ivf_skew_idx"
     if _bench_table_stale(spark, t, sf_dir):
-        if spark.catalog.tableExists("sq_bench_ivf_skew_cent"):
-            spark.sql("DROP TABLE sq_bench_ivf_skew_cent")
+        _clear_bench_table(spark, "sq_bench_ivf_skew_cent")
         centers = _train_centroids(
             corpus, "embedding", 16, 11, stable_id_col="vec_id",
             max_cell_frac=0.10,
@@ -2373,6 +2380,109 @@ def q_ivf_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_against_index(
         queries, t, spark.table("sq_bench_ivf_skew_cent"), 5, n_probe=4,
     )
+
+
+def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction maintenance driven end-to-end (r9 — VERDICT r8 item 1),
+    for all three append-mode index families: bootstrap + 3 daily appends
+    → file-count health probe → ``compact_index_table`` → probe again and
+    re-serve. One law row per family, every column a must-hold value the
+    driver hash pins:
+
+    - ``files_decreased``: strictly fewer files after compact (3 appends x
+      multi-task writes guarantee >1 file per bucket before);
+    - ``one_file_per_bucket``: max_files_per_bucket == 1 after;
+    - ``probe_identical``: the family's validated table-name probe (band
+      gate / ANN top-k / IVF top-k) returns the same row set before and
+      after — symmetric-difference count 0;
+    - ``rows_preserved``: table row count unchanged.
+
+    Only deterministic BOOLEANS are emitted (raw file counts vary with
+    task counts across hosts/scales). Tables are rebuilt fresh per
+    invocation so re-runs see the uncompacted state. Rows-only (catalog
+    maintenance has no SQL twin); per-family mechanics including crash
+    side-tables are pinned in tests/test_plans.py."""
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_corpus_band_index,
+        append_ivf_index,
+        append_vector_bucket_index,
+        ivf_topk_against_index,
+    )
+    from sequila_native_spark.functions.dedup import stream_dedup_against_corpus
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        centroids_to_table,
+    )
+    from sequila_native_spark.util import (
+        compact_index_table,
+        index_table_file_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    db = docs.where(F.col("doc_id") % 5 == 0)
+    dc = docs.where(F.col("doc_id") % 5 != 0)
+    qv = emb.where(F.col("vec_id") % 137 == 0)
+    cv = emb.where(F.col("vec_id") % 137 != 0)
+
+    def band_setup(t):
+        for i in range(3):
+            append_corpus_band_index(
+                dc.where(F.col("doc_id") % 3 == i), t,
+                buckets=8, k=8, bands=4, hash_family="md5",
+            )
+        return lambda: stream_dedup_against_corpus(
+            db, dc, k=8, bands=4, hash_family="md5", corpus_index=t,
+        ).select("batch_id", "corpus_id")
+
+    def vector_setup(t):
+        for i in range(3):
+            append_vector_bucket_index(
+                cv.where(F.col("vec_id") % 3 == i), t,
+                buckets=8, n_planes=6, n_tables=4, seed=11,
+            )
+        return lambda: ann_topk_against_index(
+            qv, t, 5, n_planes=6, n_tables=4, seed=11,
+        )
+
+    centers = _train_centroids(cv, "embedding", 8, 11, stable_id_col="vec_id")
+    cent_tbl = centroids_to_table(spark, centers)
+
+    def ivf_setup(t):
+        for i in range(3):
+            append_ivf_index(
+                cv.where(F.col("vec_id") % 3 == i), t, centers, buckets=8,
+            )
+        return lambda: ivf_topk_against_index(qv, t, cent_tbl, 5, n_probe=3)
+
+    out = []
+    for family, setup in (("band", band_setup), ("vector", vector_setup),
+                          ("ivf", ivf_setup)):
+        t = f"sq_row_compact_{family}"
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+        probe = setup(t)
+        before_rows = {tuple(r) for r in probe().collect()}
+        before = index_table_file_stats(spark, t)
+        n_before = spark.table(t).count()
+        report = compact_index_table(spark, t)
+        after = index_table_file_stats(spark, t)
+        after_rows = {tuple(r) for r in probe().collect()}
+        out.append((
+            family,
+            int(report["files_after"] < report["files_before"]),
+            int(after["max_files_per_bucket"] == 1),
+            int(len(before_rows ^ after_rows) == 0 and len(after_rows) > 0),
+            int(report["rows"] == n_before),
+        ))
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+    return spark.createDataFrame(
+        out,
+        "family string, files_decreased int, one_file_per_bucket int, "
+        "probe_identical int, rows_preserved int",
+    ).orderBy("family")
 
 
 def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3054,8 +3164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
-        # r9: IVF cell-skew guard (VERDICT r8 item 2) and at-rest serving
-        # recall dial (item 3)
+        # r9: index compaction maintenance (VERDICT r8 item 1), IVF
+        # cell-skew guard (item 2), at-rest serving recall dial (item 3)
+        "index_compaction": q_index_compaction,
         "ivf_cell_skew": q_ivf_cell_skew,
         "ann_index_recall": q_ann_index_recall,
     }
