@@ -2284,15 +2284,24 @@ def q_ivf_index_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_ANCHOR_CACHE: dict = {}
+
+
 def _skewed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with a DENSE REGION: 60% of the vectors pulled toward one
     anchor (``0.7·anchor + 0.3·v``, pure-codegen zip_with) — internal
     variance survives so the region is geometrically splittable, but an
     unguarded coarse quantizer concentrates it into ~1 giant cell: the
     embedding-side analogue of the skewed contig
-    (``q_overlap_count_skewed``)."""
+    (``q_overlap_count_skewed``). The anchor (lowest-id vector) is
+    memoized per sf_dir — it is deterministic from the parquet, and the
+    ``.first()`` would otherwise cost a driver round-trip on every bench
+    sample."""
     emb = _t(spark, sf_dir, "embeddings")
-    anchor = emb.orderBy("vec_id").first()["embedding"]
+    anchor = _SKEW_ANCHOR_CACHE.get(sf_dir)
+    if anchor is None:
+        anchor = emb.orderBy("vec_id").first()["embedding"]
+        _SKEW_ANCHOR_CACHE[sf_dir] = anchor
     lit_anchor = F.array(*[F.lit(float(v)) for v in anchor])
     mixed = F.zip_with(
         lit_anchor, F.col("embedding").cast("array<double>"),
