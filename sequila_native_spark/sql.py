@@ -375,6 +375,16 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_ivf_topk('queries', 'cells_tbl', 'cent_tbl',
 #                                    'vec_id', 'embedding', 5, 8)
 #
+# Index-maintenance phrasing (r9) — the daily-ingest health loop as SQL:
+#
+#     SELECT * FROM sequila_index_stats('idx_tbl')   -- files per bucket
+#     SELECT * FROM sequila_ivf_cells('cells_tbl')   -- cell populations
+#     SELECT * FROM sequila_compact('idx_tbl')       -- compact NOW, report
+#
+# sequila_compact is an ACTION: the table is rewritten when the statement
+# is prepared (TVF expansion is eager), and the returned row is the
+# before/after report.
+#
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
 # expressions — project/rename in a view first if needed.
@@ -384,7 +394,8 @@ _TVF = re.compile(
     r"|subtract|makewindows|cluster|map"
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
     r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal"
-    r"|trigram_perplexity|perplexity|ann_topk|ivf_topk)"
+    r"|trigram_perplexity|perplexity|ann_topk|ivf_topk"
+    r"|index_stats|ivf_cells|compact)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -797,6 +808,31 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 spark.table(a[0]), a[1], spark.table(a[2]), int(a[5]),
                 id_col=a[3], vec_col=a[4], n_probe=int(a[6]),
             )
+        if op in ("index_stats", "compact"):
+            if len(a) != 1:
+                raise ValueError(
+                    f"sequila_{op} takes (index_table), got {a!r}"
+                )
+            from sequila_native_spark.util import (
+                compact_index_table,
+                index_table_file_stats,
+            )
+
+            stats = (compact_index_table if op == "compact"
+                     else index_table_file_stats)(spark, a[0])
+            return spark.createDataFrame(
+                [tuple(stats[k] for k in sorted(stats))],
+                ", ".join(f"`{k}` {'double' if isinstance(stats[k], float) else 'bigint'}"
+                          for k in sorted(stats)),
+            )
+        if op == "ivf_cells":
+            if len(a) != 1:
+                raise ValueError(
+                    f"sequila_ivf_cells takes (cells_table), got {a!r}"
+                )
+            from sequila_native_spark.functions.similarity import ivf_cell_stats
+
+            return ivf_cell_stats(a[0], spark=spark)
         if op == "span_removal":
             if not (3 <= len(a) <= 5):
                 raise ValueError(

@@ -533,3 +533,59 @@ def test_serving_tvfs_match_api_and_inherit_validation(spark):
         for t in (vec_t, ivf_t, cent_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.dropTempView("sql_ann_queries")
+
+
+def test_maintenance_tvfs(spark):
+    """r9: the daily-ingest health loop as SQL — stats shows the
+    small-file accumulation, sequila_compact rewrites (eager action) and
+    reports, stats confirms one file per bucket; sequila_ivf_cells
+    matches the API. Arity errors and the unbucketed refusal fire
+    through SQL."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sequila_native_spark.functions import (
+        append_corpus_band_index,
+        append_ivf_index,
+    )
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        ivf_cell_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
+    ivf_t = f"sq_ivf_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        for i in range(2):
+            append_corpus_band_index(
+                docs.where(F.col("doc_id") % 2 == i), t, buckets=8)
+        before = sequila_sql(
+            spark, f"SELECT * FROM sequila_index_stats('{t}')").collect()[0]
+        assert before["max_files_per_bucket"] > 1
+        report = sequila_sql(
+            spark, f"SELECT * FROM sequila_compact('{t}')").collect()[0]
+        assert report["files_after"] < report["files_before"]
+        after = sequila_sql(
+            spark, f"SELECT * FROM sequila_index_stats('{t}')").collect()[0]
+        assert after["max_files_per_bucket"] == 1
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        centers = _train_centroids(emb, "embedding", 4, 11,
+                                   stable_id_col="vec_id")
+        append_ivf_index(emb, ivf_t, centers, buckets=4)
+        got = {tuple(r) for r in sequila_sql(
+            spark, f"SELECT * FROM sequila_ivf_cells('{ivf_t}')").collect()}
+        want = {tuple(r) for r in ivf_cell_stats(ivf_t, spark=spark).collect()}
+        assert got == want and got
+
+        with pytest.raises(ValueError, match="sequila_index_stats takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_index_stats('a','b')")
+        with pytest.raises(ValueError, match="sequila_compact takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_compact()")
+        with pytest.raises(ValueError, match="sequila_ivf_cells takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_ivf_cells()")
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact", ivf_t):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
