@@ -405,7 +405,11 @@ def compact_index_table(spark, table: str) -> dict:
     each task holds exactly one bucket and writes exactly one file. Cost
     is one table scan + one shuffle of the INDEX (signatures/vectors, not
     the corpus), embarrassingly parallel; run it on the ingest cadence
-    where :func:`index_table_file_stats` says so.
+    where :func:`index_table_file_stats` says so. Scale note: compaction
+    parallelism (and the post-compact file size) is ``n_buckets`` — pick
+    the bucket count for the cluster width AND a sane per-bucket data
+    volume at BUILD time; the bucket count is the one parameter this
+    rewrite deliberately never changes (probes rely on it).
 
     All ``sequila.*`` TBLPROPERTIES are re-stamped on the replacement
     table before any data lands (properties-first, as bootstrap does), so
