@@ -217,3 +217,42 @@ def test_ivf_cell_stats_table_name_and_errors(spark):
         ivf_cell_stats("some_table")
     with pytest.raises(ValueError, match="__sq_cell"):
         ivf_cell_stats(emb)
+
+
+def test_guarded_ivf_serving_equals_inplan(spark):
+    """The skew bench row's correctness chain: serving off a PERSISTED
+    pair built with max_cell_frac must equal the in-plan ivf_ann_topk at
+    the same (seed, cap) on the same skewed corpus — the guarded twin of
+    the r8 serving-equality pin (same quantizer seed ⇒ same split ⇒ same
+    cells ⇒ same neighbors)."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        append_ivf_index,
+        ivf_topk_against_index,
+    )
+    from sequila_native_spark.functions.similarity import (
+        _train_centroids,
+        centroids_to_table,
+        ivf_ann_topk,
+    )
+
+    skewed = _skewed_embeddings(spark)
+    queries = skewed.where(F.col("vec_id") % 37 == 0)
+    corpus = skewed.where(F.col("vec_id") % 37 != 0)
+    centers = _train_centroids(corpus, "embedding", 8, 11,
+                               stable_id_col="vec_id", max_cell_frac=0.10)
+    assert len(centers) > 8  # the skew forced a split
+    t = f"sq_ivf_guard_{uuid.uuid4().hex[:8]}"
+    try:
+        append_ivf_index(corpus, t, centers, buckets=4)
+        served = {tuple(r) for r in ivf_topk_against_index(
+            queries, t, centroids_to_table(spark, centers), 5, n_probe=3,
+        ).collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    inplan = {tuple(r) for r in ivf_ann_topk(
+        corpus, queries, 5, n_cells=8, n_probe=3, seed=11,
+        max_cell_frac=0.10,
+    ).collect()}
+    assert served == inplan and served
