@@ -249,6 +249,16 @@ def main() -> None:
         )
     except Exception as exc:  # never fail the bench over the extra metric
         throughput = {"error": str(exc)[:200]}
+    # IVF skew-immunity (r9): guarded serving over the 60%-dense corpus vs
+    # the uniform serving twin at matched output (same queries, same k) —
+    # the "within ~1.3x" claim as a number checkable from this artifact
+    # alone, mirroring the interval skew_over_uniform ratio above.
+    try:
+        throughput["ivf_skew_over_uniform_time_ratio"] = round(
+            timings["ivf_skew_probe"] / timings["ivf_index_topk_probe"], 3
+        )
+    except Exception:
+        pass
 
     # 50x scale-trend row (VERDICT r3 item 7): run once, OUTSIDE the headline
     # total — an early-warning sample for superlinear regressions (spill,
