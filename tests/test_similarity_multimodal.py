@@ -987,3 +987,36 @@ def test_ann_multiprobe_candidates_superset_and_validation(spark):
     assert set(plain) <= set(multi) and plain
     with pytest.raises(ValueError, match="multiprobe_flips"):
         ann_topk_against_index(queries, idx, 5, multiprobe_flips=2, **kw)
+
+
+def test_ann_multiprobe_recovers_underk_queries(spark):
+    """The under-k story made concrete (r9): with fine buckets and ONE
+    table (10 planes — misses likely by construction), the plain serving
+    path leaves most queries under k; one Hamming-1 flip must strictly
+    add served rows and strictly reduce the under-k query count
+    (measured at sf0.001: 5 -> 18 rows, 4/4 -> 2/4 under-k)."""
+    from sequila_native_spark.functions import ann_topk_against_index
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    nq = queries.count()
+    idx = vector_bucket_index(corpus, n_planes=10, n_tables=1, seed=11)
+
+    def serve(flips):
+        served = ann_topk_against_index(
+            queries, idx, 5, n_planes=10, n_tables=1, seed=11,
+            multiprobe_flips=flips)
+        per_q = {r["query_id"]: r["cnt"] for r in
+                 served.groupBy("query_id")
+                 .agg(F.count("*").alias("cnt")).collect()}
+        n_rows = sum(per_q.values())
+        n_underk = nq - sum(1 for v in per_q.values() if v >= 5)
+        return n_rows, n_underk
+
+    rows0, underk0 = serve(0)
+    rows1, underk1 = serve(1)
+    assert underk0 > 0  # the miss mode is real at this dial
+    assert rows1 > rows0
+    assert underk1 < underk0
