@@ -2470,7 +2470,7 @@ def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ("ivf", ivf_setup)):
         t = f"sq_row_compact_{family}"
         for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
-            spark.sql(f"DROP TABLE IF EXISTS {side}")
+            _clear_bench_table(spark, side)  # also rm orphaned warehouse dir
         probe = setup(t)
         before_rows = {tuple(r) for r in probe().collect()}
         before = index_table_file_stats(spark, t)
@@ -2486,7 +2486,7 @@ def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(report["rows"] == n_before),
         ))
         for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
-            spark.sql(f"DROP TABLE IF EXISTS {side}")
+            _clear_bench_table(spark, side)
     return spark.createDataFrame(
         out,
         "family string, files_decreased int, one_file_per_bucket int, "

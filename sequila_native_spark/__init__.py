@@ -74,6 +74,7 @@ from sequila_native_spark.util import (
     compact_index_table,
     drop_stale_persisted,
     index_table_file_stats,
+    maintain_index,
 )
 from sequila_native_spark import functions, plans, sources, streaming  # noqa: F401
 
@@ -83,6 +84,7 @@ __all__ = [
     "drop_stale_persisted",
     "compact_index_table",
     "index_table_file_stats",
+    "maintain_index",
     "overlap_join",
     "map_intervals",
     "stab",

@@ -380,10 +380,16 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_index_stats('idx_tbl')   -- files per bucket
 #     SELECT * FROM sequila_ivf_cells('cells_tbl')   -- cell populations
 #     SELECT * FROM sequila_compact('idx_tbl')       -- compact NOW, report
+#     SELECT * FROM sequila_maintain('idx_tbl', 8)   -- compact iff decayed
 #
-# sequila_compact is an ACTION: the table is rewritten when the statement
-# is prepared (TVF expansion is eager), and the returned row is the
-# before/after report.
+# sequila_compact / sequila_maintain are ACTIONS: the table is rewritten
+# when the statement is prepared (TVF expansion is eager), and the
+# returned row is the report. sequila_maintain('t', [max_files_per_bucket])
+# rewrites only when some bucket exceeds the threshold — the idempotent
+# daily-cadence form. MAINTENANCE WINDOW: the rewrite's catalog swap has a
+# brief window where the table name resolves to nothing; don't run either
+# against a table being actively probed from other sessions (validated
+# probes retry briefly and then fail with a named-swap message).
 #
 # The first argument(s) name registered tables/views; `on` takes ':'-separated
 # names for multi-key grouping ('' for none). Arguments are literals, not
@@ -395,7 +401,7 @@ _TVF = re.compile(
     r"|chunk|pack|redact|decontaminate|budget|quality|bpe_count|corpus_gate"
     r"|dsir|semdedup|balanced|embedding_gate|dupspans|span_removal"
     r"|trigram_perplexity|perplexity|ann_topk|ivf_topk"
-    r"|index_stats|ivf_cells|compact)"
+    r"|index_stats|ivf_cells|compact|maintain)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -808,16 +814,42 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 spark.table(a[0]), a[1], spark.table(a[2]), int(a[5]),
                 id_col=a[3], vec_col=a[4], n_probe=int(a[6]),
             )
-        if op in ("index_stats", "compact"):
-            if len(a) != 1:
+        if op in ("index_stats", "compact", "maintain"):
+            if op == "maintain":
+                if not (1 <= len(a) <= 2):
+                    raise ValueError(
+                        f"sequila_maintain takes (index_table, "
+                        f"[max_files_per_bucket]), got {a!r}"
+                    )
+            elif len(a) != 1:
                 raise ValueError(
                     f"sequila_{op} takes (index_table), got {a!r}"
                 )
             from sequila_native_spark.util import (
                 compact_index_table,
                 index_table_file_stats,
+                maintain_index,
             )
 
+            if op == "maintain":
+                rep = maintain_index(
+                    spark, a[0],
+                    **({"max_files_per_bucket": int(a[1])} if len(a) > 1
+                       else {}),
+                )
+                # fixed schema regardless of outcome: the rewrite-report
+                # columns are NULL on the metadata-only no-op path
+                return spark.createDataFrame(
+                    [(int(rep["compacted"]), rep["n_files"],
+                      rep["n_buckets"], rep["max_files_per_bucket"],
+                      float(rep["mean_files_per_bucket"]),
+                      rep.get("files_before"), rep.get("files_after"),
+                      rep.get("rows"))],
+                    "`compacted` bigint, `n_files` bigint, "
+                    "`n_buckets` bigint, `max_files_per_bucket` bigint, "
+                    "`mean_files_per_bucket` double, `files_before` bigint, "
+                    "`files_after` bigint, `rows` bigint",
+                )
             stats = (compact_index_table if op == "compact"
                      else index_table_file_stats)(spark, a[0])
             return spark.createDataFrame(

@@ -293,6 +293,7 @@ def bootstrap_or_validate_index_table(
     schema_ddl: str,
     bucket_cols: list[str],
     buckets: int,
+    sort_cols: list[str] | None = None,
 ) -> bool:
     """Bootstrap a persisted bucketed index table, or validate a persisted
     one's recorded build parameters — the shared guard under
@@ -317,11 +318,24 @@ def bootstrap_or_validate_index_table(
         validate_index_table_params(spark, table, params)
         return True
     cols = ", ".join(f"`{c}`" for c in bucket_cols)
+    # sort_cols=None keeps the library default (sorted by the bucket cols,
+    # what the append_*_index builders create); compact passes the REAL
+    # described sort spec so a hand-bucketed unsorted table round-trips
+    # (an append into a SORTED BY table without sortBy is a mismatch).
+    scols = bucket_cols if sort_cols is None else sort_cols
+    sorted_by = (
+        " SORTED BY (" + ", ".join(f"`{c}`" for c in scols) + ")"
+        if scols else ""
+    )
     kv = ", ".join(f"'{p}'='{v}'" for p, v in sorted(params.items()))
+    # Empty params (e.g. compacting a hand-bucketed table that recorded no
+    # sequila.index.* properties) must OMIT the clause — 'TBLPROPERTIES ()'
+    # is a ParseException, not a refusal (advisor, r9).
+    props = f" TBLPROPERTIES ({kv})" if kv else ""
     spark.sql(
         f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-        f"INTO {int(buckets)} BUCKETS TBLPROPERTIES ({kv})"
+        f"CLUSTERED BY ({cols}){sorted_by} "
+        f"INTO {int(buckets)} BUCKETS{props}"
     )
     return False
 
@@ -422,6 +436,16 @@ def compact_index_table(spark, table: str) -> dict:
     data loss at any step; re-running compact (or renaming back) recovers.
     Leftover side tables from a crashed run are cleared on the next call.
 
+    CONCURRENT READERS (maintenance-window contract): between the two
+    RENAMEs the table name resolves to NOTHING — a probe racing the swap
+    in another session sees table-not-found for that window (catalog-op
+    scale, not data scale: the rewrite itself happens before the swap).
+    Run compaction in the ingest maintenance window, not under live
+    serving. Probes that go through :func:`resolve_index_frame` (all the
+    table-name gates/serving paths) retry briefly and then fail with a
+    message naming the in-flight swap; raw ``spark.table(t)`` readers get
+    Spark's plain not-found.
+
     Returns ``{files_before, files_after, rows}``.
     """
     import os
@@ -450,6 +474,7 @@ def compact_index_table(spark, table: str) -> dict:
         spark, staging,
         {k: v for k, v in props.items() if k.startswith("sequila.index.")},
         schema_ddl=schema_ddl, bucket_cols=bucket_cols, buckets=buckets,
+        sort_cols=sort_cols,
     )
     extra = {
         k: v for k, v in props.items() if not k.startswith("sequila.index.")
@@ -490,6 +515,61 @@ def compact_index_table(spark, table: str) -> dict:
     }
 
 
+def _await_index_table(
+    spark, table: str, *, attempts: int = 5, delay_s: float = 0.2
+) -> None:
+    """Bounded staleness retry for a probe racing
+    :func:`compact_index_table`'s swap window: between its two RENAMEs the
+    table name resolves to nothing for a catalog-op-scale moment. Retry a
+    few short beats; if the name still doesn't resolve, raise a message
+    that says WHICH failure this is — mid-swap (the ``__sq_precompact``
+    side table exists: compaction in flight or crashed, with the recovery
+    hint) vs plain not-found."""
+    import time
+
+    for i in range(attempts):
+        if spark.catalog.tableExists(table):
+            return
+        if i < attempts - 1:
+            time.sleep(delay_s)
+    pre = f"{table}__sq_precompact"
+    if spark.catalog.tableExists(pre):
+        raise ValueError(
+            f"index table {table!r} is mid-compaction: the pre-compact "
+            f"side table {pre!r} exists but {table!r} does not resolve — "
+            f"a compact_index_table() swap is in flight (retry shortly) or "
+            f"crashed between renames (recover with: ALTER TABLE {pre} "
+            f"RENAME TO {table}). Run compaction in a maintenance window, "
+            f"not under live serving."
+        )
+    raise ValueError(
+        f"index table {table!r} does not exist — build it with the "
+        f"matching append_*_index function"
+    )
+
+
+def maintain_index(
+    spark, table: str, *, max_files_per_bucket: int = 8
+) -> dict:
+    """The daily-ingest maintenance loop as ONE idempotent call:
+    :func:`index_table_file_stats` → :func:`compact_index_table` only when
+    any bucket's file count exceeds ``max_files_per_bucket``. Below the
+    threshold it is a metadata-only no-op (one file listing, no job) — so
+    scheduling it unconditionally on the ingest cadence is safe; the
+    rewrite cost is paid only when the small-file decay has actually
+    accumulated. SQL phrasing: ``sequila_maintain('idx_tbl', [threshold])``.
+
+    Returns the file stats plus ``{"compacted": bool}`` (and, when a
+    rewrite ran, compact's ``files_before/files_after/rows`` report).
+    Same maintenance-window contract as :func:`compact_index_table` when
+    it does rewrite."""
+    stats = index_table_file_stats(spark, table)
+    if stats["max_files_per_bucket"] <= int(max_files_per_bucket):
+        return {"compacted": False, **stats}
+    report = compact_index_table(spark, table)
+    return {"compacted": True, **stats, **report}
+
+
 def resolve_index_frame(
     spark,
     index,
@@ -520,6 +600,7 @@ def resolve_index_frame(
     ``(frame, resolved_params)``.
     """
     if isinstance(index, str):
+        _await_index_table(spark, index)
         props = read_index_table_params(spark, index)
         resolved = {
             key: (props.get(key) if val is None else val)

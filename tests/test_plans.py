@@ -970,3 +970,107 @@ def test_compact_rejects_unbucketed_table(spark):
             compact_index_table(spark, t)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_hand_bucketed_table_without_properties(spark):
+    """Advisor r9: a hand-bucketed table (no sequila.index.* recorded)
+    reached via sequila_compact must compact cleanly — the bootstrap's
+    CREATE must omit the TBLPROPERTIES clause when there are no params
+    (bare 'TBLPROPERTIES ()' is a ParseException, not a refusal)."""
+    import uuid
+
+    from sequila_native_spark.util import compact_index_table, index_table_file_stats
+
+    t = f"sq_hand_{uuid.uuid4().hex[:8]}"
+    try:
+        for i in range(2):
+            (spark.range(i * 50, (i + 1) * 50).withColumn("k", F.col("id") % 7)
+             .write.bucketBy(4, "k").mode("append").saveAsTable(t))
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] > 1
+        want = {tuple(r) for r in spark.table(t).collect()}
+        report = compact_index_table(spark, t)
+        assert report["files_after"] < report["files_before"]
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] == 1
+        assert {tuple(r) for r in spark.table(t).collect()} == want
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_maintain_index_noop_below_threshold_compacts_above(spark):
+    """VERDICT r9 item 7: maintain_index composes stats → conditional
+    compact into one idempotent call. Below the threshold it is a
+    metadata no-op (file layout untouched); above it, it compacts to one
+    file per bucket; a second call right after is a no-op again."""
+    import uuid
+
+    from sequila_native_spark.functions import append_corpus_band_index
+    from sequila_native_spark.util import index_table_file_stats, maintain_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = f"sq_maint_{uuid.uuid4().hex[:8]}"
+    try:
+        for i in range(3):
+            append_corpus_band_index(
+                docs.where(F.col("doc_id") % 3 == i), t, buckets=8)
+        before = index_table_file_stats(spark, t)
+        assert before["max_files_per_bucket"] > 1
+        # threshold above the decay: no-op, layout untouched
+        rep = maintain_index(spark, t,
+                             max_files_per_bucket=before["max_files_per_bucket"])
+        assert rep["compacted"] is False
+        assert index_table_file_stats(spark, t) == before
+        # default threshold under the decay: compacts
+        rep = maintain_index(spark, t, max_files_per_bucket=1)
+        assert rep["compacted"] is True
+        assert rep["files_after"] < rep["files_before"]
+        assert index_table_file_stats(spark, t)["max_files_per_bucket"] == 1
+        # idempotent: immediately re-running is a no-op
+        rep = maintain_index(spark, t, max_files_per_bucket=1)
+        assert rep["compacted"] is False
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_probe_racing_compaction_swap_named_failure(spark):
+    """VERDICT r9 wrong-item 1: a validated probe racing
+    compact_index_table's swap window must not die with a bare Spark
+    not-found. Before the swap the probe reads; in the mid-swap state
+    (table renamed to __sq_precompact, replacement not yet in place) the
+    probe retries briefly and then raises a message naming the in-flight
+    swap AND the recovery RENAME; after restoring, the probe reads the
+    same rows."""
+    import uuid
+
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        append_vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 37 == 0)
+    t = f"sq_race_{uuid.uuid4().hex[:8]}"
+    kw = dict(n_planes=6, n_tables=2, seed=11)
+    try:
+        append_vector_bucket_index(
+            emb.where(F.col("vec_id") % 37 != 0), t, buckets=4, **kw)
+
+        def probe():
+            return {tuple(r) for r in
+                    ann_topk_against_index(queries, t, 3, **kw).collect()}
+
+        want = probe()
+        assert want
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__sq_precompact")
+        with pytest.raises(ValueError, match="mid-compaction") as ei:
+            probe()
+        assert f"RENAME TO {t}" in str(ei.value)  # recovery hint present
+        spark.sql(f"ALTER TABLE {t}__sq_precompact RENAME TO {t}")
+        assert probe() == want
+        # plain not-found (no side table) stays a clear build-it message
+        with pytest.raises(ValueError, match="does not exist"):
+            ann_topk_against_index(queries, f"{t}_missing", 3, **kw)
+    finally:
+        for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")

@@ -580,6 +580,21 @@ def test_maintenance_tvfs(spark):
         want = {tuple(r) for r in ivf_cell_stats(ivf_t, spark=spark).collect()}
         assert got == want and got
 
+        # r10: sequila_maintain — conditional compact through SQL. The
+        # compact above left one file per bucket, so maintain at the
+        # default threshold is a no-op; re-decay with an append, then a
+        # threshold-1 maintain compacts again.
+        rep = sequila_sql(
+            spark, f"SELECT * FROM sequila_maintain('{t}')").collect()[0]
+        assert rep["compacted"] == 0
+        append_corpus_band_index(docs.where(F.col("doc_id") % 2 == 0), t,
+                                 buckets=8)
+        rep = sequila_sql(
+            spark, f"SELECT * FROM sequila_maintain('{t}', 1)").collect()[0]
+        assert rep["compacted"] == 1 and rep["files_after"] < rep["files_before"]
+        with pytest.raises(ValueError, match="sequila_maintain takes"):
+            sequila_sql(spark, "SELECT * FROM sequila_maintain('a','b','c')")
+
         with pytest.raises(ValueError, match="sequila_index_stats takes"):
             sequila_sql(spark, "SELECT * FROM sequila_index_stats('a','b')")
         with pytest.raises(ValueError, match="sequila_compact takes"):
