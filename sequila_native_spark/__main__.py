@@ -27,8 +27,9 @@ def _show(df) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
-        prog="python -m sequila_native_spark",
-        description="Run SQL through the sequila-native-spark engine.",
+        prog="sequila-spark",
+        description="Run SQL through the sequila-native-spark engine "
+                    "(also invocable as: python -m sequila_native_spark).",
     )
     ap.add_argument("-f", "--file", action="append", default=[],
                     help="SQL script file to execute (repeatable)")

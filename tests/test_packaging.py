@@ -1,0 +1,68 @@
+"""Packaging contract (VERDICT r9 item 1): the engine is pip-installable.
+
+The editable-install itself is exercised out-of-band (fresh venv,
+``pip install -e . --no-build-isolation`` — see DESIGN.md "Packaging
+(round 10)"); these tests pin the metadata so it can't drift from the
+package: version single-sourced from ``__init__``, the console entry
+point resolving to a real callable, runtime deps declared with lower
+bounds, and every real subpackage covered by the find-include pattern.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import tomllib
+
+import sequila_native_spark as sq
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _meta() -> dict:
+    return tomllib.loads((REPO / "pyproject.toml").read_text())
+
+
+def test_version_single_sourced():
+    meta = _meta()
+    assert "version" in meta["project"]["dynamic"]
+    attr = meta["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+    assert attr == "sequila_native_spark.__version__"
+    assert sq.__version__ and sq.__version__.count(".") == 2
+
+
+def test_console_entry_point_resolves():
+    meta = _meta()
+    target = meta["project"]["scripts"]["sequila-spark"]
+    mod, _, fn = target.partition(":")
+    import importlib
+
+    main = getattr(importlib.import_module(mod), fn)
+    assert callable(main)
+    # argparse exit 0 on --help proves the CLI wires up without a session
+    import pytest
+
+    with pytest.raises(SystemExit) as ei:
+        main(["--help"])
+    assert ei.value.code == 0
+
+
+def test_runtime_deps_declared_with_bounds():
+    deps = _meta()["project"]["dependencies"]
+    names = {d.split(">=")[0].strip() for d in deps}
+    assert {"pyspark", "pandas", "numpy", "pyarrow"} <= names
+    assert all(">=" in d for d in deps), deps
+    extras = _meta()["project"]["optional-dependencies"]
+    assert any("duckdb" in d for d in extras["oracle"])
+
+
+def test_find_pattern_covers_all_subpackages():
+    include = _meta()["tool"]["setuptools"]["packages"]["find"]["include"]
+    assert include == ["sequila_native_spark*"]
+    pkg = REPO / "sequila_native_spark"
+    subpkgs = {p.parent.relative_to(REPO).as_posix().replace("/", ".")
+               for p in pkg.rglob("__init__.py")}
+    # every package dir matches the include glob; none live outside it
+    assert all(s.startswith("sequila_native_spark") for s in subpkgs)
+    assert {"sequila_native_spark.operators", "sequila_native_spark.functions",
+            "sequila_native_spark.sources", "sequila_native_spark.plans",
+            "sequila_native_spark.streaming"} <= subpkgs
