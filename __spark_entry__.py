@@ -2500,9 +2500,13 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dial settings each:
 
     - LSH index serving (``ann_topk_against_index``, the bench index's 6
-      planes x 4 tables): plain vs ``multiprobe_flips=1`` (every
-      Hamming-1 bucket also probed — the recall dial that needs NO index
-      rebuild);
+      planes x 4 tables): plain vs ``multiprobe_flips=1`` vs
+      ``multiprobe_flips=2`` (every Hamming-1 / Hamming-≤2 bucket also
+      probed — the recall dial that needs NO index rebuild; r10 adds the
+      2-flip depth past the one-flip ceiling) vs ``flips=2,
+      probe_budget=8`` (query-directed: each query probes only its 8
+      smallest-margin buckets per table — near-2-flip recall at ~⅓ the
+      probe rows);
     - IVF serving (``ivf_topk_against_index``, 16 cells): ``n_probe`` 2
       vs 8.
 
@@ -2535,6 +2539,11 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries, ann_t, k, **ann_kw)),
         ("ann_multiprobe", 1, lambda: ann_topk_against_index(
             queries, ann_t, k, multiprobe_flips=1, **ann_kw)),
+        ("ann_multiprobe", 2, lambda: ann_topk_against_index(
+            queries, ann_t, k, multiprobe_flips=2, **ann_kw)),
+        ("ann_mp2_budget", 8, lambda: ann_topk_against_index(
+            queries, ann_t, k, multiprobe_flips=2, probe_budget=8,
+            **ann_kw)),
         ("ivf", 2, lambda: ivf_topk_against_index(
             queries, "sq_bench_ivf_idx", spark.table("sq_bench_ivf_cent"),
             k, n_probe=2)),

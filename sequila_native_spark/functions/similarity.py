@@ -800,6 +800,95 @@ def _multi_table_buckets(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _probe_masks(n_planes: int, flips: int) -> np.ndarray:
+    """Bucket-XOR masks for every probe of Hamming weight ≤ ``flips``,
+    exact bucket (mask 0) FIRST — stable margin sort then resolves
+    zero-margin ties toward the exact bucket."""
+    masks = [0]
+    if flips >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if flips >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return np.array(masks, dtype=np.int64)
+
+
+def _multi_table_probes(
+    df: DataFrame,
+    out_id: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+    flips: int,
+    budget: int | None,
+) -> DataFrame:
+    """Query-side MULTI-PROBE signing (Lv et al., multi-probe LSH, VLDB
+    2007): one Arrow pass emits, per (query, table), the probe buckets of
+    Hamming weight ≤ ``flips`` ordered by the QUERY'S OWN plane margins —
+    a bucket reached by flipping planes the query is nearly on top of
+    (|q·p| small) is where its near neighbors most plausibly landed, so
+    under a ``budget`` the flips are chosen per query, not blindly.
+    Probe score of a mask is the sum of |q·p| over its flipped planes;
+    the exact bucket scores 0 and is always kept. ``budget=None`` keeps
+    all ``1 + P + C(P,2)`` (at ``flips=2``) probes.
+
+    Output schema matches :func:`_multi_table_buckets(keep_vec=True)` —
+    ``(out_id, __sq_table, __sq_bkt, {out_id}_vec, {out_id}_bkts)`` — so
+    the serving join/dedup path is probe-source-agnostic. Probe rows per
+    query stay O(n_tables · budget): batch-sized, never corpus-sized.
+    """
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    masks = _probe_masks(n_planes, flips)
+    # (M, P) membership: does mask m flip plane p — margin scorer
+    sel = ((masks[:, None] >> np.arange(n_planes)) & 1).astype(np.float64)
+    n_keep = len(masks) if budget is None else min(int(budget), len(masks))
+    out_schema = StructType([
+        StructField(out_id, df.schema[id_col].dataType, True),
+        StructField("__sq_table", LongType(), False),
+        StructField("__sq_bkt", LongType(), False),
+        StructField(f"{out_id}_vec", ArrayType(DoubleType()), False),
+        StructField(f"{out_id}_bkts", ArrayType(LongType()), False),
+    ])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = np.einsum("nd,tpd->tnp", mat, planes)  # (T, n, P)
+            buckets = ((proj > 0) * weights).sum(axis=2)  # (T, n)
+            n = len(pdf)
+            ids, vecs = pdf[id_col].to_numpy(), list(mat)
+            bkt_lists = list(buckets.T)  # query i → its n_tables buckets
+            frames = []
+            for t in range(n_tables):
+                scores = np.abs(proj[t]) @ sel.T  # (n, M)
+                order = np.argsort(scores, axis=1, kind="stable")[:, :n_keep]
+                probes = buckets[t][:, None] ^ masks[order]  # (n, n_keep)
+                frames.append(pd.DataFrame({
+                    out_id: np.repeat(ids, n_keep),
+                    "__sq_table": np.int64(t),
+                    "__sq_bkt": probes.reshape(-1),
+                    f"{out_id}_vec": [v for v in vecs for _ in range(n_keep)],
+                    f"{out_id}_bkts": [b for b in bkt_lists
+                                       for _ in range(n_keep)],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(probe, schema=out_schema)
+
+
 def _resolve_vector_index(
     spark,
     corpus_index,
@@ -1102,6 +1191,7 @@ def ann_topk_against_index(
     dim: int | None = None,
     broadcast_queries: bool = True,
     multiprobe_flips: int = 0,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """ANN SERVING against the at-rest index: :func:`lsh_ann_topk`'s
     candidate-then-exact-re-rank contract, but the corpus side is a
@@ -1135,38 +1225,53 @@ def ann_topk_against_index(
 
     UNDER-K behavior: LSH is a candidate generator — a query whose true
     neighbors share no bucket in any table gets fewer than ``k`` rows
-    (possibly zero). ``multiprobe_flips=1`` is the recall dial that does
-    NOT touch the at-rest index: each query additionally probes every
-    bucket at Hamming distance 1 in every table (~``1+n_planes``× probe
-    rows — still O(batch)), the standard multi-probe LSH move. The
+    (possibly zero). ``multiprobe_flips`` is the recall dial that does
+    NOT touch the at-rest index (the standard multi-probe LSH move, Lv
+    et al. VLDB 2007): each query additionally probes the buckets at
+    Hamming distance ≤ ``flips`` in every table — ``1+P`` probes/table
+    at 1 flip, ``1+P+C(P,2)`` at 2 (r10: the 2-flip depth is the dial
+    past the 0.65-recall ceiling one flip tops out at on sparse
+    indexes). Probes are ordered by the query's own plane margins
+    (|q·p| of the flipped planes, ascending — flip the planes the query
+    sits closest to first), so ``probe_budget=B`` keeps only each
+    query's B most plausible buckets per table: near-2-flip recall at a
+    bounded ``B·n_tables`` probe rows per query, still O(batch). The
     flipped probes break the stateless smallest-matching-table dedup (a
-    pair can now meet through a bucket NEITHER side natively hashes to),
-    so this path deduplicates candidates with one bounded
-    ``dropDuplicates`` shuffle before the re-rank — the dial's cost;
-    recall at both settings is quantified by the ``ann_index_recall``
-    driver row.
+    pair can now meet through a bucket NEITHER side natively hashes
+    to), so the multiprobe path deduplicates candidates with one
+    bounded ``dropDuplicates`` shuffle before the re-rank — the dial's
+    cost; recall at the settings is quantified by the
+    ``ann_index_recall`` driver row.
     """
-    if multiprobe_flips not in (0, 1):
+    if multiprobe_flips not in (0, 1, 2):
         raise ValueError(
-            f"multiprobe_flips must be 0 or 1, got {multiprobe_flips!r}"
+            f"multiprobe_flips must be 0, 1 or 2, got {multiprobe_flips!r}"
         )
+    if probe_budget is not None:
+        if multiprobe_flips == 0:
+            raise ValueError(
+                "probe_budget only applies with multiprobe_flips > 0 — "
+                "the plain path probes exactly one bucket per table"
+            )
+        if int(probe_budget) < 1:
+            raise ValueError(f"probe_budget must be >= 1, got {probe_budget!r}")
     corpus_index, dim = _resolve_vector_index(
         queries.sparkSession, corpus_index, n_planes=n_planes,
         n_tables=n_tables, seed=seed, dim=dim, caller="top-k",
     )
 
-    qb = _multi_table_buckets(
-        queries.select(id_col, vec_col), "query_id",
-        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
-        n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
-    )
+    sign_kw = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+                   n_tables=n_tables, seed=seed, dim=dim)
     if multiprobe_flips:
-        alts = F.array(
-            F.col("__sq_bkt"),
-            *[F.col("__sq_bkt").bitwiseXOR(F.lit(1 << i))
-              for i in range(n_planes)],
+        qb = _multi_table_probes(
+            queries.select(id_col, vec_col), "query_id",
+            flips=multiprobe_flips, budget=probe_budget, **sign_kw,
         )
-        qb = qb.withColumn("__sq_bkt", F.explode(alts))
+    else:
+        qb = _multi_table_buckets(
+            queries.select(id_col, vec_col), "query_id",
+            keep_vec=True, **sign_kw,
+        )
     qb_side = F.broadcast(qb) if broadcast_queries else qb
     joined = corpus_index.join(qb_side, ["__sq_table", "__sq_bkt"])
     if multiprobe_flips:

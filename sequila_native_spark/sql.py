@@ -371,7 +371,8 @@ def _nearest_from_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 #     SELECT * FROM sequila_trigram_perplexity('docs', 'model', 'text',
 #                                              'doc_id')
 #     SELECT * FROM sequila_ann_topk('queries', 'idx_tbl', 'vec_id',
-#                                    'embedding', 5, 6, 4, 11)      -- +[flips]
+#                                    'embedding', 5, 6, 4, 11)  -- +[flips 0-2],
+#                                                               -- +[probe_budget]
 #     SELECT * FROM sequila_ivf_topk('queries', 'cells_tbl', 'cent_tbl',
 #                                    'vec_id', 'embedding', 5, 8)
 #
@@ -779,11 +780,11 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 spark.table(a[0]), tri_model, text_col=a[2], id_col=a[3]
             )
         if op == "ann_topk":
-            if not (8 <= len(a) <= 9):
+            if not (8 <= len(a) <= 10):
                 raise ValueError(
                     f"sequila_ann_topk takes (queries, index_table, id, "
                     f"vec, k, n_planes, n_tables, seed, "
-                    f"[multiprobe_flips]), got {a!r}"
+                    f"[multiprobe_flips], [probe_budget]), got {a!r}"
                 )
             from sequila_native_spark.functions.similarity import (
                 ann_topk_against_index,
@@ -797,6 +798,7 @@ def expand_sequila_tvfs(spark: SparkSession, sql: str) -> str:
                 id_col=a[2], vec_col=a[3],
                 n_planes=int(a[5]), n_tables=int(a[6]), seed=int(a[7]),
                 multiprobe_flips=int(a[8]) if len(a) > 8 else 0,
+                probe_budget=int(a[9]) if len(a) > 9 else None,
             )
         if op == "ivf_topk":
             if len(a) != 7:

@@ -955,9 +955,20 @@ def test_ann_index_recall_dial_floors(spark):
         assert r["n_hit"] <= min(r["n_served"], r["n_exact"])
         assert 0 <= r["n_underk"] <= r["n_queries"]
     ann0, ann1 = rows[("ann", 0)], rows[("ann_multiprobe", 1)]
+    ann2, annb = rows[("ann_multiprobe", 2)], rows[("ann_mp2_budget", 8)]
     ivf2, ivf8 = rows[("ivf", 2)], rows[("ivf", 8)]
     assert ann1["recall_milli"] >= max(ann0["recall_milli"], 600)
     assert ann1["n_underk"] <= ann0["n_underk"]
+    # r10: the 2-flip depth dials past the one-flip ceiling (measured
+    # 650 → 900 milli at the bench index), and the query-directed budget
+    # sits between plain and full-depth BY LAW (candidate-set nesting:
+    # plain ⊆ budgeted ⊆ full) with a pinned floor (measured 700)
+    assert ann2["recall_milli"] >= max(ann1["recall_milli"], 850)
+    assert ann2["n_underk"] <= ann1["n_underk"]
+    assert (ann0["recall_milli"] <= annb["recall_milli"]
+            <= ann2["recall_milli"])
+    assert annb["recall_milli"] >= 650
+    assert annb["n_underk"] <= ann0["n_underk"]
     assert ivf8["recall_milli"] >= max(ivf2["recall_milli"], 700)
     assert ivf8["n_underk"] <= ivf2["n_underk"]
     for t in ("sq_bench_ann_idx", "sq_bench_ivf_idx", "sq_bench_ivf_cent"):
@@ -965,10 +976,14 @@ def test_ann_index_recall_dial_floors(spark):
 
 
 def test_ann_multiprobe_candidates_superset_and_validation(spark):
-    """multiprobe_flips=1 probes every Hamming-1 bucket IN ADDITION to the
-    native one, so at k ≥ |corpus| (no rank truncation) its pair set must
-    be a strict-or-equal superset of the plain path's, with each pair
-    emitted exactly once (the dropDuplicates dedup)."""
+    """Multi-probe laws at k ≥ |corpus| (no rank truncation, so the pair
+    set IS the candidate set): plain ⊆ flips=1 ⊆ flips=2 (each depth
+    probes every shallower bucket too), each pair emitted exactly once
+    (the dropDuplicates dedup); a probe_budget keeps a subset of the
+    same-depth full set that still contains the exact bucket (plain ⊆
+    budgeted ⊆ full); budget=1 keeps ONLY the exact bucket (the margin
+    sort's score-0-first law) and so equals the plain pair set exactly;
+    depth/budget validation errors fire."""
     from sequila_native_spark.functions import ann_topk_against_index
     from sequila_native_spark.functions.similarity import vector_bucket_index
 
@@ -978,15 +993,29 @@ def test_ann_multiprobe_candidates_superset_and_validation(spark):
     idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
     k = corpus.count()
     kw = dict(n_planes=6, n_tables=4, seed=11)
-    plain = [(r["query_id"], r["neighbor_id"]) for r in
-             ann_topk_against_index(queries, idx, k, **kw).collect()]
-    multi = [(r["query_id"], r["neighbor_id"]) for r in
-             ann_topk_against_index(queries, idx, k, multiprobe_flips=1,
-                                    **kw).collect()]
-    assert len(set(plain)) == len(plain) and len(set(multi)) == len(multi)
-    assert set(plain) <= set(multi) and plain
+
+    def pairs(**extra):
+        rows = [(r["query_id"], r["neighbor_id"]) for r in
+                ann_topk_against_index(queries, idx, k, **kw,
+                                       **extra).collect()]
+        assert len(set(rows)) == len(rows)  # emitted exactly once
+        return set(rows)
+
+    plain = pairs()
+    m1 = pairs(multiprobe_flips=1)
+    m2 = pairs(multiprobe_flips=2)
+    assert plain and plain <= m1 <= m2
+    b1 = pairs(multiprobe_flips=2, probe_budget=1)
+    b8 = pairs(multiprobe_flips=2, probe_budget=8)
+    assert b1 == plain
+    assert plain <= b8 <= m2
     with pytest.raises(ValueError, match="multiprobe_flips"):
-        ann_topk_against_index(queries, idx, 5, multiprobe_flips=2, **kw)
+        ann_topk_against_index(queries, idx, 5, multiprobe_flips=3, **kw)
+    with pytest.raises(ValueError, match="probe_budget only applies"):
+        ann_topk_against_index(queries, idx, 5, probe_budget=4, **kw)
+    with pytest.raises(ValueError, match="probe_budget must be"):
+        ann_topk_against_index(queries, idx, 5, multiprobe_flips=1,
+                               probe_budget=0, **kw)
 
 
 def test_ann_multiprobe_recovers_underk_queries(spark):
@@ -1017,6 +1046,10 @@ def test_ann_multiprobe_recovers_underk_queries(spark):
 
     rows0, underk0 = serve(0)
     rows1, underk1 = serve(1)
+    rows2, underk2 = serve(2)
     assert underk0 > 0  # the miss mode is real at this dial
     assert rows1 > rows0
     assert underk1 < underk0
+    # r10: the second flip keeps dialing — more served rows, no new misses
+    assert rows2 > rows1
+    assert underk2 <= underk1

@@ -505,6 +505,17 @@ def test_serving_tvfs_match_api_and_inherit_validation(spark):
         assert {tuple(r) for r in got_mp.collect()} == \
                {tuple(r) for r in want_mp.collect()} != set()
 
+        # r10: the 2-flip + query-directed-budget dial through SQL
+        got_b = sequila_sql(spark, f"""
+            SELECT * FROM sequila_ann_topk('sql_ann_queries', '{vec_t}',
+                'vec_id', 'embedding', 5, 6, 4, 11, 2, 8)
+        """)
+        want_b = ann_topk_against_index(queries, vec_t, 5, n_planes=6,
+                                        n_tables=4, seed=11,
+                                        multiprobe_flips=2, probe_budget=8)
+        assert {tuple(r) for r in got_b.collect()} == \
+               {tuple(r) for r in want_b.collect()} != set()
+
         got_ivf = sequila_sql(spark, f"""
             SELECT * FROM sequila_ivf_topk('sql_ann_queries', '{ivf_t}',
                 '{cent_t}', 'vec_id', 'embedding', 5, 3)
