@@ -3227,6 +3227,100 @@ def _merged_runs_sql(src: str, s: str, e: str, gap: int = 0) -> str:
     )"""
 
 
+def _nearest_oracle_sql(
+    tfilter: str,
+    *,
+    k: int = 1,
+    exclude_overlap: bool = False,
+    with_dist: bool = False,
+    algo_case: str | None = None,
+    window: int = 256,
+) -> str:
+    """DuckDB-FEASIBLE nearest oracle (VERDICT r9 item 2). The naive twin
+    (per-contig cross join through a QUALIFY window) is exactly the
+    quadratic plan this engine exists to avoid — ~1B materialized rows at
+    sf0.1, infeasible, which kept the four nearest twins rows-only at the
+    10x sweep. This form is sound AND near-linear:
+
+    1. CANDIDATES: reads within a fixed coordinate window ``W`` of the
+       target (``dist <= W`` ⟺ ``r_start <= t_end+W AND r_end >=
+       t_start-W`` — the same bounded-range trick as the engine), hash-
+       aggregated per target with ``min(struct(dist, r_start, r_end))``
+       (DuckDB struct comparison is lexicographic = the tie-break order)
+       or ``list(... ORDER BY ...)[:k]`` for k>1 — no window sort over
+       the join output.
+    2. SOUNDNESS GUARD: a target with ≥k in-window candidates is exact
+       (its k nearest all have dist ≤ the k-th in-window dist ≤ W, so
+       they ARE in the candidate set). Targets with <k in-window
+       candidates — rare stragglers, or contigs with <k reads — FALL
+       BACK to the unbounded per-contig join, so the bound can never
+       make the oracle wrong, only slow for the straggler slice.
+
+    ``W`` is engine-independent (a fixed literal in the SQL); the
+    fallback is what keeps any W correct at every sf.
+    """
+    excl = ("\n     AND (r.r_end < t.t_start OR r.r_start > t.t_end)"
+            if exclude_overlap else "")
+    dist_case = """CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
+                    WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
+                    ELSE 0 END"""
+    pack = "struct_pack(dist := dist, r_start := r_start, r_end := r_end)"
+    if k == 1:
+        agg_sel = f"count(*) AS n, min({pack}) AS best"
+        fb_sel = (f"min(CASE WHEN r_start IS NOT NULL THEN {pack} END) "
+                  f"AS best")
+        assemble = """
+            best AS (
+                SELECT t_id, best FROM agg WHERE n >= 1
+                UNION ALL SELECT t_id, best FROM fb
+            )"""
+        row_src = "FROM tb t JOIN best b USING (t_id)"
+        u = "b.best"
+    else:
+        agg_sel = (f"count(*) AS n, (list({pack} ORDER BY dist, r_start, "
+                   f"r_end))[:{k}] AS top")
+        fb_sel = (f"(list({pack} ORDER BY dist, r_start, r_end) "
+                  f"FILTER (WHERE r_start IS NOT NULL))[:{k}] AS top")
+        assemble = f"""
+            tops AS (
+                SELECT t_id, top FROM agg WHERE n >= {k}
+                UNION ALL SELECT t_id, top FROM fb
+            ),
+            ex AS (SELECT t_id, unnest(top) AS u FROM tops)"""
+        row_src = "FROM tb t LEFT JOIN ex b USING (t_id)"
+        u = "b.u"
+    algo = f"{algo_case} AS algo,\n                   " if algo_case else ""
+    dist_out = (f",\n                   CAST(struct_extract({u}, 'dist') "
+                f"AS BIGINT) AS dist" if with_dist else "")
+    return f"""
+            tb AS (SELECT * FROM targets WHERE {tfilter}),
+            cand AS (
+                SELECT t.t_id, r.r_start, r.r_end,
+                       {dist_case} AS dist
+                FROM tb t JOIN reads r
+                  ON r.contig = t.contig
+                 AND r.r_start <= t.t_end + {window}
+                 AND r.r_end >= t.t_start - {window}{excl}
+            ),
+            agg AS (SELECT t_id, {agg_sel} FROM cand GROUP BY t_id),
+            fbc AS (
+                SELECT t.t_id, r.r_start, r.r_end,
+                       {dist_case} AS dist
+                FROM (SELECT tb.* FROM tb LEFT JOIN agg USING (t_id)
+                      WHERE agg.n IS NULL OR agg.n < {k}) t
+                LEFT JOIN reads r ON r.contig = t.contig{excl}
+            ),
+            fb AS (SELECT t_id, {fb_sel} FROM fbc GROUP BY t_id),
+            {assemble}
+            SELECT {algo}CASE WHEN {u} IS NULL THEN NULL
+                        ELSE t.contig END AS contig,
+                   struct_extract({u}, 'r_start') AS r_start,
+                   struct_extract({u}, 'r_end') AS r_end,
+                   t.contig AS contig_r, t.t_start, t.t_end, t.t_id{dist_out}
+            {row_src}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from sequila_native_spark.functions import (
         chunk_documents_sql,
@@ -3630,39 +3724,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nearest_target_read": f"""
             WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 = 0) t
-                LEFT JOIN reads r ON r.contig = t.contig
-            )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) = 1
+            {_nearest_oracle_sql("t_id % 10 = 0")}
         """,
         "nearest_k3": f"""
             WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 50 = 0) t
-                LEFT JOIN reads r ON r.contig = t.contig
-            )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) <= 3
+            {_nearest_oracle_sql("t_id % 50 = 0", k=3)}
         """,
         # r6 composite twin: the two outer-join twins UNION ALL'd with
         # aligned aliases (left-outer pads no left side → n_no_target 0)
@@ -3707,30 +3773,11 @@ def oracle_sql() -> dict[str, str]:
         # merged with the same algo labels the Spark composite emits
         "nearest_algorithms": f"""
             WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       t.t_id % 10 AS grp,
-                       CASE WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 10 IN (5, 7, 2, 3)) t
-                LEFT JOIN reads r ON r.contig = t.contig
-            ),
-            best AS (
-                SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id, grp
-                FROM j
-                QUALIFY row_number() OVER (
-                    PARTITION BY t_id
-                    ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-                ) = 1
-            )
-            SELECT CASE grp WHEN 5 THEN 'partitioned'
-                            WHEN 7 THEN 'broadcast_probe'
-                            WHEN 3 THEN 'range'
-                            ELSE 'sql' END AS algo,
-                   contig, r_start, r_end, contig_r, t_start, t_end, t_id
-            FROM best
+            {_nearest_oracle_sql(
+                "t_id % 10 IN (5, 7, 2, 3)",
+                algo_case="CASE t.t_id % 10 WHEN 5 THEN 'partitioned' "
+                          "WHEN 7 THEN 'broadcast_probe' "
+                          "WHEN 3 THEN 'range' ELSE 'sql' END")}
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -4086,25 +4133,8 @@ def oracle_sql() -> dict[str, str]:
     """,
         "nearest_nonoverlap": f"""
             WITH {reads}, {targets},
-            j AS (
-                SELECT r.contig AS contig, r.r_start, r.r_end,
-                       t.contig AS contig_r, t.t_start, t.t_end, t.t_id,
-                       CASE WHEN r.r_start IS NULL THEN NULL
-                            WHEN r.r_start > t.t_end THEN r.r_start - t.t_end
-                            WHEN r.r_end < t.t_start THEN t.t_start - r.r_end
-                            ELSE 0 END AS dist
-                FROM (SELECT * FROM targets WHERE t_id % 25 = 0) t
-                LEFT JOIN reads r
-                ON r.contig = t.contig
-                   AND (r.r_end < t.t_start OR r.r_start > t.t_end)
-            )
-            SELECT contig, r_start, r_end, contig_r, t_start, t_end, t_id,
-                   CAST(dist AS BIGINT) AS dist
-            FROM j
-            QUALIFY row_number() OVER (
-                PARTITION BY t_id
-                ORDER BY dist ASC NULLS LAST, r_start ASC NULLS LAST, r_end ASC NULLS LAST
-            ) = 1
+            {_nearest_oracle_sql("t_id % 25 = 0", exclude_overlap=True,
+                                 with_dist=True)}
         """,
         # PII detect/redact over the deterministically augmented documents
         # column (_PII_AUG_SQL — same expression both engines; {cast}
