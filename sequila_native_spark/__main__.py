@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
         description="Run SQL through the sequila-native-spark engine "
                     "(also invocable as: python -m sequila_native_spark).",
     )
+    from sequila_native_spark import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"sequila-native-spark {__version__}")
     ap.add_argument("-f", "--file", action="append", default=[],
                     help="SQL script file to execute (repeatable)")
     ap.add_argument("-e", "--execute", action="append", default=[],
