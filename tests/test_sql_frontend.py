@@ -615,3 +615,25 @@ def test_maintenance_tvfs(spark):
     finally:
         for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact", ivf_t):
             spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_shipped_demo_scripts_run(spark, clean_conf):
+    """The queries/ scripts the README points at must actually run: q1
+    counts overlap pairs on the shipped demo BEDs (exact count pinned —
+    deterministic data), q2 switches the same SQL text to nearest mode
+    (one row per probe-side read)."""
+    import pathlib
+
+    base = pathlib.Path(__file__).resolve().parent.parent / "queries"
+    try:
+        q1 = run_sql_file(spark, str(base / "q1_overlap_count.sql"))
+        assert [tuple(r) for r in q1.collect()] == [(295,)]
+        spark.catalog.dropTempView("targets")
+        spark.catalog.dropTempView("reads")
+        q2 = run_sql_file(spark, str(base / "q2_nearest.sql"))
+        assert q2.count() == 200  # one per read (probe side)
+        assert q2.columns == ["contig", "start", "end",
+                              "contig_r", "start_r", "end_r"]
+    finally:
+        for v in ("targets", "reads"):
+            spark.catalog.dropTempView(v)
