@@ -71,3 +71,23 @@ def test_bench_table_staleness_guard(spark):
     spark.range(3).write.saveAsTable(t)
     assert entry._bench_table_stale(spark, t, "/dirA")
     assert not spark.catalog.tableExists(t)
+
+
+def test_nearest_oracle_soundness_guard_branches():
+    """The bounded nearest oracle (r10) must keep BOTH branches live: the
+    generator emits the in-window aggregate, the <k fallback, and the
+    union/assembly for k=1 and k>1 — and W stays a fixed literal (an
+    engine-derived bound would break oracle independence)."""
+    import __spark_entry__ as e
+
+    for kwargs, probes in [
+        (dict(tfilter="t_id % 10 = 0"), ["min(struct_pack", "agg.n < 1"]),
+        (dict(tfilter="t_id % 50 = 0", k=3),
+         ["list(struct_pack", "[:3]", "agg.n < 3", "unnest(top)"]),
+        (dict(tfilter="t_id % 25 = 0", exclude_overlap=True, with_dist=True),
+         ["r.r_end < t.t_start OR r.r_start > t.t_end", "AS dist"]),
+    ]:
+        sql = e._nearest_oracle_sql(**kwargs)
+        for p in probes + ["t_end + 256", "t_start - 256",
+                           "LEFT JOIN reads r ON r.contig = t.contig"]:
+            assert p in sql, (kwargs, p)

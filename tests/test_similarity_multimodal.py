@@ -1053,3 +1053,46 @@ def test_ann_multiprobe_recovers_underk_queries(spark):
     # r10: the second flip keeps dialing — more served rows, no new misses
     assert rows2 > rows1
     assert underk2 <= underk1
+
+
+def test_probe_masks_and_margin_ordering(spark):
+    """Direct pins on the probe expander (r10): mask inventory per depth
+    (1, 1+P, 1+P+C(P,2)); exact bucket first at any budget (score 0,
+    stable sort); flips=1 budget=None probe set == {bucket} ∪ Hamming-1
+    (the r9 explode semantics, preserved by construction)."""
+    import numpy as np
+
+    from sequila_native_spark.functions.similarity import (
+        _multi_table_probes,
+        _probe_masks,
+    )
+
+    P = 6
+    assert len(_probe_masks(P, 0)) == 1
+    assert len(_probe_masks(P, 1)) == 1 + P
+    assert len(_probe_masks(P, 2)) == 1 + P + P * (P - 1) // 2
+    m2 = _probe_masks(P, 2)
+    assert m2[0] == 0 and len(set(m2.tolist())) == len(m2)
+    assert all(bin(int(m)).count("1") <= 2 for m in m2)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 137 == 0).select("vec_id", "embedding")
+    dim = len(q.first()["embedding"])
+    kw = dict(id_col="vec_id", vec_col="embedding", n_planes=P,
+              n_tables=2, seed=11, dim=dim)
+    full1 = _multi_table_probes(q, "query_id", flips=1, budget=None, **kw)
+    rows = full1.collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r["query_id"], r["__sq_table"]), []).append(
+            (r["__sq_bkt"], r["query_id_bkts"][r["__sq_table"]]))
+    for (qid, t), probes in per.items():
+        assert len(probes) == 1 + P
+        native = probes[0][1]
+        assert probes[0][0] == native  # exact bucket FIRST
+        assert {b ^ native for b, _ in probes} == {0} | {1 << i
+                                                         for i in range(P)}
+    # budget=1 keeps exactly the native bucket
+    b1 = _multi_table_probes(q, "query_id", flips=2, budget=1, **kw)
+    for r in b1.collect():
+        assert r["__sq_bkt"] == r["query_id_bkts"][r["__sq_table"]]
