@@ -2609,11 +2609,15 @@ def q_stream_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets, low collision cost, modest recall at this LOW 0.3 threshold;
     # near-dup thresholds ≥0.9 collide far more often) and a finer 4×8 —
     # the recall/cost trade as two checkable rows
+    # r10 adds the no-rebuild dial settings: the SAME 6x4 tables served
+    # with Hamming-1 and Hamming-2 multi-probe (stateless dedup holds at
+    # every dial — gate ⊆ exact stays the in-row law via n_hit == n_gate)
     out = None
-    for n_planes, n_tables in ((6, 4), (4, 8)):
+    for n_planes, n_tables, flips in ((6, 4, 0), (4, 8, 0),
+                                      (6, 4, 1), (6, 4, 2)):
         gate = stream_embedding_gate(
             b, c, threshold_milli=300, n_planes=n_planes,
-            n_tables=n_tables, seed=11,
+            n_tables=n_tables, seed=11, multiprobe_flips=flips,
         ).select("batch_id", "corpus_id")
         hit = exact.join(gate, ["batch_id", "corpus_id"], "left_semi")
         row = (
@@ -2623,13 +2627,14 @@ def q_stream_gate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(n_planes).cast("bigint").alias("n_planes"),
                 F.lit(n_tables).cast("bigint").alias("n_tables"),
+                F.lit(flips).cast("bigint").alias("flips"),
                 "n_exact", "n_gate", "n_hit",
                 F.floor(F.col("n_hit") * 1000 / F.col("n_exact"))
                 .cast("bigint").alias("recall_milli"),
             )
         )
         out = row if out is None else out.unionAll(row)
-    return out.orderBy("n_planes")
+    return out.orderBy("n_planes", "flips")
 
 
 def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -838,8 +838,18 @@ def _multi_table_probes(
 
     Output schema matches :func:`_multi_table_buckets(keep_vec=True)` —
     ``(out_id, __sq_table, __sq_bkt, {out_id}_vec, {out_id}_bkts)`` — so
-    the serving join/dedup path is probe-source-agnostic. Probe rows per
-    query stay O(n_tables · budget): batch-sized, never corpus-sized.
+    the serving join/dedup path is probe-source-agnostic, plus
+    ``{out_id}_maskset``: per TABLE, the XOR masks this query kept there
+    (probe bucket = native ^ mask). The maskset is what makes candidate
+    dedup STATELESS under multi-probe: a joined row can recompute every
+    table where this (query, corpus) pair meets — table ``t`` is a
+    meeting point iff ``native_q[t] ^ native_c[t]`` is in the query's
+    kept masks for ``t`` (the index side only ever joins on its native
+    bucket, and per (query, table) probe buckets are distinct, so each
+    meeting table contributes EXACTLY ONE joined row) — and keep only
+    the smallest, generalizing the r8 smallest-matching-table rule with
+    no ``dropDuplicates`` shuffle and no state. Probe rows per query
+    stay O(n_tables · budget): batch-sized, never corpus-sized.
     """
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
@@ -858,6 +868,8 @@ def _multi_table_probes(
         StructField("__sq_bkt", LongType(), False),
         StructField(f"{out_id}_vec", ArrayType(DoubleType()), False),
         StructField(f"{out_id}_bkts", ArrayType(LongType()), False),
+        StructField(f"{out_id}_maskset",
+                    ArrayType(ArrayType(LongType())), False),
     ])
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
@@ -871,22 +883,50 @@ def _multi_table_probes(
             n = len(pdf)
             ids, vecs = pdf[id_col].to_numpy(), list(mat)
             bkt_lists = list(buckets.T)  # query i → its n_tables buckets
-            frames = []
+            kept, probes_t = [], []
             for t in range(n_tables):
                 scores = np.abs(proj[t]) @ sel.T  # (n, M)
                 order = np.argsort(scores, axis=1, kind="stable")[:, :n_keep]
-                probes = buckets[t][:, None] ^ masks[order]  # (n, n_keep)
+                kept.append(masks[order])  # (n, n_keep) masks per query
+                probes_t.append(buckets[t][:, None] ^ masks[order])
+            # query i → [kept masks at table 0, ..., at table T-1]
+            masksets = [[kept[t][i] for t in range(n_tables)]
+                        for i in range(n)]
+            frames = []
+            for t in range(n_tables):
                 frames.append(pd.DataFrame({
                     out_id: np.repeat(ids, n_keep),
                     "__sq_table": np.int64(t),
-                    "__sq_bkt": probes.reshape(-1),
+                    "__sq_bkt": probes_t[t].reshape(-1),
                     f"{out_id}_vec": [v for v in vecs for _ in range(n_keep)],
                     f"{out_id}_bkts": [b for b in bkt_lists
                                        for _ in range(n_keep)],
+                    f"{out_id}_maskset": [m for m in masksets
+                                          for _ in range(n_keep)],
                 }))
             yield pd.concat(frames, ignore_index=True)
 
     return df.mapInPandas(probe, schema=out_schema)
+
+
+def _multiprobe_min_meeting_table(out_id: str, n_tables: int):
+    """The stateless multi-probe dedup predicate: keep a joined candidate
+    row iff its ``__sq_table`` is the SMALLEST table where the pair meets
+    — meeting at ``t`` ⟺ the XOR of the two native buckets at ``t`` is
+    among the probe masks the query kept there. Pure codegen (no shuffle,
+    no state): the streaming-gate-compatible generalization of the
+    smallest-matching-table rule to flipped probes."""
+    meet = F.filter(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.array_contains(
+            F.element_at(F.col(f"{out_id}_maskset"), (t + 1).cast("int")),
+            F.element_at(F.col(f"{out_id}_bkts"), (t + 1).cast("int"))
+            .bitwiseXOR(
+                F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int"))
+            ),
+        ),
+    )
+    return F.col("__sq_table") == F.array_min(meet)
 
 
 def _resolve_vector_index(
@@ -1054,12 +1094,24 @@ def stream_embedding_gate(
     seed: int = 42,
     dim: int | None = None,
     corpus_index: DataFrame | str | None = None,
+    multiprobe_flips: int = 0,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """Streaming-capable embedding near-dup gate: ``(batch_id, corpus_id,
     cos_milli)`` pairs for a (possibly streaming) ``batch`` probed against a
     STATIC corpus via multi-table sign-LSH — the continuous-ingest shape of
     :func:`embedding_dups_against_corpus`'s blocked path (recall bounded by
     the LSH tables; the broadcast path stays the exact batch answer).
+
+    ``multiprobe_flips`` / ``probe_budget`` (r10): the same no-rebuild
+    recall dial as :func:`ann_topk_against_index` — each batch row also
+    probes its Hamming-≤flips buckets per table, margin-ordered and
+    budget-truncated. The gate STAYS stateless under the dial: the
+    generalized smallest-meeting-table rule recomputes, per joined row,
+    every table where the pair meets (XOR of native buckets ∈ the
+    query's kept masks there) — pure codegen, no ``dropDuplicates``, no
+    state store, still append mode. Exactly-once pair emission holds at
+    every dial setting.
 
     Stateless by the same design as ``dedup.stream_dedup_against_corpus``:
     bucket assignment is a per-row Arrow projection, the candidate join is
@@ -1097,22 +1149,45 @@ def stream_embedding_gate(
             seed=seed, dim=dim, caller="the gate",
         )
 
-    probe = _multi_table_buckets(
-        batch.select(id_col, vec_col), "batch_id",
-        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
-        n_tables=n_tables, seed=seed, dim=dim, keep_vec=True,
-    )
+    if multiprobe_flips not in (0, 1, 2):
+        raise ValueError(
+            f"multiprobe_flips must be 0, 1 or 2, got {multiprobe_flips!r}"
+        )
+    if probe_budget is not None:
+        if multiprobe_flips == 0:
+            raise ValueError(
+                "probe_budget only applies with multiprobe_flips > 0 — "
+                "the plain gate probes exactly one bucket per table"
+            )
+        if int(probe_budget) < 1:
+            raise ValueError(
+                f"probe_budget must be >= 1, got {probe_budget!r}"
+            )
+    sign_kw = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+                   n_tables=n_tables, seed=seed, dim=dim)
+    if multiprobe_flips:
+        probe = _multi_table_probes(
+            batch.select(id_col, vec_col), "batch_id",
+            flips=multiprobe_flips, budget=probe_budget, **sign_kw,
+        )
+        keep = _multiprobe_min_meeting_table("batch_id", n_tables)
+    else:
+        probe = _multi_table_buckets(
+            batch.select(id_col, vec_col), "batch_id",
+            keep_vec=True, **sign_kw,
+        )
+        matching = F.filter(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.element_at(F.col("batch_id_bkts"), (t + 1).cast("int"))
+            == F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int")),
+        )
+        keep = F.col("__sq_table") == F.array_min(matching)
     joined = probe.join(corpus_index, ["__sq_table", "__sq_bkt"])
-    matching = F.filter(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.element_at(F.col("batch_id_bkts"), (t + 1).cast("int"))
-        == F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int")),
-    )
     cos_milli = F.floor(
         cosine(F.col("batch_id_vec"), F.col("corpus_id_vec")) * 1000
     ).cast("bigint")
     return (
-        joined.where(F.col("__sq_table") == F.array_min(matching))
+        joined.where(keep)
         .withColumn("cos_milli", cos_milli)
         .where(F.col("cos_milli") >= threshold_milli)
         .select("batch_id", "corpus_id", "cos_milli")
@@ -1235,13 +1310,17 @@ def ann_topk_against_index(
     (|q·p| of the flipped planes, ascending — flip the planes the query
     sits closest to first), so ``probe_budget=B`` keeps only each
     query's B most plausible buckets per table: near-2-flip recall at a
-    bounded ``B·n_tables`` probe rows per query, still O(batch). The
-    flipped probes break the stateless smallest-matching-table dedup (a
-    pair can now meet through a bucket NEITHER side natively hashes
-    to), so the multiprobe path deduplicates candidates with one
-    bounded ``dropDuplicates`` shuffle before the re-rank — the dial's
-    cost; recall at the settings is quantified by the
-    ``ann_index_recall`` driver row.
+    bounded ``B·n_tables`` probe rows per query, still O(batch).
+
+    Candidate dedup stays STATELESS under flips (r10): a pair can now
+    meet through a bucket neither side natively hashes to, but the
+    meeting tables are still recomputable per row — table ``t`` meets
+    ⟺ ``native_q[t] ^ native_c[t]`` is among the masks the query kept
+    at ``t`` (carried as ``query_id_maskset``), and each meeting table
+    contributes exactly one joined row, so "keep the smallest meeting
+    table" dedups with pure codegen. No ``dropDuplicates`` shuffle
+    (r9's documented dial cost, now removed); recall at the settings is
+    quantified by the ``ann_index_recall`` driver row.
     """
     if multiprobe_flips not in (0, 1, 2):
         raise ValueError(
@@ -1275,12 +1354,13 @@ def ann_topk_against_index(
     qb_side = F.broadcast(qb) if broadcast_queries else qb
     joined = corpus_index.join(qb_side, ["__sq_table", "__sq_bkt"])
     if multiprobe_flips:
-        # pair multiplicity is bounded by n_tables·(1+n_planes); all rows
-        # of a pair carry identical vectors, so content is deterministic
+        # stateless dedup, generalized (r10): each meeting table yields
+        # exactly one joined row, and the meeting tables are recomputable
+        # from the carried native-bucket arrays + the query's kept-mask
+        # sets — keep the smallest. No dropDuplicates shuffle (the r9
+        # "dial's cost" is gone), same rule family as the plain path.
         scored = (
-            joined.select("query_id", "corpus_id", "query_id_vec",
-                          "corpus_id_vec")
-            .dropDuplicates(["query_id", "corpus_id"])
+            joined.where(_multiprobe_min_meeting_table("query_id", n_tables))
             .select(
                 "query_id",
                 F.col("corpus_id").alias("neighbor_id"),

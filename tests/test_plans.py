@@ -1074,3 +1074,23 @@ def test_probe_racing_compaction_swap_named_failure(spark):
     finally:
         for side in (t, f"{t}__sq_compact", f"{t}__sq_precompact"):
             spark.sql(f"DROP TABLE IF EXISTS {side}")
+
+
+def test_multiprobe_serving_adds_no_exchange(spark):
+    """r10: multi-probe dedup is the stateless meeting-table rule — the
+    serving plan must carry EXACTLY the same shuffle count as the plain
+    path (one exchange, the re-rank window), where the r9 dropDuplicates
+    dedup added a second."""
+    from sequila_native_spark.functions import ann_topk_against_index
+    from sequila_native_spark.functions.similarity import vector_bucket_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    kw = dict(n_planes=6, n_tables=4, seed=11)
+    plain = formatted_plan(ann_topk_against_index(queries, idx, 5, **kw))
+    multi = formatted_plan(ann_topk_against_index(
+        queries, idx, 5, multiprobe_flips=2, probe_budget=8, **kw))
+    assert multi.count("Exchange") == plain.count("Exchange")
+    assert "dropDuplicates" not in multi and "Deduplicate" not in multi

@@ -690,14 +690,21 @@ def test_stream_gate_recall_dial_floors(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     rows = {
-        (r["n_planes"], r["n_tables"]): r
+        (r["n_planes"], r["n_tables"], r["flips"]): r
         for r in mod.q_stream_gate_recall(spark, SF).collect()
     }
+    assert len(rows) == 4
     for r in rows.values():
         assert r["n_hit"] == r["n_gate"], "gate must be a subset of exact"
         assert r["n_exact"] > 0
-    assert rows[(4, 8)]["recall_milli"] > rows[(6, 4)]["recall_milli"]
-    assert rows[(4, 8)]["recall_milli"] >= 500
+    assert rows[(4, 8, 0)]["recall_milli"] > rows[(6, 4, 0)]["recall_milli"]
+    assert rows[(4, 8, 0)]["recall_milli"] >= 500
+    # r10: the multi-probe dial on the SAME 6x4 index — recall monotone
+    # in flips (candidate nesting) with no rebuild and no state
+    assert (rows[(6, 4, 0)]["recall_milli"]
+            <= rows[(6, 4, 1)]["recall_milli"]
+            <= rows[(6, 4, 2)]["recall_milli"])
+    assert rows[(6, 4, 2)]["recall_milli"] > rows[(6, 4, 0)]["recall_milli"]
 
 
 def test_training_prep_pipeline_laws(spark):
@@ -1096,3 +1103,67 @@ def test_probe_masks_and_margin_ordering(spark):
     b1 = _multi_table_probes(q, "query_id", flips=2, budget=1, **kw)
     for r in b1.collect():
         assert r["__sq_bkt"] == r["query_id_bkts"][r["__sq_table"]]
+
+
+def test_gate_multiprobe_superset_and_stateless_dedup(spark):
+    """The gate's r10 recall dial: pair sets nest with flips (candidate
+    nesting at a fixed verify threshold), every pair is emitted exactly
+    once at every dial (the generalized smallest-meeting-table rule —
+    no dropDuplicates anywhere in the gate), budget=1 == plain, and the
+    validation errors fire."""
+    from sequila_native_spark.functions import stream_embedding_gate
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b = emb.where(F.col("vec_id") % 5 == 0)
+    c = emb.where(F.col("vec_id") % 5 != 0)
+    kw = dict(threshold_milli=300, n_planes=6, n_tables=4, seed=11)
+
+    def pairs(**extra):
+        rows = [(r["batch_id"], r["corpus_id"]) for r in
+                stream_embedding_gate(b, c, **kw, **extra).collect()]
+        assert len(set(rows)) == len(rows), "pair emitted more than once"
+        return set(rows)
+
+    p0 = pairs()
+    p1 = pairs(multiprobe_flips=1)
+    p2 = pairs(multiprobe_flips=2)
+    assert p0 and p0 <= p1 <= p2 and p2 > p0
+    assert pairs(multiprobe_flips=2, probe_budget=1) == p0
+    b8 = pairs(multiprobe_flips=2, probe_budget=8)
+    assert p0 <= b8 <= p2
+    with pytest.raises(ValueError, match="multiprobe_flips"):
+        stream_embedding_gate(b, c, multiprobe_flips=3, **kw)
+    with pytest.raises(ValueError, match="probe_budget only applies"):
+        stream_embedding_gate(b, c, probe_budget=4, **kw)
+    with pytest.raises(ValueError, match="probe_budget must be"):
+        stream_embedding_gate(b, c, multiprobe_flips=1, probe_budget=0, **kw)
+
+
+def test_gate_multiprobe_streaming_equals_batch(spark, tmp_path):
+    """The dial is STREAMING-SAFE by construction: the multiprobe gate on
+    a readStream source in append mode with availableNow must emit
+    exactly the batch pairs — possible only because dedup is the
+    stateless meeting-table rule (a dropDuplicates would need a state
+    store + watermark and could not run append-mode exactly-once)."""
+    import os
+
+    from sequila_native_spark.functions import stream_embedding_gate
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    c = emb.where(F.col("vec_id") % 5 != 0)
+    kw = dict(threshold_milli=300, n_planes=6, n_tables=4, seed=11,
+              multiprobe_flips=2, probe_budget=8)
+    want = {tuple(r) for r in stream_embedding_gate(b, c, **kw).collect()}
+
+    src = os.path.join(str(tmp_path), "gate_mp_src")
+    b.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(b.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_embedding_gate(stream, c, **kw)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("gate_mp_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("gate_mp_out").collect()}
+    assert got == want and want
