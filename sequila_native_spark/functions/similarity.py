@@ -813,6 +813,21 @@ def _probe_masks(n_planes: int, flips: int) -> np.ndarray:
     return np.array(masks, dtype=np.int64)
 
 
+def _validate_multiprobe(flips: int, budget: int | None, caller: str) -> None:
+    """Shared dial validation for every multi-probe consumer (serving +
+    the streaming gate) — one copy, no lockstep drift."""
+    if flips not in (0, 1, 2):
+        raise ValueError(f"multiprobe_flips must be 0, 1 or 2, got {flips!r}")
+    if budget is not None:
+        if flips == 0:
+            raise ValueError(
+                f"probe_budget only applies with multiprobe_flips > 0 — "
+                f"the plain {caller} probes exactly one bucket per table"
+            )
+        if int(budget) < 1:
+            raise ValueError(f"probe_budget must be >= 1, got {budget!r}")
+
+
 def _multi_table_probes(
     df: DataFrame,
     out_id: str,
@@ -825,6 +840,7 @@ def _multi_table_probes(
     dim: int,
     flips: int,
     budget: int | None,
+    with_maskset: bool = True,
 ) -> DataFrame:
     """Query-side MULTI-PROBE signing (Lv et al., multi-probe LSH, VLDB
     2007): one Arrow pass emits, per (query, table), the probe buckets of
@@ -850,6 +866,13 @@ def _multi_table_probes(
     the smallest, generalizing the r8 smallest-matching-table rule with
     no ``dropDuplicates`` shuffle and no state. Probe rows per query
     stay O(n_tables · budget): batch-sized, never corpus-sized.
+
+    ``with_maskset=False`` drops the maskset column: at FULL depth (no
+    truncating budget) the kept masks are the same constant set on every
+    row, and the meeting test collapses to ``popcount(native_q[t] ^
+    native_c[t]) <= flips`` — callers pass the flips to
+    :func:`_multiprobe_min_meeting_table` instead of shipping ~T·M
+    redundant longs per probe row through the broadcast (reviewer, r10).
     """
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
@@ -862,15 +885,17 @@ def _multi_table_probes(
     # (M, P) membership: does mask m flip plane p — margin scorer
     sel = ((masks[:, None] >> np.arange(n_planes)) & 1).astype(np.float64)
     n_keep = len(masks) if budget is None else min(int(budget), len(masks))
-    out_schema = StructType([
+    fields = [
         StructField(out_id, df.schema[id_col].dataType, True),
         StructField("__sq_table", LongType(), False),
         StructField("__sq_bkt", LongType(), False),
         StructField(f"{out_id}_vec", ArrayType(DoubleType()), False),
         StructField(f"{out_id}_bkts", ArrayType(LongType()), False),
-        StructField(f"{out_id}_maskset",
-                    ArrayType(ArrayType(LongType())), False),
-    ])
+    ]
+    if with_maskset:
+        fields.append(StructField(f"{out_id}_maskset",
+                                  ArrayType(ArrayType(LongType())), False))
+    out_schema = StructType(fields)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -889,43 +914,58 @@ def _multi_table_probes(
                 order = np.argsort(scores, axis=1, kind="stable")[:, :n_keep]
                 kept.append(masks[order])  # (n, n_keep) masks per query
                 probes_t.append(buckets[t][:, None] ^ masks[order])
-            # query i → [kept masks at table 0, ..., at table T-1]
-            masksets = [[kept[t][i] for t in range(n_tables)]
-                        for i in range(n)]
+            if with_maskset:
+                # query i → [kept masks at table 0, ..., at table T-1]
+                masksets = [[kept[t][i] for t in range(n_tables)]
+                            for i in range(n)]
             frames = []
             for t in range(n_tables):
-                frames.append(pd.DataFrame({
+                cols = {
                     out_id: np.repeat(ids, n_keep),
                     "__sq_table": np.int64(t),
                     "__sq_bkt": probes_t[t].reshape(-1),
                     f"{out_id}_vec": [v for v in vecs for _ in range(n_keep)],
                     f"{out_id}_bkts": [b for b in bkt_lists
                                        for _ in range(n_keep)],
-                    f"{out_id}_maskset": [m for m in masksets
-                                          for _ in range(n_keep)],
-                }))
+                }
+                if with_maskset:
+                    cols[f"{out_id}_maskset"] = [m for m in masksets
+                                                 for _ in range(n_keep)]
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
     return df.mapInPandas(probe, schema=out_schema)
 
 
-def _multiprobe_min_meeting_table(out_id: str, n_tables: int):
+def _multiprobe_min_meeting_table(
+    out_id: str, n_tables: int, *, full_depth_flips: int | None = None
+):
     """The stateless multi-probe dedup predicate: keep a joined candidate
     row iff its ``__sq_table`` is the SMALLEST table where the pair meets
     — meeting at ``t`` ⟺ the XOR of the two native buckets at ``t`` is
     among the probe masks the query kept there. Pure codegen (no shuffle,
     no state): the streaming-gate-compatible generalization of the
-    smallest-matching-table rule to flipped probes."""
-    meet = F.filter(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.array_contains(
+    smallest-matching-table rule to flipped probes.
+
+    ``full_depth_flips``: at full depth the kept masks are ALL masks of
+    Hamming weight ≤ flips, so membership collapses to
+    ``bit_count(xor) <= flips`` — no maskset column read (the probe side
+    was built ``with_maskset=False``). Pass None when a ``probe_budget``
+    truncated per query (membership is then genuinely per-row data)."""
+    if full_depth_flips is not None:
+        test = (lambda t: F.bit_count(
+            F.element_at(F.col(f"{out_id}_bkts"), (t + 1).cast("int"))
+            .bitwiseXOR(
+                F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int"))
+            )) <= F.lit(int(full_depth_flips)))
+    else:
+        test = (lambda t: F.array_contains(
             F.element_at(F.col(f"{out_id}_maskset"), (t + 1).cast("int")),
             F.element_at(F.col(f"{out_id}_bkts"), (t + 1).cast("int"))
             .bitwiseXOR(
                 F.element_at(F.col("corpus_id_bkts"), (t + 1).cast("int"))
-            ),
-        ),
-    )
+            )))
+    meet = F.filter(F.sequence(F.lit(0), F.lit(n_tables - 1)), test)
     return F.col("__sq_table") == F.array_min(meet)
 
 
@@ -1149,28 +1189,21 @@ def stream_embedding_gate(
             seed=seed, dim=dim, caller="the gate",
         )
 
-    if multiprobe_flips not in (0, 1, 2):
-        raise ValueError(
-            f"multiprobe_flips must be 0, 1 or 2, got {multiprobe_flips!r}"
-        )
-    if probe_budget is not None:
-        if multiprobe_flips == 0:
-            raise ValueError(
-                "probe_budget only applies with multiprobe_flips > 0 — "
-                "the plain gate probes exactly one bucket per table"
-            )
-        if int(probe_budget) < 1:
-            raise ValueError(
-                f"probe_budget must be >= 1, got {probe_budget!r}"
-            )
+    _validate_multiprobe(multiprobe_flips, probe_budget, "gate")
     sign_kw = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes,
                    n_tables=n_tables, seed=seed, dim=dim)
     if multiprobe_flips:
+        full = (probe_budget is None or int(probe_budget)
+                >= len(_probe_masks(n_planes, multiprobe_flips)))
         probe = _multi_table_probes(
             batch.select(id_col, vec_col), "batch_id",
-            flips=multiprobe_flips, budget=probe_budget, **sign_kw,
+            flips=multiprobe_flips, budget=probe_budget,
+            with_maskset=not full, **sign_kw,
         )
-        keep = _multiprobe_min_meeting_table("batch_id", n_tables)
+        keep = _multiprobe_min_meeting_table(
+            "batch_id", n_tables,
+            full_depth_flips=multiprobe_flips if full else None,
+        )
     else:
         probe = _multi_table_buckets(
             batch.select(id_col, vec_col), "batch_id",
@@ -1322,18 +1355,7 @@ def ann_topk_against_index(
     (r9's documented dial cost, now removed); recall at the settings is
     quantified by the ``ann_index_recall`` driver row.
     """
-    if multiprobe_flips not in (0, 1, 2):
-        raise ValueError(
-            f"multiprobe_flips must be 0, 1 or 2, got {multiprobe_flips!r}"
-        )
-    if probe_budget is not None:
-        if multiprobe_flips == 0:
-            raise ValueError(
-                "probe_budget only applies with multiprobe_flips > 0 — "
-                "the plain path probes exactly one bucket per table"
-            )
-        if int(probe_budget) < 1:
-            raise ValueError(f"probe_budget must be >= 1, got {probe_budget!r}")
+    _validate_multiprobe(multiprobe_flips, probe_budget, "path")
     corpus_index, dim = _resolve_vector_index(
         queries.sparkSession, corpus_index, n_planes=n_planes,
         n_tables=n_tables, seed=seed, dim=dim, caller="top-k",
@@ -1342,9 +1364,14 @@ def ann_topk_against_index(
     sign_kw = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes,
                    n_tables=n_tables, seed=seed, dim=dim)
     if multiprobe_flips:
+        # full depth (no truncating budget): masks are a constant set, so
+        # skip the per-row maskset and dedup by popcount instead
+        full = (probe_budget is None or int(probe_budget)
+                >= len(_probe_masks(n_planes, multiprobe_flips)))
         qb = _multi_table_probes(
             queries.select(id_col, vec_col), "query_id",
-            flips=multiprobe_flips, budget=probe_budget, **sign_kw,
+            flips=multiprobe_flips, budget=probe_budget,
+            with_maskset=not full, **sign_kw,
         )
     else:
         qb = _multi_table_buckets(
@@ -1357,10 +1384,14 @@ def ann_topk_against_index(
         # stateless dedup, generalized (r10): each meeting table yields
         # exactly one joined row, and the meeting tables are recomputable
         # from the carried native-bucket arrays + the query's kept-mask
-        # sets — keep the smallest. No dropDuplicates shuffle (the r9
-        # "dial's cost" is gone), same rule family as the plain path.
+        # sets (or popcount at full depth) — keep the smallest. No
+        # dropDuplicates shuffle (the r9 "dial's cost" is gone), same
+        # rule family as the plain path.
         scored = (
-            joined.where(_multiprobe_min_meeting_table("query_id", n_tables))
+            joined.where(_multiprobe_min_meeting_table(
+                "query_id", n_tables,
+                full_depth_flips=multiprobe_flips if full else None,
+            ))
             .select(
                 "query_id",
                 F.col("corpus_id").alias("neighbor_id"),

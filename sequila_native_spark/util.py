@@ -524,15 +524,24 @@ def _await_index_table(
     few short beats; if the name still doesn't resolve, raise a message
     that says WHICH failure this is — mid-swap (the ``__sq_precompact``
     side table exists: compaction in flight or crashed, with the recovery
-    hint) vs plain not-found."""
+    hint) vs plain not-found. A name with NO side table fails fast (no
+    sleeps — a typo'd index shouldn't pay the retry budget; the swap
+    window always leaves the side table visible), with one table recheck
+    to close the side-table-just-dropped crossing race."""
     import time
 
+    pre = f"{table}__sq_precompact"
     for i in range(attempts):
         if spark.catalog.tableExists(table):
             return
+        if not spark.catalog.tableExists(pre):
+            # no swap in flight; recheck once — the swap may have COMPLETED
+            # (pre dropped, table restored) between the two checks
+            if spark.catalog.tableExists(table):
+                return
+            break
         if i < attempts - 1:
             time.sleep(delay_s)
-    pre = f"{table}__sq_precompact"
     if spark.catalog.tableExists(pre):
         raise ValueError(
             f"index table {table!r} is mid-compaction: the pre-compact "

@@ -11,7 +11,13 @@ bounds, and every real subpackage covered by the find-include pattern.
 from __future__ import annotations
 
 import pathlib
-import tomllib
+
+try:
+    import tomllib  # stdlib from 3.11
+except ImportError:  # pragma: no cover - 3.10 (oldest supported) fallback
+    tomllib = __import__("pytest").importorskip(
+        "tomli", reason="TOML parser needed: stdlib tomllib (3.11+) or tomli"
+    )
 
 import sequila_native_spark as sq
 

@@ -986,7 +986,7 @@ def test_ann_multiprobe_candidates_superset_and_validation(spark):
     """Multi-probe laws at k ≥ |corpus| (no rank truncation, so the pair
     set IS the candidate set): plain ⊆ flips=1 ⊆ flips=2 (each depth
     probes every shallower bucket too), each pair emitted exactly once
-    (the dropDuplicates dedup); a probe_budget keeps a subset of the
+    (the stateless min-meeting-table rule); a probe_budget keeps a subset of the
     same-depth full set that still contains the exact bucket (plain ⊆
     budgeted ⊆ full); budget=1 keeps ONLY the exact bucket (the margin
     sort's score-0-first law) and so equals the plain pair set exactly;
