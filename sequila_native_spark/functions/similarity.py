@@ -841,6 +841,7 @@ def _multi_table_probes(
     flips: int,
     budget: int | None,
     with_maskset: bool = True,
+    keep_vec: bool = True,
 ) -> DataFrame:
     """Query-side MULTI-PROBE signing (Lv et al., multi-probe LSH, VLDB
     2007): one Arrow pass emits, per (query, table), the probe buckets of
@@ -873,6 +874,15 @@ def _multi_table_probes(
     native_c[t]) <= flips`` — callers pass the flips to
     :func:`_multiprobe_min_meeting_table` instead of shipping ~T·M
     redundant longs per probe row through the broadcast (reviewer, r10).
+
+    ``keep_vec=False`` drops the ``{out_id}_vec`` column: a probe fan-out
+    of F rows per table duplicates the full query vector F times, and the
+    vector is the dominant per-row payload (dim doubles vs n_tables
+    native-bucket longs) — a BROADCAST consumer that can re-join vectors
+    onto the post-dedup survivors (one plain batch-sized broadcast)
+    should not ship dim·F·T doubles per query through the driver
+    (advisor, r10). The dedup predicate needs only ``{out_id}_bkts``
+    (+ maskset when budgeted), which stay on every row.
     """
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
@@ -889,9 +899,11 @@ def _multi_table_probes(
         StructField(out_id, df.schema[id_col].dataType, True),
         StructField("__sq_table", LongType(), False),
         StructField("__sq_bkt", LongType(), False),
-        StructField(f"{out_id}_vec", ArrayType(DoubleType()), False),
-        StructField(f"{out_id}_bkts", ArrayType(LongType()), False),
     ]
+    if keep_vec:
+        fields.append(StructField(f"{out_id}_vec",
+                                  ArrayType(DoubleType()), False))
+    fields.append(StructField(f"{out_id}_bkts", ArrayType(LongType()), False))
     if with_maskset:
         fields.append(StructField(f"{out_id}_maskset",
                                   ArrayType(ArrayType(LongType())), False))
@@ -924,10 +936,12 @@ def _multi_table_probes(
                     out_id: np.repeat(ids, n_keep),
                     "__sq_table": np.int64(t),
                     "__sq_bkt": probes_t[t].reshape(-1),
-                    f"{out_id}_vec": [v for v in vecs for _ in range(n_keep)],
-                    f"{out_id}_bkts": [b for b in bkt_lists
-                                       for _ in range(n_keep)],
                 }
+                if keep_vec:
+                    cols[f"{out_id}_vec"] = [
+                        v for v in vecs for _ in range(n_keep)]
+                cols[f"{out_id}_bkts"] = [
+                    b for b in bkt_lists for _ in range(n_keep)]
                 if with_maskset:
                     cols[f"{out_id}_maskset"] = [m for m in masksets
                                                  for _ in range(n_keep)]
@@ -1331,6 +1345,18 @@ def ann_topk_against_index(
     False and the join falls back to an unhinted equi-join — the index
     side still reads its bucketed layout with no exchange.
 
+    BROADCAST SIZE under multi-probe (advisor, r10): flips multiply the
+    probe ROWS per query per table — 1+P at one flip, 1+P+C(P,2) at two
+    (56 at the default P=10), capped by ``probe_budget``. The dominant
+    per-row payload (the dim-double query vector) is NOT multiplied
+    with it: on the broadcast path probe rows carry only the bucket
+    longs, and vectors re-join onto the post-dedup survivors from a
+    second plain batch-sized broadcast. What still scales with the
+    fan-out is n_tables longs per row (native buckets) plus, only when
+    ``probe_budget`` truncates, the per-row maskset (≤ n_tables·budget
+    longs) — size the batch accordingly, or pass
+    ``broadcast_queries=False``.
+
     UNDER-K behavior: LSH is a candidate generator — a query whose true
     neighbors share no bucket in any table gets fewer than ``k`` rows
     (possibly zero). ``multiprobe_flips`` is the recall dial that does
@@ -1363,6 +1389,15 @@ def ann_topk_against_index(
 
     sign_kw = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes,
                    n_tables=n_tables, seed=seed, dim=dim)
+    # Probe fan-out multiplies the broadcast: F probes/table (56 at
+    # flips=2, P=10) each carrying the full query vector would grow the
+    # driver broadcast ~F× for no reason — the dedup predicate only needs
+    # the native-bucket longs. On the broadcast path, ship probe rows
+    # WITHOUT the vector and re-join vectors onto the post-dedup
+    # survivors from one plain batch-sized broadcast (advisor, r10). The
+    # unhinted path keeps the vector inline: there the probe side is not
+    # driver-materialized, and a rejoin would add a shuffle.
+    strip_vec = bool(multiprobe_flips) and broadcast_queries
     if multiprobe_flips:
         # full depth (no truncating budget): masks are a constant set, so
         # skip the per-row maskset and dedup by popcount instead
@@ -1371,7 +1406,7 @@ def ann_topk_against_index(
         qb = _multi_table_probes(
             queries.select(id_col, vec_col), "query_id",
             flips=multiprobe_flips, budget=probe_budget,
-            with_maskset=not full, **sign_kw,
+            with_maskset=not full, keep_vec=not strip_vec, **sign_kw,
         )
     else:
         qb = _multi_table_buckets(
@@ -1387,18 +1422,22 @@ def ann_topk_against_index(
         # sets (or popcount at full depth) — keep the smallest. No
         # dropDuplicates shuffle (the r9 "dial's cost" is gone), same
         # rule family as the plain path.
-        scored = (
-            joined.where(_multiprobe_min_meeting_table(
-                "query_id", n_tables,
-                full_depth_flips=multiprobe_flips if full else None,
-            ))
-            .select(
-                "query_id",
-                F.col("corpus_id").alias("neighbor_id"),
-                cosine(F.col("corpus_id_vec"), F.col("query_id_vec")).alias(
-                    "__sq_cos"
-                ),
+        kept = joined.where(_multiprobe_min_meeting_table(
+            "query_id", n_tables,
+            full_depth_flips=multiprobe_flips if full else None,
+        ))
+        if strip_vec:
+            qv = queries.select(
+                F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col)).alias("query_id_vec"),
             )
+            kept = kept.join(F.broadcast(qv), "query_id")
+        scored = kept.select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            cosine(F.col("corpus_id_vec"), F.col("query_id_vec")).alias(
+                "__sq_cos"
+            ),
         )
     else:
         matching = F.filter(

@@ -37,6 +37,15 @@ BINNED_JOIN_PARTITIONS = "spark.sequila.binnedJoinPartitions"
 NEAREST_K = "spark.sequila.nearestK"
 NEAREST_SALT = "spark.sequila.nearestSalt"
 NEAREST_CHUNKS = "spark.sequila.nearestChunks"
+# Staleness-retry window for probes racing compact_index_table's two-RENAME
+# swap (util._await_index_table). The in-memory catalog swaps in
+# milliseconds; a loaded external metastore can take longer — widen these
+# per deployment instead of editing call sites (advisor, r10).
+INDEX_AWAIT_ATTEMPTS = "spark.sequila.index.awaitAttempts"
+INDEX_AWAIT_DELAY_MS = "spark.sequila.index.awaitDelayMs"
+
+DEFAULT_INDEX_AWAIT_ATTEMPTS = 5
+DEFAULT_INDEX_AWAIT_DELAY_MS = 200
 
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two

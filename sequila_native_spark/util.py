@@ -515,8 +515,17 @@ def compact_index_table(spark, table: str) -> dict:
     }
 
 
+def _await_sleep(seconds: float) -> None:
+    """The swap-window retry's only blocking side effect, as a module
+    seam tests can patch without touching ``time.sleep`` process-wide."""
+    import time
+
+    time.sleep(seconds)
+
+
 def _await_index_table(
-    spark, table: str, *, attempts: int = 5, delay_s: float = 0.2
+    spark, table: str, *, attempts: int | None = None,
+    delay_s: float | None = None
 ) -> None:
     """Bounded staleness retry for a probe racing
     :func:`compact_index_table`'s swap window: between its two RENAMEs the
@@ -527,8 +536,46 @@ def _await_index_table(
     hint) vs plain not-found. A name with NO side table fails fast (no
     sleeps — a typo'd index shouldn't pay the retry budget; the swap
     window always leaves the side table visible), with one table recheck
-    to close the side-table-just-dropped crossing race."""
-    import time
+    to close the side-table-just-dropped crossing race.
+
+    The default budget (5 × 200 ms ≈ 1 s) fits the in-memory catalog and
+    a healthy metastore; deployments where the two catalog RENAMEs run
+    slower widen it via session conf instead of editing call sites —
+    ``spark.sequila.index.awaitAttempts`` /
+    ``spark.sequila.index.awaitDelayMs`` (explicit keyword arguments
+    still win over the conf). Sleeps go through :func:`_await_sleep`
+    (patchable seam — patching ``time.sleep`` globally starves PySpark's
+    daemon threads into spin loops)."""
+
+    from sequila_native_spark.session import (
+        DEFAULT_INDEX_AWAIT_ATTEMPTS,
+        DEFAULT_INDEX_AWAIT_DELAY_MS,
+        INDEX_AWAIT_ATTEMPTS,
+        INDEX_AWAIT_DELAY_MS,
+    )
+
+    if attempts is None:
+        raw = spark.conf.get(
+            INDEX_AWAIT_ATTEMPTS, str(DEFAULT_INDEX_AWAIT_ATTEMPTS))
+        try:
+            attempts = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{INDEX_AWAIT_ATTEMPTS} must be a positive integer, "
+                f"got {raw!r}") from None
+    if delay_s is None:
+        raw = spark.conf.get(
+            INDEX_AWAIT_DELAY_MS, str(DEFAULT_INDEX_AWAIT_DELAY_MS))
+        try:
+            delay_s = int(raw) / 1000.0
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{INDEX_AWAIT_DELAY_MS} must be a non-negative integer "
+                f"millisecond count, got {raw!r}") from None
+    if attempts < 1:
+        raise ValueError(f"index await attempts must be >= 1, got {attempts}")
+    if delay_s < 0:
+        raise ValueError(f"index await delay must be >= 0, got {delay_s}")
 
     pre = f"{table}__sq_precompact"
     for i in range(attempts):
@@ -541,7 +588,7 @@ def _await_index_table(
                 return
             break
         if i < attempts - 1:
-            time.sleep(delay_s)
+            _await_sleep(delay_s)
     if spark.catalog.tableExists(pre):
         raise ValueError(
             f"index table {table!r} is mid-compaction: the pre-compact "

@@ -1076,11 +1076,63 @@ def test_probe_racing_compaction_swap_named_failure(spark):
             spark.sql(f"DROP TABLE IF EXISTS {side}")
 
 
-def test_multiprobe_serving_adds_no_exchange(spark):
+def test_await_index_window_configurable(spark, monkeypatch):
+    """r11 (advisor): the swap-window retry budget is a session conf —
+    deployments with slow metastore RENAMEs widen
+    spark.sequila.index.awaitAttempts / awaitDelayMs instead of editing
+    call sites; explicit keyword arguments still win; junk conf values
+    raise naming the key."""
+    import uuid
+
+    from sequila_native_spark import util as sq_util
+    from sequila_native_spark.session import (
+        INDEX_AWAIT_ATTEMPTS, INDEX_AWAIT_DELAY_MS,
+    )
+    from sequila_native_spark.util import _await_index_table
+
+    t = f"sq_await_{uuid.uuid4().hex[:8]}"
+    pre = f"{t}__sq_precompact"
+    spark.range(1).write.saveAsTable(pre)  # mid-swap state: pre, no table
+    sleeps = []
+    monkeypatch.setattr(sq_util, "_await_sleep", lambda s: sleeps.append(s))
+    try:
+        spark.conf.set(INDEX_AWAIT_ATTEMPTS, "3")
+        spark.conf.set(INDEX_AWAIT_DELAY_MS, "50")
+        sleeps.clear()
+        with pytest.raises(ValueError, match="mid-compaction"):
+            _await_index_table(spark, t)
+        assert sleeps == [0.05, 0.05]  # attempts-1 beats at the conf delay
+        # explicit kwargs override the conf
+        sleeps.clear()
+        with pytest.raises(ValueError, match="mid-compaction"):
+            _await_index_table(spark, t, attempts=2, delay_s=0.01)
+        assert sleeps == [0.01]
+        # junk conf values raise naming the key, before any catalog work
+        spark.conf.set(INDEX_AWAIT_ATTEMPTS, "soon")
+        with pytest.raises(ValueError, match="awaitAttempts"):
+            _await_index_table(spark, t)
+        spark.conf.set(INDEX_AWAIT_ATTEMPTS, "0")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            _await_index_table(spark, t)
+        spark.conf.set(INDEX_AWAIT_ATTEMPTS, "3")
+        spark.conf.set(INDEX_AWAIT_DELAY_MS, "-1ms")
+        with pytest.raises(ValueError, match="awaitDelayMs"):
+            _await_index_table(spark, t)
+    finally:
+        spark.conf.unset(INDEX_AWAIT_ATTEMPTS)
+        spark.conf.unset(INDEX_AWAIT_DELAY_MS)
+        spark.sql(f"DROP TABLE IF EXISTS {pre}")
+
+
+def test_multiprobe_serving_adds_no_shuffle(spark):
     """r10: multi-probe dedup is the stateless meeting-table rule — the
-    serving plan must carry EXACTLY the same shuffle count as the plain
-    path (one exchange, the re-rank window), where the r9 dropDuplicates
-    dedup added a second."""
+    serving plan must carry EXACTLY the same SHUFFLE count as the plain
+    path (one hash exchange, the re-rank window), where the r9
+    dropDuplicates dedup added a second. r11 (advisor): the broadcast
+    probe side no longer duplicates the query vector across the 56-row
+    probe fan-out — vectors re-join post-dedup from one extra plain
+    batch-sized BroadcastExchange, which is the ONLY plan delta allowed
+    here (a broadcast of the un-fanned query batch, not a shuffle)."""
     from sequila_native_spark.functions import ann_topk_against_index
     from sequila_native_spark.functions.similarity import vector_bucket_index
 
@@ -1092,5 +1144,18 @@ def test_multiprobe_serving_adds_no_exchange(spark):
     plain = formatted_plan(ann_topk_against_index(queries, idx, 5, **kw))
     multi = formatted_plan(ann_topk_against_index(
         queries, idx, 5, multiprobe_flips=2, probe_budget=8, **kw))
-    assert multi.count("Exchange") == plain.count("Exchange")
+
+    import re
+
+    def nodes(plan: str, name: str) -> int:
+        # formatted mode prints each node twice (tree + detail); count the
+        # numbered detail headers so one physical node counts once
+        return len(re.findall(rf"\(\d+\) {name}(?![A-Za-z])", plan))
+
+    # same shuffle count as the plain path (the index frame's own
+    # repartition + the re-rank window shuffle — nothing added by flips)
+    assert nodes(multi, "Exchange") == nodes(plain, "Exchange") == 2
     assert "dropDuplicates" not in multi and "Deduplicate" not in multi
+    # exactly one extra broadcast: the post-dedup vector rejoin
+    assert (nodes(multi, "BroadcastExchange")
+            == nodes(plain, "BroadcastExchange") + 1)

@@ -1025,6 +1025,50 @@ def test_ann_multiprobe_candidates_superset_and_validation(spark):
                                probe_budget=0, **kw)
 
 
+def test_ann_multiprobe_vector_stripped_from_broadcast(spark):
+    """r11 (advisor): the broadcast probe side must not duplicate the
+    query vector across the probe fan-out — probe rows built
+    ``keep_vec=False`` omit the ``{out_id}_vec`` column entirely, and the
+    served result on the broadcast path (vector re-joined post-dedup)
+    stays IDENTICAL to the unhinted path (vector inline), at full depth
+    and under a truncating budget."""
+    from sequila_native_spark.functions import ann_topk_against_index
+    from sequila_native_spark.functions.similarity import (
+        _multi_table_probes, vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 137 == 0)
+    dim = emb.select(F.size("embedding")).first()[0]
+    sign_kw = dict(id_col="vec_id", vec_col="embedding", n_planes=6,
+                   n_tables=4, seed=11, dim=dim)
+    stripped = _multi_table_probes(queries, "query_id", flips=1,
+                                   budget=None, with_maskset=False,
+                                   keep_vec=False, **sign_kw)
+    assert "query_id_vec" not in stripped.columns
+    assert "query_id_bkts" in stripped.columns  # dedup input stays
+    kept = _multi_table_probes(queries, "query_id", flips=1, budget=None,
+                               with_maskset=False, keep_vec=True, **sign_kw)
+    assert "query_id_vec" in kept.columns
+    # same (row, table, bucket) probes either way
+    cols = ["query_id", "__sq_table", "__sq_bkt"]
+    assert (sorted(map(tuple, stripped.select(*cols).collect()))
+            == sorted(map(tuple, kept.select(*cols).collect())))
+
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    kw = dict(n_planes=6, n_tables=4, seed=11)
+    for extra in (dict(multiprobe_flips=2),
+                  dict(multiprobe_flips=2, probe_budget=8)):
+        hinted = {tuple(r) for r in ann_topk_against_index(
+            queries, idx, 5, broadcast_queries=True, **kw, **extra
+        ).collect()}
+        unhinted = {tuple(r) for r in ann_topk_against_index(
+            queries, idx, 5, broadcast_queries=False, **kw, **extra
+        ).collect()}
+        assert hinted and hinted == unhinted
+
+
 def test_ann_multiprobe_recovers_underk_queries(spark):
     """The under-k story made concrete (r9): with fine buckets and ONE
     table (10 planes — misses likely by construction), the plain serving
