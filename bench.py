@@ -131,7 +131,84 @@ ANCHOR_REF = {
 }
 
 
+# The reference's benchmark query, verbatim
+# (sequila/sequila-core/benches/databio_benchmark.rs:205-216).
+DATABIO_QUERY = """
+            SELECT
+                count(*)
+            FROM
+                s1 a, s2 b
+            WHERE
+                a.contig=b.contig
+            AND
+                a.pos_end>=b.pos_start
+            AND
+                a.pos_start<=b.pos_end
+"""
+DATABIO_EXPECTED_CHR1 = 154_374_873  # sandbox/datafusion_baseline.md:5-27
+
+
+def real_data_main(data_dir: str) -> None:
+    """--real-data: BASELINE.md reproduction on the actual AIList/databio
+    tables (VERDICT r10 item 4). Runs the reference's verbatim SQL on
+    chainRn4_chr1 ⋈ chainVicPac2_chr1 (parquet written by
+    tools/fetch_databio.py), checks the published 154,374,873 count, and
+    prints one JSON line with the timing to hold against the reference's
+    2.457 s single-thread Coitrees number. Skips gracefully (exit 0, a
+    JSON skip line) when the data isn't present — this sandbox is
+    offline; the fetcher documents the mirrors."""
+    a_path = os.path.join(data_dir, "chainRn4_chr1.parquet")
+    b_path = os.path.join(data_dir, "chainVicPac2_chr1.parquet")
+    if not (os.path.exists(a_path) and os.path.exists(b_path)):
+        print(json.dumps({
+            "metric": "databio_chr1_overlap_count", "skipped": True,
+            "reason": f"no AIList data under {data_dir} — run "
+                      f"tools/fetch_databio.py first (offline hosts: "
+                      f"--from-dir)",
+        }))
+        return
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sequila-bench-databio")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from sequila_native_spark import sequila_session, sequila_sql
+
+    sequila_session(spark)
+    spark.range(1000).count()  # JVM warm-up outside the timed region
+    spark.read.parquet(a_path).createOrReplaceTempView("s1")
+    spark.read.parquet(b_path).createOrReplaceTempView("s2")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        rows = sequila_sql(spark, DATABIO_QUERY).collect()
+        times.append(round(time.time() - t0, 3))
+    n = rows[0][0]
+    print(json.dumps({
+        "metric": "databio_chr1_overlap_count",
+        "value": min(times), "unit": "sec", "samples": times,
+        "rows": n, "expected_rows": DATABIO_EXPECTED_CHR1,
+        "rows_match": n == DATABIO_EXPECTED_CHR1,
+        "reference_sec": 2.457,  # BASELINE.md, Coitrees single-thread
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--real-data" in sys.argv:
+        i = sys.argv.index("--real-data")
+        data_dir = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                    else os.environ.get("SEQUILA_DATABIO_DIR",
+                                        "/root/databio"))
+        real_data_main(data_dir)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -227,6 +304,32 @@ def main() -> None:
               + ("" if confirmed[name] else " [unconfirmed]"), file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Targeted re-sample pass (VERDICT r10 item 5): a row is unconfirmed
+    # when the host never gave two quiet runs during its slot — but by the
+    # END of the run the burst that contaminated it has usually passed.
+    # One extra sample per unconfirmed row (cheap: the 25%-agreement rule
+    # already stopped most rows at 2 samples) converts "min may sit above
+    # the true floor" into a confirmed floor on a normal host. Rows with
+    # ≥30 s floors are skipped: one sample there costs more wall time than
+    # the driver budget allows, and the 10x/50x trend rows carry their own
+    # cross-checks.
+    for name in [n for n, ok in confirmed.items() if not ok]:
+        if timings[name] >= 30:
+            continue
+        fn = qs[name]
+        drop_stale_persisted()
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        samples[name].append(round(time.time() - t0, 3))
+        times = samples[name]
+        timings[name] = round(min(times), 3)
+        s = sorted(times)
+        confirmed[name] = s[1] <= 1.25 * s[0]
+        print(f"# resample {name}: {timings[name]:.2f}s"
+              + ("" if confirmed[name] else " [still unconfirmed]"),
+              file=sys.stderr)
+    total = round(sum(timings.values()), 3)  # floors may have dropped
 
     # Skew-immunity throughput (VERDICT r4 item 2): the skew row equalizes
     # OUTPUT pairs with the uniform flagship by construction, so pairs/sec

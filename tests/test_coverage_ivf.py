@@ -7,8 +7,9 @@ from pyspark.sql import functions as F
 
 from sequila_native_spark import coverage
 from sequila_native_spark.functions import cosine_topk, ivf_ann_topk
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 @pytest.mark.parametrize("algorithm", ["naive", "binning"])

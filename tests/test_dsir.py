@@ -14,8 +14,9 @@ from sequila_native_spark.functions import (
     dsir_weights,
     hashed_ngram_counts,
 )
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 BUCKETS = 64
 SEED = 3
 

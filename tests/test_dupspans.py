@@ -11,8 +11,9 @@ from sequila_native_spark.functions import (
     duplicated_span_stats_sql,
     positioned_shingles,
 )
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 def _stats_py(docs: list[tuple[int, str]], n: int, min_count: int = 2):

@@ -10,8 +10,9 @@ from sequila_native_spark.functions import (
     perplexity_score,
     train_bigram_lm,
 )
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 @pytest.fixture(scope="module")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from sequila_native_spark import overlap_join
 from tests.conftest import rows_set
+from _testdata import SF0_001
 
 ALGORITHMS = ["naive", "binning", "index", "partitioned"]
 # reference algorithm names must parse too (session_context.rs:85-104)
@@ -330,7 +331,7 @@ def test_low_memory_emit_cap_same_rows_and_conf_restored(spark, reads, targets):
     spark.conf.set(key, "false")
     try:
         entry.queries()["overlap_count_low_memory"](
-            spark, "/root/testdata/sf0.001"
+            spark, SF0_001
         ).collect()
         assert spark.conf.get(key) == "false"
     finally:

@@ -19,6 +19,7 @@ from sequila_native_spark.functions import (
     redact_pii_sql,
 )
 from sequila_native_spark.functions.pii import PII_PATTERNS
+from _testdata import SF0_001
 
 PII_TEXTS = [
     (0, "reach me at john.doe+spam@mail.example.com or 10.0.42.7 thanks"),
@@ -383,7 +384,7 @@ def test_write_training_shards_deterministic_order(spark, tmp_path):
 
     from sequila_native_spark.functions import write_training_shards
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF0_001}/documents.parquet")
     p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
     write_training_shards(docs, p1, shards=4, seed=3)
     # same data, different upstream partitioning -> identical shard order

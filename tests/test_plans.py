@@ -16,8 +16,9 @@ from sequila_native_spark.plans.explain import (
     has_nested_loop_join,
     has_sort_merge_or_hash_join,
 )
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 def test_binning_plans_equi_join_not_nested_loop(spark, reads, targets):

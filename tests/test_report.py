@@ -6,8 +6,9 @@ import duckdb
 import pytest
 
 from sequila_native_spark.functions import corpus_report, corpus_report_sql
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 @pytest.fixture(scope="module")

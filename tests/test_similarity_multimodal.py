@@ -13,8 +13,9 @@ from sequila_native_spark.functions import (
     near_dup_pairs,
     sample_chunks,
 )
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 @pytest.fixture(scope="module")

@@ -16,8 +16,9 @@ from sequila_native_spark.streaming import (
     sessionize,
 )
 from tests.conftest import rows_set
+from _testdata import SF0_001
 
-SF = "/root/testdata/sf0.001"
+SF = SF0_001
 
 
 def test_read_bed(spark, tmp_path):
@@ -425,6 +426,6 @@ def test_read_documents_jsonl(spark, tmp_path):
         read_documents_jsonl(spark, str(src), id_field=None)
 
     # canonical parquet reader round-trips the driver shape
-    docs = read_documents_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    docs = read_documents_parquet(spark, f"{SF0_001}/documents.parquet")
     assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
     assert docs.count() > 0

@@ -140,6 +140,7 @@ def test_non_integral_bounds_fall_back(spark):
 import os
 
 from sequila_native_spark.sql import run_sql_file, run_sql_script
+from _testdata import SF0_001
 
 _BED_A = "chr1\t150\t250\nchr1\t400\t600\nchr2\t100\t200\nchr3\t5\t6\n"
 _BED_B = "chr1\t100\t190\nchr1\t500\t700\nchr2\t150\t160\nchr4\t1\t2\n"
@@ -471,7 +472,7 @@ def test_serving_tvfs_match_api_and_inherit_validation(spark):
         centroids_to_table,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF0_001}/embeddings.parquet")
     corpus = emb.where(F.col("vec_id") % 10 != 0)
     queries = emb.where(F.col("vec_id") % 137 == 0)
     queries.createOrReplaceTempView("sql_ann_queries")
@@ -565,7 +566,7 @@ def test_maintenance_tvfs(spark):
         ivf_cell_stats,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF0_001}/documents.parquet")
     t = f"sq_band_idx_{uuid.uuid4().hex[:8]}"
     ivf_t = f"sq_ivf_idx_{uuid.uuid4().hex[:8]}"
     try:
@@ -582,7 +583,7 @@ def test_maintenance_tvfs(spark):
             spark, f"SELECT * FROM sequila_index_stats('{t}')").collect()[0]
         assert after["max_files_per_bucket"] == 1
 
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb = spark.read.parquet(f"{SF0_001}/embeddings.parquet")
         centers = _train_centroids(emb, "embedding", 4, 11,
                                    stable_id_col="vec_id")
         append_ivf_index(emb, ivf_t, centers, buckets=4)

@@ -16,6 +16,7 @@ from sequila_native_spark.functions import (
     token_count,
     fingerprint,
 )
+from _testdata import SF0_001
 
 
 @pytest.fixture(scope="module")
@@ -330,7 +331,7 @@ def test_minhash_family_delta_bounded(spark):
     the delta is pure LSH recall — bound it."""
     import __spark_entry__ as entry
 
-    row = entry.queries()["minhash_family_delta"](spark, "/root/testdata/sf0.001").first()
+    row = entry.queries()["minhash_family_delta"](spark, SF0_001).first()
     assert row["n_union"] > 0
     delta = row["md5_only"] + row["fast_only"]
     assert delta <= max(2, row["n_union"] // 10)  # measured 0 of 28 at sf0.001
@@ -1041,7 +1042,7 @@ def test_keep_best_per_cluster_end_to_end(spark):
     )
 
     docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet")
+        f"{SF0_001}/documents.parquet")
     pairs = minhash_pairs(docs, hash_family="md5")
     nodes = docs.select("doc_id")
     labels = dedup_clusters(

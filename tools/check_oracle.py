@@ -40,7 +40,8 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    root = os.environ.get("SEQUILA_TESTDATA", "/root/testdata")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else f"{root}/sf0.01"
     only = set(sys.argv[2:]) or None
 
     from pyspark.sql import SparkSession

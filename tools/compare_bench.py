@@ -13,7 +13,10 @@ noisy run against a multi-run floor.
 
 The host has 2-3x within-run noise on this box (see samples arrays), so
 movements under NOISE_BAND (default 1.30x) are reported as flat. Exit code is
-0 always — this is a triage lens, not a gate.
+0 unless ``--gate RATIO`` is given — then any query slower than RATIO x old
+(normalized) exits 1, mirroring the reference CI's 150% alert-threshold +
+fail-on-alert benchmark gate (its benchmark workflow, reimplemented for
+bench.py output instead of cargo-bench output).
 """
 
 from __future__ import annotations
@@ -48,6 +51,11 @@ def main(argv: list[str]) -> int:
                     help="compare min(samples)/drift instead of last-sample")
     ap.add_argument("--band", type=float, default=NOISE_BAND,
                     help="ratio under which movement is reported flat")
+    ap.add_argument("--gate", type=float, default=None, metavar="RATIO",
+                    help="CI mode: exit 1 if any query's normalized time "
+                         "exceeds RATIO x old (the reference CI's "
+                         "alert-threshold + fail-on-alert semantics; its "
+                         "own workflow used 150%%, i.e. --gate 1.5)")
     args = ap.parse_args(argv)
 
     a, b = load(args.old), load(args.new)
@@ -94,6 +102,14 @@ def main(argv: list[str]) -> int:
                   f"not to 1.0")
     moved = [r for r in rows if "SLOWER" in r[3]]
     print(f"{len(moved)} queries beyond the {args.band}x noise band slower")
+    if args.gate is not None:
+        alerts = [(q, x, y) for q, x, y, _ in rows
+                  if x and y and y / x > args.gate]
+        for q, x, y in alerts:
+            print(f"ALERT {q}: {y:.2f} vs {x:.2f} normalized "
+                  f"= {y / x:.2f}x > {args.gate}x gate")
+        print(f"gate {args.gate}x: {len(alerts)} alert(s)")
+        return 1 if alerts else 0
     return 0
 
 
