@@ -98,7 +98,10 @@ def parse_junit(path: str) -> dict[str, float]:
     per: dict[str, float] = {}
     try:
         for tc in ET.parse(path).getroot().iter("testcase"):
-            mod = (tc.get("classname") or "").split(".")[0]
+            # classname is dotted: [package...].module[.Class] — the module
+            # is the component named test_*
+            parts = (tc.get("classname") or "").split(".")
+            mod = next((c for c in parts if c.startswith("test_")), None)
             if mod:
                 per[f"{mod}.py"] = per.get(f"{mod}.py", 0.0) + float(
                     tc.get("time") or 0.0)
@@ -107,16 +110,54 @@ def parse_junit(path: str) -> dict[str, float]:
     return per
 
 
-def shard(files: list[pathlib.Path], n: int,
-          weights: dict[str, float]) -> list[list[pathlib.Path]]:
+# A file heavier than this (measured seconds) is split into node-id chunks
+# so one whale file doesn't set the wall-time floor. Splitting duplicates
+# the module's fixtures per chunk — only worth it above the threshold.
+SPLIT_THRESHOLD = 300.0
+
+
+def collect_nodes(f: pathlib.Path, env: dict) -> list[str]:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", str(f)],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    ).stdout
+    # ids are repo-relative (collection ran with cwd=REPO); absolutize so
+    # shard processes can run from their scratch cwds
+    return [str(REPO / l.strip()) for l in out.splitlines()
+            if "::" in l and not l.startswith(" ")]
+
+
+def atoms(files: list[pathlib.Path], weights: dict[str, float],
+          env: dict) -> list[tuple[float, list[str]]]:
+    """(weight, pytest-args) units for the balancer: whole files, except
+    whale files which become contiguous node-id chunks."""
+    units: list[tuple[float, list[str]]] = []
+    for f in files:
+        w = weights.get(f.name, DEFAULT_WEIGHT)
+        k = int(w // SPLIT_THRESHOLD) + 1
+        if k <= 1:
+            units.append((w, [str(f)]))
+            continue
+        nodes = collect_nodes(f, env)
+        if len(nodes) < k:
+            units.append((w, [str(f)]))
+            continue
+        step = (len(nodes) + k - 1) // k
+        for j in range(0, len(nodes), step):
+            units.append((w / k, nodes[j:j + step]))
+        print(f"split {f.name} ({w:.0f}s) into {k} chunks")
+    return units
+
+
+def shard(units: list[tuple[float, list[str]]],
+          n: int) -> list[list[str]]:
     """Greedy longest-processing-time assignment by measured weight."""
-    buckets: list[tuple[float, list[pathlib.Path]]] = [(0.0, []) for _ in range(n)]
-    for f in sorted(files, key=lambda f: -weights.get(f.name, DEFAULT_WEIGHT)):
+    buckets: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for w, unit in sorted(units, key=lambda u: -u[0]):
         i = min(range(n), key=lambda i: buckets[i][0])
-        w, fs = buckets[i]
-        fs.append(f)
-        buckets[i] = (w + weights.get(f.name, DEFAULT_WEIGHT), fs)
-    return [fs for _, fs in buckets if fs]
+        bw, args = buckets[i]
+        buckets[i] = (bw + w, args + unit)
+    return [args for _, args in buckets if args]
 
 
 def main(argv: list[str]) -> int:
@@ -127,22 +168,23 @@ def main(argv: list[str]) -> int:
 
     files = sorted((REPO / "tests").glob("test_*.py"))
     weights = load_weights()
-    shards = shard(files, max(1, args.workers), weights)
-    print(f"{len(files)} test files -> {len(shards)} shards "
-          f"(weights: {'measured' if TIMINGS_PATH.exists() else 'builtin'})")
-
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
+    units = atoms(files, weights, env)
+    shards = shard(units, max(1, args.workers))
+    print(f"{len(files)} test files / {len(units)} units -> "
+          f"{len(shards)} shards "
+          f"(weights: {'measured' if TIMINGS_PATH.exists() else 'builtin'})")
+
     procs = []
     t0 = time.time()
-    for i, fs in enumerate(shards):
+    for i, unit_args in enumerate(shards):
         cwd = tempfile.mkdtemp(prefix=f"partest{i}_")
         log = open(os.path.join(cwd, "pytest.log"), "wb")
         xml = os.path.join(cwd, "junit.xml")
         cmd = [sys.executable, "-m", "pytest", "-q",
-               f"--junitxml={xml}", *pytest_args,
-               *[str(f) for f in fs]]
-        procs.append((i, fs, cwd, xml, log,
+               f"--junitxml={xml}", *pytest_args, *unit_args]
+        procs.append((i, unit_args, cwd, xml, log,
                       subprocess.Popen(cmd, cwd=cwd, env=env,
                                        stdout=log, stderr=subprocess.STDOUT)))
 
