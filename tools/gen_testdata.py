@@ -146,11 +146,26 @@ def gen_sf(out_dir: str, sf: float, seed: int = 42) -> None:
                   for k in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: bag-of-words over a small vocab (natural shingle overlap),
-    # ~0.15% exact duplicates above the floor scale, as in the driver corpus
+    # documents: bag-of-words over a small vocab, plus DELIBERATE near-dup
+    # structure matching the driver corpus (measured at sf0.001: ~28 pairs
+    # with 5-shingle Jaccard >= 0.5, max 0.989, and the two MinHash
+    # families agree on ~all of them — so the dups sit HIGH in the Jaccard
+    # band): ~6% of docs are near-copies of an earlier doc with at most
+    # ~5% of words replaced, plus ~0.15% exact duplicates above the floor
+    # scale. Heavier mutation (tried: up to 20%) creates marginal
+    # 0.5-0.8-Jaccard pairs where LSH families legitimately disagree,
+    # which breaks the family-agreement recall pins.
     lens = rng.integers(10, 101, n_doc)
     vocab = np.array(DOC_VOCAB)
-    texts = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
+    words = [list(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
+    for i in rng.choice(np.arange(n_doc // 10, n_doc),
+                        size=max(4, int(0.06 * n_doc)), replace=False):
+        src = list(words[rng.integers(0, n_doc // 10)])
+        n_mut = int(rng.integers(0, max(2, len(src) // 20)))
+        for _ in range(n_mut):
+            src[rng.integers(0, len(src))] = vocab[rng.integers(0, len(vocab))]
+        words[i] = src
+    texts = [" ".join(w) for w in words]
     n_dup = int(0.0015 * n_doc) if n_doc > 500 else 0
     for i in range(n_dup):
         texts[n_doc - 1 - i] = texts[rng.integers(0, n_doc // 2)]
@@ -163,16 +178,15 @@ def gen_sf(out_dir: str, sf: float, seed: int = 42) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    # embeddings: 64-dim float32, label-clustered (10 centers + noise) so
-    # IVF/ANN recall shapes resemble the driver data's
-    labels = rng.integers(0, 10, n_emb)
-    centers = rng.normal(0, 1, (10, 64))
-    vecs = (centers[labels] + rng.normal(0, 0.35, (n_emb, 64))).astype(
-        np.float32)
+    # embeddings: 64-dim float32, ISOTROPIC gaussian — measured on the
+    # driver data: no label clustering (intra-label cos ≈ inter ≈ 0) and
+    # no near-dup pairs (max pairwise cos ≈ 0.5); label is an independent
+    # attribute. ANN recall pins were measured against this geometry.
+    vecs = rng.normal(0, 1, (n_emb, 64)).astype(np.float32)
     write("embeddings", pa.table({
         "vec_id": pa.array(range(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32()),
+        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     }))
 
 
