@@ -3327,6 +3327,15 @@ def _nearest_oracle_sql(
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for the driver gate. Keys are a superset of
+    ``queries()``: six entries (doc_lang_dist, merged_read_runs,
+    overlap_left_outer, overlap_full_outer, read_coverage_gaps,
+    reads_minus_targets) have no standalone ``queries()`` slot — their
+    gate coverage moved into the r5/r6 composites (interval_set_ops,
+    overlap_outer_joins, doc_feature_stats), but the standalone SQL
+    stays because other oracles COMPOSE it (read_target_jaccard builds
+    on merged_read_runs) and it's the per-operator debug query. The
+    driver ignores oracle keys without a queries() twin."""
     from sequila_native_spark.functions import (
         chunk_documents_sql,
         contamination_report_sql,
