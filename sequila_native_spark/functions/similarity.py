@@ -1380,8 +1380,19 @@ def ann_topk_against_index(
     table" dedups with pure codegen. No ``dropDuplicates`` shuffle
     (r9's documented dial cost, now removed); recall at the settings is
     quantified by the ``ann_index_recall`` driver row.
+
+    NULL ids and determinism (advisor, r11): ``queries`` is referenced
+    twice on the strip-vec path (probe rows, then the vector rejoin), so
+    it must be DETERMINISTIC — a nondeterministic source (e.g. a
+    ``rand()``-derived id) could pair a vector with buckets signed from
+    a different evaluation; cache such a frame first. Null-id query rows
+    are dropped upfront on BOTH paths (a null id can't survive the
+    rejoin's equi-join, and per-query ranking over a null key is
+    meaningless), keeping broadcast and unhinted results row-identical
+    on edge inputs.
     """
     _validate_multiprobe(multiprobe_flips, probe_budget, "path")
+    queries = queries.where(F.col(id_col).isNotNull())
     corpus_index, dim = _resolve_vector_index(
         queries.sparkSession, corpus_index, n_planes=n_planes,
         n_tables=n_tables, seed=seed, dim=dim, caller="top-k",

@@ -940,6 +940,33 @@ def test_serving_broadcast_queries_dial(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_serving_null_query_ids_dropped_both_paths(spark):
+    """Null-id query rows are filtered upfront on BOTH serving paths
+    (advisor, r11): previously the strip-vec rejoin (broadcast+multiprobe)
+    would drop them while the unhinted path kept them under a null key —
+    now the paths stay row-identical and null ids never reach the output."""
+    from sequila_native_spark.functions import (
+        ann_topk_against_index,
+        vector_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    queries = emb.where(F.col("vec_id") % 10 == 0).limit(6).withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("vec_id")),
+    )
+    opts = dict(n_planes=6, n_tables=4, seed=11, multiprobe_flips=1)
+    idx = vector_bucket_index(corpus, n_planes=6, n_tables=4, seed=11)
+    got_b = {tuple(r) for r in
+             ann_topk_against_index(queries, idx, 5, **opts).collect()}
+    got_u = {tuple(r) for r in
+             ann_topk_against_index(queries, idx, 5, broadcast_queries=False,
+                                    **opts).collect()}
+    assert got_b == got_u and got_b
+    assert all(r[0] is not None for r in got_b)
+
+
 def test_ann_index_recall_dial_floors(spark):
     """The r9 serving-recall row (VERDICT r8 item 3): dial monotonicity —
     multiprobe recall ≥ plain, IVF probe8 ≥ probe2, under-k non-increasing

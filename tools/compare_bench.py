@@ -56,6 +56,11 @@ def main(argv: list[str]) -> int:
                          "exceeds RATIO x old (the reference CI's "
                          "alert-threshold + fail-on-alert semantics; its "
                          "own workflow used 150%%, i.e. --gate 1.5)")
+    ap.add_argument("--allow-gone", action="store_true",
+                    help="with --gate, tolerate queries present in old but "
+                         "missing from new (default: GONE rows alert too — "
+                         "a query that errors out of the new run must not "
+                         "read as green)")
     args = ap.parse_args(argv)
 
     a, b = load(args.old), load(args.new)
@@ -108,6 +113,13 @@ def main(argv: list[str]) -> int:
         for q, x, y in alerts:
             print(f"ALERT {q}: {y:.2f} vs {x:.2f} normalized "
                   f"= {y / x:.2f}x > {args.gate}x gate")
+        gone = [q for q, x, y, tag in rows if tag == "GONE"]
+        if gone and not args.allow_gone:
+            # A query that errored out of (or was dropped from) the new run
+            # has no timing to gate — it must alert, not silently pass.
+            for q in gone:
+                print(f"ALERT {q}: present in old run but GONE from new run")
+            alerts.extend((q, None, None) for q in gone)
         print(f"gate {args.gate}x: {len(alerts)} alert(s)")
         return 1 if alerts else 0
     return 0

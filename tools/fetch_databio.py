@@ -82,7 +82,16 @@ def try_download(dest_dir: str) -> str | None:
             print(f"  unreachable ({e})", file=sys.stderr)
             continue
         with tarfile.open(fileobj=io.BytesIO(data)) as tf:
-            tf.extractall(dest_dir, filter="data")
+            try:
+                tf.extractall(dest_dir, filter="data")
+            except TypeError:
+                # filter= is a late backport (3.10.12/3.11.4); older
+                # patch levels fall back to the classic unfiltered
+                # extract with a warning rather than crashing.
+                print("  warning: tarfile filter= unsupported on this "
+                      "Python patch level; extracting unfiltered",
+                      file=sys.stderr)
+                tf.extractall(dest_dir)  # noqa: S202 - trusted mirror list
         return dest_dir
     return None
 

@@ -189,6 +189,12 @@ def gen_sf(out_dir: str, sf: float, seed: int = 42) -> None:
         "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     }))
 
+    # Provenance marker: lets the schema-contract test tell a
+    # generator-produced instance apart from the pre-baked driver data,
+    # so it doesn't "verify" the generator against itself (advisor, r11).
+    with open(os.path.join(out_dir, ".sequila_generated"), "w") as fh:
+        fh.write(f"gen_testdata.py sf={sf} seed={seed}\n")
+
 
 def main(argv: list[str]) -> int:
     if not argv:

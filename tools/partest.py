@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import os
 import pathlib
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -178,30 +179,47 @@ def main(argv: list[str]) -> int:
 
     procs = []
     t0 = time.time()
-    for i, unit_args in enumerate(shards):
-        cwd = tempfile.mkdtemp(prefix=f"partest{i}_")
-        log = open(os.path.join(cwd, "pytest.log"), "wb")
-        xml = os.path.join(cwd, "junit.xml")
-        cmd = [sys.executable, "-m", "pytest", "-q",
-               f"--junitxml={xml}", *pytest_args, *unit_args]
-        procs.append((i, unit_args, cwd, xml, log,
-                      subprocess.Popen(cmd, cwd=cwd, env=env,
-                                       stdout=log, stderr=subprocess.STDOUT)))
-
     failed = False
     measured: dict[str, float] = {}
-    for i, fs, cwd, xml, log, p in procs:
-        rc = p.wait()
-        log.close()
-        measured.update(parse_junit(xml))
-        tail = pathlib.Path(cwd, "pytest.log").read_text().splitlines()
-        summary = next((l for l in reversed(tail) if "passed" in l or
-                        "failed" in l or "error" in l), "(no summary)")
-        print(f"shard {i} rc={rc}: {summary.strip()}")
-        if rc != 0:
-            failed = True
-            print(f"--- shard {i} tail ({cwd}/pytest.log) ---")
-            print("\n".join(tail[-40:]))
+    # try/finally so a mid-spawn failure (ENOENT, resource limits) still
+    # closes already-opened logs and reaps already-spawned siblings
+    # rather than leaking them (advisor, r11).
+    try:
+        for i, unit_args in enumerate(shards):
+            cwd = tempfile.mkdtemp(prefix=f"partest{i}_")
+            log = open(os.path.join(cwd, "pytest.log"), "wb")
+            xml = os.path.join(cwd, "junit.xml")
+            cmd = [sys.executable, "-m", "pytest", "-q",
+                   f"--junitxml={xml}", *pytest_args, *unit_args]
+            try:
+                p = subprocess.Popen(cmd, cwd=cwd, env=env,
+                                     stdout=log, stderr=subprocess.STDOUT)
+            except Exception:
+                log.close()
+                raise
+            procs.append((i, unit_args, cwd, xml, log, p))
+
+        for i, fs, cwd, xml, log, p in procs:
+            rc = p.wait()
+            log.close()
+            measured.update(parse_junit(xml))
+            tail = pathlib.Path(cwd, "pytest.log").read_text().splitlines()
+            summary = next((l for l in reversed(tail) if "passed" in l or
+                            "failed" in l or "error" in l), "(no summary)")
+            print(f"shard {i} rc={rc}: {summary.strip()}")
+            if rc != 0:
+                failed = True
+                print(f"--- shard {i} tail ({cwd}/pytest.log) ---")
+                print("\n".join(tail[-40:]))
+            else:
+                shutil.rmtree(cwd, ignore_errors=True)  # keep only failures
+    finally:
+        for _, _, _, _, log, p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+            if not log.closed:
+                log.close()
     if measured and not failed:
         save_weights(measured)  # next run balances on real durations
     print(f"wall time: {time.time() - t0:.0f}s")
