@@ -79,6 +79,51 @@ def test_license_file_shipped_and_wired():
     assert "END OF TERMS AND CONDITIONS" in text
 
 
+def _workflow(name: str) -> dict:
+    yaml = __import__("pytest").importorskip("yaml")
+    return yaml.safe_load((REPO / ".github" / "workflows" / name).read_text())
+
+
+def test_workflow_yamls_parse_and_are_well_shaped():
+    """VERDICT r11 item 4: the CI config itself is under test — a
+    malformed workflow edit fails the suite instead of shipping silently
+    (previously this lint lived only in tools/ci_dryrun.sh)."""
+    for f in ("ci.yml", "benchmark.yml"):
+        d = _workflow(f)
+        # PyYAML parses the bare `on:` key as boolean True
+        triggers = d.get("on") or d.get(True)
+        assert {"push", "pull_request"} <= set(triggers), f
+        assert d.get("jobs"), f
+        for jname, job in d["jobs"].items():
+            assert job.get("runs-on"), (f, jname)
+            assert job.get("timeout-minutes"), (f, jname)  # no hung runners
+            steps = job.get("steps")
+            assert steps, (f, jname)
+            for s in steps:
+                assert "uses" in s or "run" in s, (f, jname, s)
+
+
+def test_ci_workflow_runs_the_real_gates():
+    """The test job must regenerate testdata, run the whole suite, the
+    DuckDB oracle sweep, and the wheel-build metadata check — the four
+    pillars the sandbox dry-run (tools/ci_dryrun.sh) mirrors."""
+    runs = "\n".join(s.get("run", "")
+                     for s in _workflow("ci.yml")["jobs"]["test"]["steps"])
+    assert "tools/gen_testdata.py" in runs
+    assert "pytest tests/" in runs
+    assert "tools/check_oracle.py" in runs
+    assert "-m build" in runs  # wheel + sdist actually build (r11 item 6)
+    assert "License-File" in runs  # metadata carries the license wiring
+
+
+def test_benchmark_workflow_gates_at_150pct():
+    runs = "\n".join(s.get("run", "")
+                     for s in _workflow("benchmark.yml")["jobs"]
+                     ["benchmark"]["steps"])
+    assert "bench.py" in runs
+    assert "compare_bench.py" in runs and "--gate 1.5" in runs
+
+
 def test_find_pattern_covers_all_subpackages():
     include = _meta()["tool"]["setuptools"]["packages"]["find"]["include"]
     assert include == ["sequila_native_spark*"]
