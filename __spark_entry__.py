@@ -2074,21 +2074,17 @@ def q_persisted_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gate_corpus_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10x corpus for the at-rest gate scale row: replica 0 is the real
-    text (the probe's true matches), replicas 1-9 get a per-replica
-    consonant substitution (``translate`` — pure codegen) so their
-    shingles, and therefore signatures, decorrelate from the original and
-    from each other: the corpus grows 10x while the probe's candidate set
-    stays ~flat — corpus-size dependence isolated from output-size
-    dependence."""
+def _docs_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10x documents: replica 0 is the real text, replicas 1-9 get a
+    per-replica consonant substitution (``translate`` — pure codegen) so
+    their shingles, and therefore signatures, decorrelate from the
+    original and from each other — corpus mass grows 10x while each
+    replica keeps its own internal near-dup structure (a near-dup pair
+    stays a near-dup pair under a per-replica character map), so output
+    grows ~10x too, never 100x."""
     from functools import reduce
 
-    dc = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 5 != 0)
-        .select("doc_id", "text")
-    )
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
     subs = "bcdfghjklmpqrvwxz"
     reps = [dc]
     for i in range(1, 10):
@@ -2100,6 +2096,15 @@ def _gate_corpus_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), reps)
+
+
+def _gate_corpus_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10x corpus for the at-rest gate scale row: :func:`_docs_10x` minus
+    the probe batch's ids (replica offsets are multiples of 5, so the
+    filter commutes with replication — same rows as filtering first).
+    The corpus grows 10x while the probe's candidate set stays ~flat —
+    corpus-size dependence isolated from output-size dependence."""
+    return _docs_10x(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
 
 
 def q_persisted_gate_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,6 +2137,79 @@ def q_persisted_gate_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_against_corpus(
         db, dc10, k=8, bands=4, hash_family="md5",
         corpus_index=spark.table(t),
+    )
+
+
+def q_minhash_near_dups_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY scale-trend row (VERDICT r11 item 2): the headline
+    MinHash-LSH near-dup miner over a 10x corpus (:func:`_docs_10x` —
+    replicas shingle-decorrelated, so candidates grow ~10x, never
+    all-pairs). Candidate generation is a banded equi-join on band hash —
+    the same shape DuckDB-green at 1x in ``minhash_near_dups`` — so the
+    expected 10x/1x ratio sits in the sublinear-to-linear band (fixed
+    Arrow/scheduling costs amortize; the reference's analogous size sweep
+    is ``databio_benchmark.rs:148-203``). The measured ratio is recorded
+    in the bench detail's ``scale_trend`` block each run."""
+    return minhash_pairs(
+        _docs_10x(spark, sf_dir), k=8, bands=4, threshold_milli=200,
+        hash_family="md5",
+    )
+
+
+def _emb_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10x embeddings: replica i circularly shifts the 64 dims by i and
+    offsets the label by 10*i. A dimension shift of an isotropic gaussian
+    vector is ~orthogonal to the original w.h.p. (64-dim: cos std ~1/8),
+    so replicas add corpus mass without adding cross-replica near-dup
+    pairs above the 0.3 threshold, and per-replica labels keep the
+    blocking geometry — 10x blocks of unchanged size, the within-block
+    pair work growing exactly 10x."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    reps = [emb]
+    for i in range(1, 10):
+        shifted = F.concat(
+            F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                shifted.alias("embedding"),
+                (F.col("label") + F.lit(10 * i)).alias("label"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reps)
+
+
+def q_embedding_near_dups_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY scale-trend row (VERDICT r11 item 2): the
+    ``embedding_near_dups`` composite with the corpus at 10x and the
+    delta batch held at 1x — the 100 TB story measured: blocked
+    within-corpus mining scales with corpus mass (10x blocks, unchanged
+    block size), while the corpus-delta probe pays the bigger corpus
+    only as a scan (batch fixed at replica 0's ids, broadcast side
+    unchanged). Measured 10x/1x ratio recorded in the bench detail's
+    ``scale_trend`` block."""
+    from sequila_native_spark.functions import embedding_dups_against_corpus
+
+    emb10 = _emb_10x(spark, sf_dir)
+    all_pairs = near_dup_pairs(emb10, block_col="label", threshold_milli=300)
+    delta = embedding_dups_against_corpus(
+        emb10.where((F.col("vec_id") % 5 == 0)
+                    & (F.col("vec_id") < 1_000_000_000)),
+        emb10.where(F.col("vec_id") % 5 != 0),
+        threshold_milli=300,
+    )
+    return all_pairs.select(
+        F.lit("all").alias("family"), "id_a", "id_b", "cos_milli"
+    ).unionAll(
+        delta.select(
+            F.lit("delta").alias("family"),
+            F.col("batch_id").alias("id_a"),
+            F.col("corpus_id").alias("id_b"),
+            "cos_milli",
+        )
     )
 
 
@@ -3192,6 +3270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compaction": q_index_compaction,
         "ivf_cell_skew": q_ivf_cell_skew,
         "ann_index_recall": q_ann_index_recall,
+        # r12: measured 10x scale rows for the dedup/embedding family
+        # (VERDICT r11 item 2) — bench-only trend rows, rows-only checked
+        "minhash_near_dups_10x": q_minhash_near_dups_10x,
+        "embedding_near_dups_10x": q_embedding_near_dups_10x,
     }
 
 
