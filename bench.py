@@ -547,9 +547,14 @@ def main() -> None:
     # from here. Override the list with SPARK_GRAFT_FRESH_FLOORS
     # (comma-separated; "0" disables).
     fresh_floors: dict[str, dict] = {}
+    # overlap_count_skewed joined the list in r12: its warm floor breached
+    # 1.36x with a md5-identical plan (family-wide host shift) — a
+    # fresh-to-fresh baseline makes the next such episode decidable
+    # without a dedicated restoring run.
     watch = os.environ.get(
         "SPARK_GRAFT_FRESH_FLOORS",
-        "nearest_partitioned,overlap_partitioned_selective",
+        "nearest_partitioned,overlap_partitioned_selective,"
+        "overlap_count_skewed",
     )
     if watch not in ("0", ""):
         import subprocess
