@@ -277,7 +277,10 @@ def main() -> None:
         real_data_main(data_dir)
         return
     if "--fresh-one" in sys.argv:
-        fresh_one_main(sys.argv[sys.argv.index("--fresh-one") + 1])
+        i = sys.argv.index("--fresh-one")
+        if len(sys.argv) <= i + 1:
+            raise SystemExit("usage: bench.py --fresh-one QUERY_NAME")
+        fresh_one_main(sys.argv[i + 1])
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -473,8 +476,8 @@ def main() -> None:
         # LLM-family 10x scale-trend rows (VERDICT r11 item 2): the
         # headline dedup paths measured at 10x corpus, OUTSIDE the total
         # like the 50x row — converts the minhash/embedding 100 TB claims
-        # from plan-shape argument to measured trend. Up to 2 samples
-        # (confirmation), ratio vs the 1x headline twin recorded below.
+        # from plan-shape argument to measured trend. Up to 3 samples
+        # (stop early once confirmed), ratio vs the 1x twin recorded below.
         for name, one_x in (
             ("minhash_near_dups_10x", "minhash_near_dups"),
             ("embedding_near_dups_10x", "embedding_near_dups"),

@@ -14,6 +14,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD"
 
+# The workflow tests importorskip PyYAML; without this guard a host
+# missing PyYAML would skip all three, pytest would exit 0, and a
+# malformed workflow edit would ship green — the lint must hard-fail.
+python -c "import yaml" || {
+  echo "PyYAML is required for the workflow-YAML lint step" >&2; exit 1; }
 python -m pytest tests/test_packaging.py -q -k "workflow or benchmark"
 
 # wheel-metadata substitute for the ci.yml build step (offline sandbox)

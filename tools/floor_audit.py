@@ -77,7 +77,14 @@ def main(argv: list[str]) -> int:
         rows.append((q, warm_a[q], warm_b[q], r))
     rows.sort(key=lambda x: -x[3])
 
-    w = max(len(r[0]) for r in rows)
+    if not rows:
+        # Compact r*_run*.json files carry no `samples` key, and disjoint
+        # rounds share no queries — either way there is nothing to audit.
+        raise SystemExit(
+            "no overlapping warm-sample queries between the two globs — "
+            "point them at DETAIL files (bench_runs/r*_detail*.json), "
+            "not compact run lines")
+    w = max(len(q) for q in (*warm_a, *warm_b, *fresh_a, *fresh_b))
     fmt = "{:<%d} {:>8} {:>8} {:>7}  {}" % w
     kind = "drift-normalized" if args.normalize else "raw sec"
     print(f"warm floors ({kind}, min across {n_a} old / {n_b} new runs):")
