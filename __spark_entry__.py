@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from sequila_native_spark import (
     count_overlaps,
     coverage,
+    overlap_count_agg,
     filter_by_overlap,
     mark_by_overlap,
     merge_intervals,
@@ -144,9 +145,17 @@ _REV_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 # ---------------------------------------------------------------------------
 
 def q_overlap_count_per_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    oj = overlap_join(_reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
-                      on="contig", **_IVL, algorithm="binning")
-    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+    """Flagship count join. r12: a count-shaped query never needs the pair
+    rows — ``overlap_count_agg`` (two binary searches per probe, per-batch
+    partial sums) replaces the binned pair join + groupBy; identical rows
+    (oracle hash-pinned), no 148M-pair emission. The binned pair join stays
+    measured by overlap_pairs_chr0 / overlap_count_algorithms / the outer
+    rows."""
+    return overlap_count_agg(
+        _targets(spark, sf_dir), _reads(spark, sf_dir, with_id=False),
+        on="contig", left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end", alias="n_pairs",
+    )
 
 
 def q_overlap_pairs_chr0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +246,11 @@ def q_overlap_count_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_start.cast("int").alias("t_start"),
         (t_start + F.col("o_orderkey") % 2000).cast("int").alias("t_end"),
     )
-    oj = overlap_join(reads, targets, on="contig", **_IVL, algorithm="binning")
-    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return overlap_count_agg(
+        targets, reads, on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end", alias="n_pairs",
+    )
 
 
 def q_overlap_selective_algorithms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +308,11 @@ def q_overlap_partitioned_selective(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def q_range_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A2: interval-only join, no equi-keys (reference injects lit(1)=lit(1))
+    # A2: interval-only join, no equi-keys (reference injects lit(1)=lit(1)).
+    # r12: measured BOTH shapes — the aggregated count kernel's fixed
+    # two-job cost (build collect + probe) loses to the plain binned join on
+    # these ~6k-row filtered sides (1.18 vs 1.06 floor interleaved), so the
+    # pair join stays; it also keeps the keyless overlap_join plan measured.
     reads = _reads(spark, sf_dir).where(F.col("r_id") % 97 == 0).drop("r_id", "contig")
     targets = _targets(spark, sf_dir).where(F.col("t_id") % 101 == 0).drop("t_id", "contig")
     oj = overlap_join(reads, targets, on=None, **_IVL, algorithm="binning")
@@ -304,17 +320,24 @@ def q_range_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overlap_strict_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A3: strict < / > predicates, normalized to closed via bound-1
-    oj = overlap_join(_reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
-                      on="contig", **_IVL, strict=True, algorithm="binning")
-    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # A3: strict < / > predicates, normalized to closed via bound-1 —
+    # r12: the same normalization feeds the aggregated count kernel.
+    return overlap_count_agg(
+        _targets(spark, sf_dir), _reads(spark, sf_dir, with_id=False),
+        on="contig", left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end", strict=True,
+        alias="n_pairs",
+    )
 
 
 def q_count_overlaps_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A6 intent, corrected: every probe row kept, 0 when no overlap
+    # A6 intent, corrected: every probe row kept, 0 when no overlap.
+    # r12: index algorithm — two binary searches per probe against the
+    # broadcast build, zero shuffle, no pair emission (binning twin
+    # hash-pinned equal in tests/test_nearest_count.py).
     return count_overlaps(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
-        on="contig", **_IVL, algorithm="binning", count_col="n_overlaps",
+        on="contig", **_IVL, algorithm="index", count_col="n_overlaps",
     )
 
 
@@ -391,7 +414,7 @@ def q_windowed_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reads(spark, sf_dir, with_id=False), wins,
         on="contig", left_start="r_start", left_end="r_end",
         right_start="t_start", right_end="t_end",
-        algorithm="binning", count_col="depth",
+        algorithm="index", count_col="depth",
     )
     return depth.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_windows"),
@@ -940,7 +963,7 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the complement identity. Benchmark n-gram set is broadcast; the corpus
     is never shuffled for flagging."""
     from sequila_native_spark.functions import contamination_report, decontaminate
-    from sequila_native_spark.util import ensure_parallel
+    from sequila_native_spark.util import ensure_parallel, lib_checkpoint
 
     # ensure_parallel: the sf0.01/sf0.1 documents parquet scans as ONE
     # split, which would run the whole corpus-side gram explode single-task
@@ -951,7 +974,11 @@ def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = docs.where(F.col("doc_id") % 17 == 0)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
-    rep = contamination_report(corpus, bench, n=4)
+    # r12: rep feeds BOTH the contaminated-count branch and decontaminate's
+    # anti-join; per-branch pruning defeats exchange reuse (plan audit: 0
+    # ReusedExchange, the corpus gram-explode ran twice). rep is
+    # contaminated-docs-cardinality — the standard doc-sized pin.
+    rep = lib_checkpoint(contamination_report(corpus, bench, n=4))
     cont = (
         rep.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -2630,11 +2657,23 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             k, n_probe=8)),
     ]
     nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    # r12 (guide §2.6): the six serving plans are independent jobs whose
+    # eager checkpoints ran back-to-back — each one's straggler tail left
+    # the cluster idle. A small thread pool overlaps them (job descriptions
+    # are thread-local; results are the same checkpointed frames in the
+    # same order), cutting the harness wall time without touching any
+    # served row.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _serve(setting):
+        method, dial, fn = setting
+        spark.sparkContext.setJobDescription(f"ann_index_recall: {method}/{dial}")
+        return fn().select("query_id", "neighbor_id").localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        served_frames = list(pool.map(_serve, settings))
     out = None
-    for method, dial, fn in settings:
-        served = fn().select("query_id", "neighbor_id").localCheckpoint(
-            eager=True
-        )
+    for (method, dial, fn), served in zip(settings, served_frames):
         hit = exact.join(served, ["query_id", "neighbor_id"], "left_semi")
         full = served.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("__sq_n")
@@ -2899,7 +2938,18 @@ def _replicate(
 ) -> DataFrame:
     """``n`` coordinate-shifted replicas (domain scaled n×, density constant)
     — the DESIGN.md scale-trend shape, derived deterministically so DuckDB
-    can mirror it."""
+    can mirror it.
+
+    r12 (guide §2.4/§2.5): parallelize the BASE before the explode. The
+    sf0.1 parquet scans as one split, so downstream consumers used to
+    round-robin the n×-exploded rows — a keyless repartition whose
+    sort-before-repartition and exchange write all ran in that single task
+    (measured 5.7 s of the 10x row, ~30 s-class at 50x). Shuffling the
+    600k-row base instead costs ~0.3 s once and the explode then fans out
+    across all partitions."""
+    from sequila_native_spark.util import ensure_parallel
+
+    df = ensure_parallel(df, [])
     rep = spark.range(n).select(F.col("id").cast("int").alias("__rep"))
     return df.crossJoin(F.broadcast(rep)).select(
         "contig",
@@ -2914,8 +2964,11 @@ def _replicated_overlap_count(spark: SparkSession, sf_dir: str, n: int) -> DataF
         _targets(spark, sf_dir).select("contig", "t_start", "t_end"),
         "t_start", "t_end", spark, n,
     )
-    oj = overlap_join(reads_n, targets_n, on="contig", **_IVL, algorithm="binning")
-    return oj.groupBy("contig").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return overlap_count_agg(
+        targets_n, reads_n, on="contig",
+        left_start="t_start", left_end="t_end",
+        right_start="r_start", right_end="r_end", alias="n_pairs",
+    )
 
 
 def q_overlap_count_10x(spark: SparkSession, sf_dir: str) -> DataFrame:

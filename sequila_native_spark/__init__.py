@@ -37,7 +37,7 @@ from sequila_native_spark.operators.interval_join import (
 )
 from sequila_native_spark.operators.map_intervals import map_intervals
 from sequila_native_spark.operators.nearest_join import nearest_join
-from sequila_native_spark.operators.count_overlaps import count_overlaps
+from sequila_native_spark.operators.count_overlaps import count_overlaps, overlap_count_agg
 from sequila_native_spark.operators.coverage import (
     coverage,
     depth_histogram,
@@ -93,6 +93,7 @@ __all__ = [
     "clear_bin_width_cache",
     "nearest_join",
     "count_overlaps",
+    "overlap_count_agg",
     "subtract_intervals",
     "make_windows",
     "cluster_intervals",

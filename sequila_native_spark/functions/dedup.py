@@ -1102,6 +1102,110 @@ def hamming_band_pairs(
 # Connected components over near-dup pairs (cluster assignment)
 # ---------------------------------------------------------------------------
 
+
+
+def _numpy_components(a: "np.ndarray", b: "np.ndarray", n: int) -> "np.ndarray":
+    """Min-label connected components over edge index arrays (0..n-1).
+
+    Vectorized min-propagation + pointer jumping; converges to each node's
+    minimum reachable index (labels only ever hold indices of nodes inside
+    the same component, and at the fixpoint every edge's endpoints agree,
+    so the shared label is the component's minimum index)."""
+    import numpy as np
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        prev = labels.copy()
+        m = np.minimum(labels[a], labels[b])
+        np.minimum.at(labels, a, m)
+        np.minimum.at(labels, b, m)
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, prev):
+            return labels
+
+
+def _driver_components(
+    spark, edges: DataFrame, base: DataFrame, base_is_endpoints: bool,
+    id_col: str, cluster_col: str,
+) -> DataFrame | None:
+    """Bounded-size single-pass components; ``None`` = use the loop.
+
+    Only engages when the edge list fits the accounted driver budget
+    (min of ``spark.sequila.maxBroadcastBuildRows`` and a 2M-edge cap),
+    ids are integers with no nulls, and — unless ``base`` IS the endpoint
+    set — every endpoint is a member of ``base`` (the loop's label pool is
+    ``base``, so an endpoint outside it changes which minimum wins; that
+    rare shape keeps the loop)."""
+    import numpy as np
+
+    from sequila_native_spark.session import (
+        COMPONENTS_DRIVER_MAX_EDGES,
+        DEFAULT_COMPONENTS_DRIVER_MAX_EDGES,
+        SequilaConf,
+    )
+
+    cap = int(spark.conf.get(
+        COMPONENTS_DRIVER_MAX_EDGES, str(DEFAULT_COMPONENTS_DRIVER_MAX_EDGES)
+    ))
+    if cap <= 0:
+        return None  # fast path disabled: always run the loop
+    bc_cap = SequilaConf.from_spark(spark).max_broadcast_build_rows
+    if bc_cap and bc_cap > 0:
+        cap = min(cap, bc_cap)
+    try:
+        # one bounded job: limit caps the collect at cap+1 rows whatever
+        # the true edge count, so this never risks an unbounded driver
+        # materialization AND avoids a separate count probe (each extra
+        # action re-runs the pair pipeline above the lazy checkpoint)
+        epdf = edges.limit(cap + 1).toPandas()
+    except Exception:
+        return None
+    if len(epdf) > cap:
+        return None
+    if epdf.isna().any().any():
+        return None  # null endpoints: keep the loop's exact null semantics
+    src = epdf["__sq_src"].to_numpy()
+    dst = epdf["__sq_dst"].to_numpy()
+    if src.dtype.kind not in "iu" or dst.dtype.kind not in "iu":
+        return None  # non-integer ids: numpy ordering may not match SQL's
+    vals = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(
+        0, dtype=np.int64
+    )
+    if len(vals) and not base_is_endpoints:
+        # every endpoint must be a base node, else the loop's min is over a
+        # different label pool; one broadcast anti-join probe over base
+        endpoints = spark.createDataFrame(
+            pd.DataFrame({id_col: vals}), schema=base.select(id_col).schema
+        )
+        missing = endpoints.join(base, id_col, "left_anti").limit(1).count()
+        if missing:
+            return None
+    if len(vals):
+        lab = _numpy_components(
+            np.searchsorted(vals, src), np.searchsorted(vals, dst), len(vals)
+        )
+        map_pdf = pd.DataFrame({id_col: vals, cluster_col: vals[lab]})
+        id_type = base.schema[id_col].dataType
+        mapping = spark.createDataFrame(map_pdf).select(
+            F.col(id_col).cast(id_type).alias(id_col),
+            F.col(cluster_col).cast(id_type).alias(cluster_col),
+        )
+        out = base.join(F.broadcast(mapping), id_col, "left").select(
+            id_col,
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+        )
+    else:
+        out = base.withColumn(cluster_col, F.col(id_col))
+    # callers consume the labels several times (keep rule + law joins);
+    # pin like the loop's returned checkpoint so reuse reads blocks
+    # instead of re-running base's distinct per branch
+    return lib_checkpoint(out)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -1165,6 +1269,23 @@ def dedup_clusters(
         base = edges.select(F.col("__sq_src").alias(id_col)).distinct()
     else:
         base = nodes.select(F.col(nodes.columns[0]).alias(id_col)).distinct()
+
+    # r12 fast path (guide §1.2 — pick the algorithm for the actual size):
+    # near-dup edge sets are typically ≪ the corpus (LSH keeps candidates
+    # sparse), and running D rounds of distributed join+agg for a few
+    # thousand edges pays D× scheduling/shuffle latency for no work. When
+    # the edge set fits the same accounted-driver budget the broadcast
+    # index paths use, compute components once in numpy and broadcast-join
+    # the label map back onto ``base`` — bit-identical labels (min id per
+    # component), one pass. Guard + fallback keep the 100 TB shape: past
+    # the cap (or for non-integer ids / edge endpoints outside ``nodes``,
+    # where loop semantics are subtler) the distributed loop runs unchanged.
+    small = _driver_components(
+        pairs.sparkSession, edges, base, nodes is None, id_col, cluster_col
+    )
+    if small is not None:
+        return small
+
     labels, live_ids = _lazy_ckpt(base.withColumn(cluster_col, F.col(id_col)))
 
     def _sig(df: DataFrame) -> int:

@@ -47,6 +47,14 @@ INDEX_AWAIT_DELAY_MS = "spark.sequila.index.awaitDelayMs"
 DEFAULT_INDEX_AWAIT_ATTEMPTS = 5
 DEFAULT_INDEX_AWAIT_DELAY_MS = 200
 
+# r12: dedup_clusters single-pass fast path — edge sets at or below this
+# row count (and within maxBroadcastBuildRows) are clustered in one
+# bounded driver pass instead of D distributed label-propagation rounds;
+# <=0 disables the fast path (the loop always runs). Bit-identical labels
+# either way.
+COMPONENTS_DRIVER_MAX_EDGES = "spark.sequila.componentsDriverMaxEdges"
+DEFAULT_COMPONENTS_DRIVER_MAX_EDGES = 2_000_000
+
 DEFAULT_ALGORITHM = "binning"
 # Engine default: derive the width from the data (geometric mean of the two
 # sides' p95 interval lengths — see operators/interval_join._auto_bin_width).

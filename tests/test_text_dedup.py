@@ -911,17 +911,55 @@ def test_hamming_band_pairs_max_hamming_zero(spark):
 
 def test_dedup_clusters_raises_on_nonconvergence(spark):
     """A chain longer than max_rounds means the returned labels would split
-    one component — must raise, not silently under-delete."""
+    one component — must raise, not silently under-delete. The r12 driver
+    fast path would cluster this tiny graph in one pass, so the loop is
+    forced via its conf knob for this loop-contract check."""
     from sequila_native_spark.functions import dedup_clusters
+    from sequila_native_spark.session import COMPONENTS_DRIVER_MAX_EDGES
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_rounds=3).collect()
-    # ...and exactly-at-budget chains still converge to ONE component
-    out = dedup_clusters(chain, max_rounds=10).collect()
-    assert {r["cluster_id"] for r in out} == {0}
+    spark.conf.set(COMPONENTS_DRIVER_MAX_EDGES, "0")
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(chain, max_rounds=3).collect()
+        # ...and exactly-at-budget chains still converge to ONE component
+        out = dedup_clusters(chain, max_rounds=10).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+    finally:
+        spark.conf.unset(COMPONENTS_DRIVER_MAX_EDGES)
+
+
+def test_dedup_clusters_driver_fast_path_matches_loop(spark):
+    """r12: the bounded driver components pass must label exactly like the
+    distributed loop — same rows, same min-reachable-id clusters — on a
+    graph with chains, a cycle, singleton nodes, and nodes present only in
+    ``nodes=``."""
+    from sequila_native_spark.functions import dedup_clusters
+    from sequila_native_spark.session import COMPONENTS_DRIVER_MAX_EDGES
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (8, 9), (9, 7), (12, 11)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 8, 9, 11, 12, 20, 21]], "doc_id long"
+    )
+    for nodes_arg in (None, nodes):
+        fast = dedup_clusters(pairs, nodes=nodes_arg).collect()
+        spark.conf.set(COMPONENTS_DRIVER_MAX_EDGES, "0")
+        try:
+            loop = dedup_clusters(pairs, nodes=nodes_arg).collect()
+        finally:
+            spark.conf.unset(COMPONENTS_DRIVER_MAX_EDGES)
+        as_set = lambda rows: {(r["doc_id"], r["cluster_id"]) for r in rows}
+        assert as_set(fast) == as_set(loop)
+    # endpoint outside nodes= falls back to the loop (label pool differs);
+    # both invocations here run the loop and must agree
+    small_nodes = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    out = dedup_clusters(pairs, nodes=small_nodes).collect()
+    assert {r["doc_id"] for r in out} >= {2, 3}
 
 
 def test_minhash_pairs_max_bucket_star_preserves_connectivity(spark):
