@@ -59,6 +59,121 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+# ---------------------------------------------------------------------------
+# r12 numpy pair kernels (guide §4.2). Catalyst's higher-order functions
+# (zip_with / aggregate) are CodegenFallback — every pair of a blocked
+# self-join paid three interpreted 64-element folds. These kernels compute
+# the SAME values in numpy, vectorized over pairs, with the summation
+# carried strictly left-to-right over dimensions so every double is
+# bit-identical to the JVM fold (products are elementwise IEEE ops; the
+# accumulation order is the only degree of freedom, and it is preserved).
+# ---------------------------------------------------------------------------
+
+
+def _seq_fold_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot products with the JVM fold's exact summation order:
+    ``((0.0 + a0*b0) + a1*b1) + ...`` per row, vectorized over rows."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+def _rect_seq_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs dot products (|A| x |B|), same sequential fold order."""
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _floor_milli_to_long(dots: np.ndarray, denom_sq: np.ndarray) -> np.ndarray:
+    """``floor(dot / sqrt(greatest(denom_sq, 1e-300)) * 1000)`` as int64
+    with Java ``(long)`` cast semantics mirrored exactly: NaN -> 0,
+    out-of-range saturates at Long.MIN/MAX. (np.maximum propagates NaN like
+    Spark's ``greatest``, which ranks NaN above any double.)"""
+    cm = np.floor(dots / np.sqrt(np.maximum(denom_sq, 1e-300)) * 1000.0)
+    nan = np.isnan(cm)
+    if nan.any():
+        cm = np.where(nan, 0.0, cm)
+    # doubles in [-(2^63), 2^63 - 1024] convert exactly; beyond saturates
+    big, small = cm >= 2.0**63, cm < -(2.0**63)
+    out = np.clip(cm, -(2.0**63), 2.0**63 - 1024).astype(np.int64)
+    if big.any():
+        out[big] = np.iinfo(np.int64).max
+    if small.any():
+        out[small] = np.iinfo(np.int64).min
+    return out
+
+
+def _valid_vec_groups(
+    vecs: "pd.Series",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split rows into per-dimensionality groups of non-null vectors.
+
+    Returns ``[(row_positions, V float64 matrix), ...]`` — one entry per
+    distinct vector length. Mirrors the join semantics: a NULL vector never
+    yields a pair, and ``zip_with`` null-pads mixed-length pairs into a
+    null (then dropped) cosine, so only same-length pairs can survive.
+    In-vector nulls arrive as NaN here and produce a NaN cosine -> milli 0,
+    the same dropped outcome as the JVM for any threshold >= 1 (callers
+    below fall back to the JVM plan for thresholds < 1)."""
+    vals = vecs.to_numpy()
+    lens: dict[int, list[int]] = {}
+    for pos, v in enumerate(vals):
+        if v is None:
+            continue
+        if isinstance(v, float):  # NaN cell == null vector
+            continue
+        lens.setdefault(len(v), []).append(pos)
+    out = []
+    for ln, positions in lens.items():
+        pos_arr = np.asarray(positions, dtype=np.int64)
+        if ln == 0:
+            # zero-length vectors: dot == 0.0 exactly (empty fold)
+            out.append((pos_arr, np.zeros((len(pos_arr), 0), np.float64)))
+            continue
+        V = np.empty((len(pos_arr), ln), dtype=np.float64)
+        for row, pos in enumerate(pos_arr):
+            V[row] = np.asarray(vals[pos], dtype=np.float64)
+        out.append((pos_arr, V))
+    return out
+
+
+def _pair_chunks(
+    ids: np.ndarray,
+    V: np.ndarray,
+    threshold_milli: int,
+    budget: int = 1 << 22,
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Surviving within-group pairs, streamed in bounded chunks.
+
+    Yields ``(i_pos, j_pos, cos_milli)`` for unordered row pairs with
+    ``cos_milli >= threshold_milli`` and distinct ids — the exact row set
+    of the blocked self-join (each unordered pair evaluated once; the
+    caller orients ids). Never materializes more than ``budget`` candidate
+    cells at a time, so a giant block streams like the join would instead
+    of allocating O(n^2) at once."""
+    n = len(ids)
+    if n < 2:
+        return
+    na = _seq_fold_dots(V, V)
+    rows_per_chunk = max(1, budget // n)
+    for i0 in range(0, n - 1, rows_per_chunk):
+        i1 = min(i0 + rows_per_chunk, n - 1)
+        j0 = i0 + 1
+        dots = _rect_seq_dots(V[i0:i1], V[j0:])
+        cm = _floor_milli_to_long(
+            dots, na[i0:i1, None] * na[None, j0:]
+        )
+        gi = np.arange(i0, i1)[:, None]
+        gj = np.arange(j0, n)[None, :]
+        keep = (gj > gi) & (cm >= threshold_milli) & (ids[gi] != ids[gj])
+        ki, kj = np.nonzero(keep)
+        if ki.size:
+            yield gi[:, 0][ki], gj[0, :][kj], cm[ki, kj]
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,8 +226,60 @@ def near_dup_pairs(
     Rows with a NULL block value never pair (NULL == NULL is NULL in the
     join) — by design: a null block asserts no comparable group. Impute a
     sentinel block first if null-block rows should compare (reviewer, r7).
+
+    r12 (guide §4.2): the per-pair cosine runs in a per-block numpy kernel
+    (``applyInPandas`` — same single exchange on the block column as the
+    former self-join) instead of Catalyst's interpreted ``zip_with`` /
+    ``aggregate`` folds; the summation order is preserved so every
+    ``cos_milli`` is bit-identical (pinned vs the join in
+    tests/test_similarity_multimodal.py). Thresholds < 1 keep the join
+    plan (the one corner where a null vector *element* and a NaN element
+    could diverge).
     """
     df = ensure_parallel(df, [block_col])
+    if threshold_milli >= 1:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        src = df.where(
+            F.col(block_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("__sq_id"),
+            F.col(block_col).alias("__sq_blk"),
+            _as_double(F.col(vec_col)).alias("__sq_v"),
+        )
+        id_t = src.schema["__sq_id"].dataType
+        blk_t = src.schema["__sq_blk"].dataType
+        out_schema = StructType([
+            StructField("id_a", id_t, True),
+            StructField("id_b", id_t, True),
+            StructField(block_col, blk_t, True),
+            StructField("cos_milli", LongType(), True),
+        ])
+        thr = int(threshold_milli)
+
+        def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            blk = pdf["__sq_blk"].iloc[0] if len(pdf) else None
+            for pos, V in _valid_vec_groups(pdf["__sq_v"]):
+                ids = pdf["__sq_id"].to_numpy()[pos]
+                for gi, gj, cm in _pair_chunks(ids, V, thr):
+                    ia, ib = ids[gi], ids[gj]
+                    swap = ib < ia
+                    parts.append(pd.DataFrame({
+                        "id_a": np.where(swap, ib, ia),
+                        "id_b": np.where(swap, ia, ib),
+                        block_col: blk,
+                        "cos_milli": cm,
+                    }))
+            if not parts:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in
+                     ("id_a", "id_b", block_col)} | {
+                        "cos_milli": pd.Series(dtype=np.int64)}
+                )
+            return pd.concat(parts, ignore_index=True)
+
+        return src.groupBy("__sq_blk").applyInPandas(pair_block, out_schema)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__sq_blk"),
@@ -176,7 +343,73 @@ def embedding_dups_against_corpus(
             _as_double(F.col(vec_col)).alias("__sq_cv"),
         )
     )
-    if block_col is None:
+    if block_col is None and threshold_milli >= 1:
+        # r12 (guide §4.2): the broadcast-batch plan, with the per-pair
+        # cosines computed by the numpy kernel inside a mapInPandas corpus
+        # scan instead of a crossJoin of interpreted JVM folds. Same
+        # broadcast-scale assumption as the crossJoin (now with the
+        # accounted-rows guard: an over-cap batch falls back to the JVM
+        # plan instead of an unguarded driver collect), bit-identical
+        # cos_milli (sequential fold; pinned in tests). Thresholds < 1
+        # keep the JVM plan — see :func:`near_dup_pairs`.
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from sequila_native_spark.session import SequilaConf
+
+        cap = SequilaConf.from_spark(batch.sparkSession).max_broadcast_build_rows
+        if cap is not None and cap > 0:
+            bpdf = b.limit(int(cap) + 1).toPandas()
+            small = len(bpdf) <= cap
+        else:
+            bpdf = b.toPandas()
+            small = True
+        if small:
+            ids_all = bpdf["batch_id"].to_numpy()
+            groups = [
+                (ids_all[pos], B, _seq_fold_dots(B, B))
+                for pos, B in _valid_vec_groups(bpdf["__sq_bv"])
+            ]
+            bc = batch.sparkSession.sparkContext.broadcast(groups)
+            thr = int(threshold_milli)
+            out_schema = StructType([
+                StructField("batch_id", b.schema["batch_id"].dataType, True),
+                StructField("corpus_id", c.schema["corpus_id"].dataType, True),
+                StructField("cos_milli", LongType(), True),
+            ])
+
+            def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                grs = bc.value
+                for pdf in batches:
+                    if pdf.empty or not grs:
+                        continue
+                    cids_all = pdf["corpus_id"].to_numpy()
+                    parts = []
+                    for pos, V in _valid_vec_groups(pdf["__sq_cv"]):
+                        na = _seq_fold_dots(V, V)
+                        cids = cids_all[pos]
+                        for ids_b, B, nb in grs:
+                            if B.shape[1] != V.shape[1]:
+                                continue  # zip_with null-pads -> dropped
+                            rc = max(1, (1 << 22) // max(len(ids_b), 1))
+                            for r0 in range(0, len(cids), rc):
+                                r1 = min(r0 + rc, len(cids))
+                                dots = _rect_seq_dots(V[r0:r1], B)
+                                cm = _floor_milli_to_long(
+                                    dots, na[r0:r1, None] * nb[None, :]
+                                )
+                                ki, kj = np.nonzero(cm >= thr)
+                                if ki.size:
+                                    parts.append(pd.DataFrame({
+                                        "batch_id": ids_b[kj],
+                                        "corpus_id": cids[r0:r1][ki],
+                                        "cos_milli": cm[ki, kj],
+                                    }))
+                    if parts:
+                        yield pd.concat(parts, ignore_index=True)
+
+            return c.mapInPandas(probe, schema=out_schema)
+        pairs = c.crossJoin(F.broadcast(b))
+    elif block_col is None:
         pairs = c.crossJoin(F.broadcast(b))
     else:
         pairs = c.join(b, F.col("__sq_blk_c") == F.col("__sq_blk_b"))
@@ -282,33 +515,72 @@ def semantic_dedup(
         assigned.join(vecs, "__sq_id"), ["__sq_cell"]
     ).select("__sq_id", "__sq_cell", "cent_sim_milli", "__sq_v")
 
-    a = t.select(
-        F.col("__sq_id").alias("id_a"),
-        F.col("__sq_cell").alias("__sq_cell"),
-        F.col("cent_sim_milli").alias("cent_a"),
-        F.col("__sq_v").alias("__sq_va"),
-    )
-    b = t.select(
-        F.col("__sq_id").alias("id_b"),
-        F.col("__sq_cell").alias("__sq_cell_b"),
-        F.col("cent_sim_milli").alias("cent_b"),
-        F.col("__sq_v").alias("__sq_vb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("__sq_cell") == F.col("__sq_cell_b")) & (F.col("id_a") < F.col("id_b")),
-    ).where(
-        F.floor(cosine(F.col("__sq_va"), F.col("__sq_vb")) * 1000).cast("bigint")
-        >= threshold_milli
-    )
-    loser = (
-        F.when(F.col("cent_a") > F.col("cent_b"), F.col("id_a"))
-        .when(F.col("cent_a") < F.col("cent_b"), F.col("id_b"))
-        .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
-    )
-    drops = pairs.select(loser.alias("__sq_id")).distinct().withColumn(
-        "__sq_drop", F.lit(True)
-    )
+    if threshold_milli >= 1:
+        # r12 (guide §4.2): within-cell pair scan via the numpy kernel —
+        # one exchange on the cell (as the former self-join), bit-identical
+        # cos_milli (sequential fold), and only the LOSER ids leave the
+        # kernel. The loser rule is orientation-free (higher centroid-sim
+        # loses, ties to the higher id), so pairs need no (id_a < id_b)
+        # canonicalization here. Thresholds < 1 keep the join plan — see
+        # :func:`near_dup_pairs`.
+        from pyspark.sql.types import StructField, StructType
+
+        id_t = t.schema["__sq_id"].dataType
+        drop_schema = StructType([StructField("__sq_id", id_t, True)])
+        thr = int(threshold_milli)
+
+        def cell_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            valid = pdf[pdf["__sq_id"].notna()]
+            ids_all = valid["__sq_id"].to_numpy()
+            cents_all = valid["cent_sim_milli"].to_numpy()
+            for pos, V in _valid_vec_groups(valid["__sq_v"].reset_index(drop=True)):
+                ids = ids_all[pos]
+                cents = cents_all[pos]
+                for gi, gj, _cm in _pair_chunks(ids, V, thr):
+                    ca, cb = cents[gi], cents[gj]
+                    loser = np.where(
+                        ca > cb, ids[gi],
+                        np.where(ca < cb, ids[gj], np.maximum(ids[gi], ids[gj])),
+                    )
+                    parts.append(pd.DataFrame({"__sq_id": loser}))
+            if not parts:
+                return pd.DataFrame({"__sq_id": pd.Series(dtype=object)})
+            return pd.concat(parts, ignore_index=True)
+
+        drops = (
+            t.groupBy("__sq_cell").applyInPandas(cell_losers, drop_schema)
+            .distinct().withColumn("__sq_drop", F.lit(True))
+        )
+    else:
+        a = t.select(
+            F.col("__sq_id").alias("id_a"),
+            F.col("__sq_cell").alias("__sq_cell"),
+            F.col("cent_sim_milli").alias("cent_a"),
+            F.col("__sq_v").alias("__sq_va"),
+        )
+        b = t.select(
+            F.col("__sq_id").alias("id_b"),
+            F.col("__sq_cell").alias("__sq_cell_b"),
+            F.col("cent_sim_milli").alias("cent_b"),
+            F.col("__sq_v").alias("__sq_vb"),
+        )
+        pairs = a.join(
+            b,
+            (F.col("__sq_cell") == F.col("__sq_cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        ).where(
+            F.floor(cosine(F.col("__sq_va"), F.col("__sq_vb")) * 1000).cast("bigint")
+            >= threshold_milli
+        )
+        loser = (
+            F.when(F.col("cent_a") > F.col("cent_b"), F.col("id_a"))
+            .when(F.col("cent_a") < F.col("cent_b"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+        )
+        drops = pairs.select(loser.alias("__sq_id")).distinct().withColumn(
+            "__sq_drop", F.lit(True)
+        )
     return (
         assigned.join(drops, "__sq_id", "left")
         .select(
