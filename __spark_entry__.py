@@ -342,10 +342,14 @@ def q_count_overlaps_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_coverage_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A12 coverage kernel as an operator: overlap count + clipped-base sum
+    # A12 coverage kernel as an operator: overlap count + clipped-base sum.
+    # r12: index algorithm — binary searches + prefix sums per probe
+    # against the broadcast build (integer-exact identity, see
+    # coverage._cov_counts), zero shuffle, no pair emission; binning twin
+    # equality pinned in tests/test_coverage_ivf.py.
     return coverage(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
-        on="contig", **_IVL, algorithm="binning",
+        on="contig", **_IVL, algorithm="index",
     )
 
 
@@ -357,7 +361,7 @@ def q_coverage_union_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``union_coverage_per_target`` rows."""
     cov = coverage(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),
-        on="contig", **_IVL, algorithm="binning",
+        on="contig", **_IVL, algorithm="index",
     )
     uni = union_coverage(
         _reads(spark, sf_dir, with_id=False), _targets(spark, sf_dir),

@@ -224,9 +224,20 @@ def minhash_signature_draws(col: Column, k: int = 8, n: int = 3) -> Column:
 
     a_consts, b_consts = _mh_draw_consts(k)
 
+    consts = list(zip(a_consts, b_consts))
+
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
         out = []
+        # r12 (guide §4.2): common shingles repeat heavily across the docs
+        # of a batch — memoize the md5 base + k modular draws per DISTINCT
+        # shingle (pure computation reuse within one Arrow batch, no state
+        # across batches or runs), and take the per-seed min in numpy
+        # instead of a k x |shingles| python generator. Values unchanged:
+        # same digests, same draws, min over the same set.
+        memo: dict[str, np.ndarray] = {}
         for t in texts:
             if t is None or (isinstance(t, float) and pd.isna(t)):
                 out.append([])  # NULL text: no shingles -> banding drops it
@@ -236,16 +247,20 @@ def minhash_signature_draws(col: Column, k: int = 8, n: int = 3) -> Column:
                 out.append([])
                 continue
             sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            bases = [
-                int.from_bytes(hashlib.md5(x.encode()).digest()[8:16], "little")
-                for x in sh
-            ]
-            out.append(
-                [
-                    min((a * h + b) % _MH_P for h in bases)
-                    for a, b in zip(a_consts, b_consts)
-                ]
-            )
+            rows = np.empty((len(sh), k), dtype=np.int64)
+            for i, x in enumerate(sh):
+                v = memo.get(x)
+                if v is None:
+                    h = int.from_bytes(
+                        hashlib.md5(x.encode()).digest()[8:16], "little"
+                    )
+                    v = np.array(
+                        [(a * h + b) % _MH_P for a, b in consts],
+                        dtype=np.int64,
+                    )
+                    memo[x] = v
+                rows[i] = v
+            out.append(rows.min(axis=0).tolist())
         return pd.Series(out)
 
     return sig(col)
@@ -295,26 +310,43 @@ def minhash_signature_vectorized(col: Column, k: int = 8, n: int = 3) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
-            for t in texts:
-                if t is None or (isinstance(t, float) and pd.isna(t)):
-                    out.append([])  # NULL text: no shingles
-                    continue
-                toks = t.lower().split(" ")
-                if len(toks) < n:
-                    out.append([])
-                    continue
-                sh = list(
-                    {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                )
-                base = pd.util.hash_array(
-                    np.asarray(sh, dtype=object)
-                ).astype(np.uint64)
+        # r12 (guide §4.2): one hash_array call + one reduceat over the
+        # whole batch's concatenated shingles instead of per-doc calls —
+        # hash_array is elementwise (fixed key), so every base hash, draw,
+        # and per-seed min is value-identical to the per-doc loop.
+        flat: list[str] = []
+        counts: list[int] = []
+        marks: list[int] = []  # shingle count per doc; -1 = NULL/short
+        for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                marks.append(-1)  # NULL text: no shingles
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                marks.append(-1)
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            marks.append(len(sh))
+            counts.append(len(sh))
+            flat.extend(sh)
+        if flat:
+            base = pd.util.hash_array(
+                np.asarray(flat, dtype=object)
+            ).astype(np.uint64)
+            with np.errstate(over="ignore"):  # uint64 wrap is the semantics
                 vals = mult[:, None] * base[None, :] + add[:, None]
-                out.append(
-                    (vals.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
-                )
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals, offsets, axis=1)
+            shifted = (mins >> np.uint64(1)).astype(np.int64)
+        out = []
+        vi = 0
+        for m in marks:
+            if m < 0:
+                out.append([])
+            else:
+                out.append(shifted[:, vi].tolist())
+                vi += 1
         return pd.Series(out)
 
     return sig(col)

@@ -179,11 +179,15 @@ def count_overlaps(
     raise AssertionError(f"unreachable algorithm {algo}")
 
 
-def _build_count_entry(starts: np.ndarray, ends: np.ndarray) -> tuple:
-    """One key group's count-index from unsorted arrays (pandas build path):
-    sort by start, then share :func:`_entry_from_sorted`."""
+def _build_count_entry(
+    starts: np.ndarray, ends: np.ndarray, entry_from_sorted=None
+) -> tuple:
+    """One key group's index entry from unsorted arrays (pandas build
+    path): sort by start, then apply the entry factory (default
+    :func:`_entry_from_sorted`; coverage passes its own)."""
+    fn = entry_from_sorted or _entry_from_sorted
     order = np.argsort(starts, kind="stable")
-    return _entry_from_sorted(starts[order], ends[order])
+    return fn(starts[order], ends[order])
 
 
 def _as_dtype(v: np.ndarray, dt) -> np.ndarray:
@@ -292,9 +296,12 @@ def _entry_from_sorted(starts_s: np.ndarray, ends_by_start: np.ndarray) -> tuple
 
 
 def _build_count_index(
-    lb: DataFrame, l_keys, *, single_job: bool = False, use_arrow: bool = False
+    lb: DataFrame, l_keys, *, single_job: bool = False,
+    use_arrow: bool = False, entry_from_sorted=None,
 ) -> dict[tuple, tuple]:
-    """Collect the build side (guarded) into per-key count entries.
+    """Collect the build side (guarded) into per-key index entries
+    (``entry_from_sorted`` is the per-group factory; default
+    :func:`_entry_from_sorted`, the count kernel's).
 
     ``single_job=True``: collect through ``limit(cap+1)`` — the limit caps
     the driver materialization at cap+1 rows whatever the true build size,
@@ -306,6 +313,7 @@ def _build_count_index(
     objects, no pandas groupby. Measured 10.9 s → ~3 s on a 7.5M-row build
     (guide §4.2: hand whole batches to vectorized native code).
     """
+    entry_fn = entry_from_sorted or _entry_from_sorted
     if use_arrow and single_job and len(l_keys) <= 1:
         from sequila_native_spark.session import SequilaConf
 
@@ -341,10 +349,10 @@ def _build_count_index(
             for i in range(len(run_starts) - 1):
                 lo, hi = run_starts[i], run_starts[i + 1]
                 key = (enc.dictionary[int(sc[lo])].as_py(),)
-                index[key] = _entry_from_sorted(ss[lo:hi], es[lo:hi])
+                index[key] = entry_fn(ss[lo:hi], es[lo:hi])
         else:
             order = np.argsort(starts, kind="stable")
-            index[()] = _entry_from_sorted(starts[order], ends[order])
+            index[()] = entry_fn(starts[order], ends[order])
         return index
 
     if single_job:
@@ -373,7 +381,8 @@ def _build_count_index(
             if l_keys and not isinstance(key, tuple):
                 key = (key,)
             index[key] = _build_count_entry(
-                grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64)
+                grp[_LS].to_numpy(np.int64), grp[_LE].to_numpy(np.int64),
+                entry_fn,
             )
     return index
 

@@ -20,15 +20,23 @@ aggregation on the probe id, left join back so zero-coverage rows survive.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from sequila_native_spark.operators.interval_join import (
     _LE,
     _LS,
     _RE,
     _RS,
+    BuildSideTooLargeError,
     _binned_pairs,
+    _probe_spans,
     _with_bounds,
 )
 from sequila_native_spark.operators.intervals import overlap_predicate, validate_sides
@@ -36,6 +44,232 @@ from sequila_native_spark.session import SequilaConf, parse_algorithm
 from sequila_native_spark.util import stamp_row_id
 
 _PID = "__sq_probe_id"
+
+
+def _cov_entry_from_sorted(starts_s: np.ndarray, ends_by_start: np.ndarray) -> tuple:
+    """Coverage-index entry from arrays already sorted by start.
+
+    Like the count kernel's entry (inverted rows split into their own tiny
+    subset — see count_overlaps._entry_from_sorted) plus the two prefix-sum
+    arrays the clipped-base identity needs: ``Σ_overlaps min(le, qe) −
+    Σ_overlaps max(ls, qs) + count`` decomposes over the same two prefix
+    sets as the count (``{ls <= qe}`` minus ``{le < qs}``), so per probe the
+    covered-base total is a handful of binary searches + prefix-sum
+    lookups. All-integer arithmetic — exact, order-independent, identical
+    to the pair join's ``sum(clipped)``. Entry: ``(reg_starts_sorted,
+    reg_ends_by_start, reg_ends_sorted, prefix_ls, prefix_le_sorted,
+    inv_starts_sorted, inv_ends_by_start)``."""
+    starts_s = starts_s.astype(np.int64, copy=False)
+    ends_by_start = ends_by_start.astype(np.int64, copy=False)
+    inv_mask = starts_s > ends_by_start
+    if inv_mask.any():
+        reg_s, reg_e = starts_s[~inv_mask], ends_by_start[~inv_mask]
+        inv_s, inv_e = starts_s[inv_mask], ends_by_start[inv_mask]
+    else:
+        reg_s, reg_e = starts_s, ends_by_start
+        inv_s = inv_e = starts_s[:0]
+    e_sorted = np.sort(reg_e)
+    ps_ls = np.zeros(len(reg_s) + 1, dtype=np.int64)
+    np.cumsum(reg_s, out=ps_ls[1:])
+    ps_le = np.zeros(len(e_sorted) + 1, dtype=np.int64)
+    np.cumsum(e_sorted, out=ps_le[1:])
+    return (reg_s, reg_e, e_sorted, ps_ls, ps_le, inv_s, inv_e)
+
+
+def _mask_cov(
+    starts_s: np.ndarray, ends_bs: np.ndarray, qs: np.ndarray, qe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-probe (count, clipped-base sum) via the candidate-mask
+    kernel — the inverted-row path (no overlap implication assumed)."""
+    runmax = np.maximum.accumulate(ends_bs)
+    cand, rep = _probe_spans(starts_s, ends_bs, runmax, qs, qe)
+    cnt = np.bincount(rep, minlength=len(qs)).astype(np.int64)
+    cov = np.zeros(len(qs), dtype=np.int64)
+    if cand.size:
+        clip = (
+            np.minimum(ends_bs[cand].astype(np.int64), qe[rep])
+            - np.maximum(starts_s[cand].astype(np.int64), qs[rep]) + 1
+        )
+        np.add.at(cov, rep, clip)
+    return cnt, cov
+
+
+def _cov_counts(
+    entry: tuple, qs: np.ndarray, qe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-probe (overlap count, covered bases) against one key group.
+
+    Fast path (non-inverted): with ``A = {ls <= qe}``, ``B = {le < qs}``
+    (``B ⊆ A`` for any regular build row and regular probe), the overlap
+    set is ``A − B`` and::
+
+        count   = |A| − |B|
+        Σ min(le, qe) = Σ_{le<=qe} le + qe·(|A| − #{le<=qe}) − Σ_{le<qs} le
+        Σ max(ls, qs) = Σ_{qs<=ls<=qe} ls + qs·(#{ls<qs} − |B|)
+        covered = Σ min(le, qe) − Σ max(ls, qs) + count
+
+    (``{le <= qe} ⊆ A`` and ``{ls < qs} ⊇ B`` make every term a prefix
+    range of one of the two sort orders.) Inverted rows/probes go through
+    the exact candidate-mask kernel, as in the count kernel."""
+    reg_s, reg_e, e_sorted, ps_ls, ps_le, inv_s, inv_e = entry
+    n = len(qs)
+    cnt = np.zeros(n, dtype=np.int64)
+    cov = np.zeros(n, dtype=np.int64)
+    p_inv = qs > qe
+    p_reg = ~p_inv
+    if p_reg.any():
+        if len(reg_s):
+            a = qs[p_reg].astype(np.int64, copy=False)
+            b = qe[p_reg].astype(np.int64, copy=False)
+            iA = np.searchsorted(reg_s, b, side="right")
+            iB = np.searchsorted(e_sorted, a, side="left")
+            c = iA - iB
+            i_le = np.searchsorted(e_sorted, b, side="right")
+            sum_min = ps_le[i_le] + b * (iA - i_le) - ps_le[iB]
+            i_lt = np.searchsorted(reg_s, a, side="left")
+            sum_max = (ps_ls[iA] - ps_ls[i_lt]) + a * (i_lt - iB)
+            cnt[p_reg] = c
+            cov[p_reg] = sum_min - sum_max + c
+        if len(inv_s):
+            c2, v2 = _mask_cov(inv_s, inv_e, qs[p_reg], qe[p_reg])
+            cnt[p_reg] += c2
+            cov[p_reg] += v2
+    if p_inv.any():
+        for ss, ee in ((reg_s, reg_e), (inv_s, inv_e)):
+            if len(ss):
+                c2, v2 = _mask_cov(ss, ee, qs[p_inv], qe[p_inv])
+                cnt[p_inv] += c2
+                cov[p_inv] += v2
+    return cnt, cov
+
+
+def _index_coverage(
+    lb, right_orig, l_keys, r_keys, right_start, right_end,
+    strict, check, count_col, cover_col, right_out_cols,
+):
+    """Broadcast build arrays, streaming vectorized probe, zero shuffle —
+    the coverage twin of count_overlaps._index_count (same Arrow probe
+    gate, same guarded single-job build collect)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sequila_native_spark.operators.count_overlaps import (
+        _arrow_simple_key,
+        _build_count_index,
+    )
+
+    rb = _with_bounds(right_orig, right_start, right_end, _RS, _RE, strict, check)
+    use_arrow = len(l_keys) <= 1 and all(
+        _arrow_simple_key(lb.schema[k].dataType)
+        and _arrow_simple_key(right_orig.schema[rk].dataType)
+        for k, rk in zip(l_keys, r_keys)
+    )
+    index = _build_count_index(
+        lb, l_keys, single_job=True, use_arrow=use_arrow,
+        entry_from_sorted=_cov_entry_from_sorted,
+    )
+
+    bc = lb.sparkSession.sparkContext.broadcast(index)
+    out_schema = StructType(
+        list(right_orig.schema.fields)
+        + [StructField(count_col, LongType(), False),
+           StructField(cover_col, LongType(), False)]
+    )
+    keys = list(r_keys)
+
+    if use_arrow:
+        kname = keys[0] if keys else None
+        out_names = list(right_out_cols)
+
+        def probe_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            idx_map = bc.value
+            i_rs = i_re = i_k = None
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                if i_rs is None:
+                    i_rs = batch.schema.get_field_index(_RS)
+                    i_re = batch.schema.get_field_index(_RE)
+                    i_k = (
+                        batch.schema.get_field_index(kname)
+                        if kname is not None else None
+                    )
+                cnt_arr = np.zeros(n, dtype=np.int64)
+                cov_arr = np.zeros(n, dtype=np.int64)
+                rs_col, re_col = batch.column(i_rs), batch.column(i_re)
+                valid = pc.and_(pc.is_valid(rs_col), pc.is_valid(re_col))
+                qs = pc.fill_null(rs_col, 0).to_numpy(zero_copy_only=False)
+                qe = pc.fill_null(re_col, 0).to_numpy(zero_copy_only=False)
+                qs = qs.astype(np.int64, copy=False)
+                qe = qe.astype(np.int64, copy=False)
+                vmask = valid.to_numpy(zero_copy_only=False)
+                if i_k is not None:
+                    enc = pc.dictionary_encode(batch.column(i_k))
+                    codes = pc.fill_null(enc.indices, -1).to_numpy(
+                        zero_copy_only=False
+                    )
+                    for i in range(len(enc.dictionary)):
+                        entry = idx_map.get((enc.dictionary[i].as_py(),))
+                        if entry is None:
+                            continue
+                        pos = np.flatnonzero((codes == i) & vmask)
+                        if pos.size:
+                            cnt_arr[pos], cov_arr[pos] = _cov_counts(
+                                entry, qs[pos], qe[pos]
+                            )
+                else:
+                    entry = idx_map.get(())
+                    if entry is not None:
+                        pos = np.flatnonzero(vmask)
+                        if pos.size:
+                            cnt_arr[pos], cov_arr[pos] = _cov_counts(
+                                entry, qs[pos], qe[pos]
+                            )
+                sel = batch.select(out_names)
+                yield pa.RecordBatch.from_arrays(
+                    [*sel.columns,
+                     pa.array(cnt_arr, type=pa.int64()),
+                     pa.array(cov_arr, type=pa.int64())],
+                    names=[*out_names, count_col, cover_col],
+                )
+
+        return rb.mapInArrow(probe_arrow, schema=out_schema).select(
+            *right_out_cols, count_col, cover_col
+        )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_map = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cnt_arr = np.zeros(len(pdf), dtype=np.int64)
+            cov_arr = np.zeros(len(pdf), dtype=np.int64)
+            has_null = pdf[_RS].isna() | pdf[_RE].isna()
+            qs_all = pdf[_RS].fillna(0).to_numpy(np.int64)
+            qe_all = pdf[_RE].fillna(0).to_numpy(np.int64)
+            groups = pdf.groupby(keys, sort=False) if keys else [((), pdf)]
+            for key, grp in groups:
+                if keys and not isinstance(key, tuple):
+                    key = (key,)
+                entry = idx_map.get(key)
+                if entry is None:
+                    continue
+                pos = pdf.index.get_indexer(grp.index)
+                pos = pos[~has_null.to_numpy()[pos]]
+                if not pos.size:
+                    continue
+                cnt_arr[pos], cov_arr[pos] = _cov_counts(
+                    entry, qs_all[pos], qe_all[pos]
+                )
+            out = pdf[right_out_cols].reset_index(drop=True)
+            out[count_col] = cnt_arr
+            out[cover_col] = cov_arr
+            yield out
+
+    return rb.mapInPandas(probe, schema=out_schema).select(
+        *right_out_cols, count_col, cover_col
+    )
 
 
 def coverage(
@@ -72,6 +306,16 @@ def coverage(
     right_out_cols = list(right.columns)
 
     lb = _with_bounds(left, left_start, left_end, _LS, _LE, strict, check)
+
+    if algo == "index":
+        try:
+            return _index_coverage(
+                lb, right, l_keys, r_keys, right_start, right_end,
+                strict, check, count_col, cover_col, right_out_cols,
+            )
+        except BuildSideTooLargeError:
+            algo = "binning"  # accounted-memory fallback, never a blind collect
+
     right = stamp_row_id(right, _PID)
     rb = _with_bounds(right, right_start, right_end, _RS, _RE, strict, check)
 

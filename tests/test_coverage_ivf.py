@@ -12,7 +12,7 @@ from _testdata import SF0_001
 SF = SF0_001
 
 
-@pytest.mark.parametrize("algorithm", ["naive", "binning"])
+@pytest.mark.parametrize("algorithm", ["naive", "binning", "index"])
 def test_coverage_golden(spark, reads, targets, algorithm):
     out = coverage(
         reads, targets, on="contig",
@@ -84,6 +84,38 @@ def test_union_vs_depth_coverage(spark, reads, targets):
     # chr1 100-190 overlapped by (150,250),(190,300): union [150,190] = 41
     # (depth counts 41 + 1 = 42 because base 190 is under two reads)
     assert u[("chr1", 100)] == 41 and d[("chr1", 100)] == 42
+
+
+def test_coverage_index_matches_binning_randomized(spark):
+    """r12: the index algorithm's prefix-sum identity must reproduce the
+    pair join exactly — randomized intervals incl. zero-length (inverted
+    after strict), null keys/bounds, both strict modes, and keyless."""
+    import random
+
+    random.seed(7)
+    rows_l = []
+    for _ in range(600):
+        c = f"chr{random.randint(0, 2)}" if random.random() > 0.02 else None
+        s = random.randint(0, 800)
+        e = s + (random.randint(0, 60) if random.random() > 0.1 else 0)
+        rows_l.append((c, s if random.random() > 0.02 else None, e))
+    rows_r = []
+    for i in range(400):
+        c = f"chr{random.randint(0, 2)}" if random.random() > 0.02 else None
+        s = random.randint(0, 800)
+        e = s + random.randint(0, 60)
+        rows_r.append((i, c, s, e if random.random() > 0.02 else None))
+    L = spark.createDataFrame(rows_l, "contig string, pos_start int, pos_end int")
+    R = spark.createDataFrame(
+        rows_r, "rid int, contig string, pos_start int, pos_end int"
+    )
+    for strict in (False, True):
+        a = coverage(L, R, on="contig", strict=strict, algorithm="binning")
+        b = coverage(L, R, on="contig", strict=strict, algorithm="index")
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    a = coverage(L.drop("contig"), R.drop("contig"), on=None, algorithm="binning")
+    b = coverage(L.drop("contig"), R.drop("contig"), on=None, algorithm="index")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
 
 
 def test_coverage_zero_rows_survive(spark):
