@@ -38,6 +38,10 @@ document-drop vs mask) is pipeline-specific.
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +72,45 @@ def _gram_key(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
 
 
+def _positioned_gram_keys(col: Column, n: int) -> Column:
+    """``array<long>`` of ``_gram_key(positioned_shingles(col, n))`` in
+    order — one Arrow pass (r12, guide §4.2).
+
+    Catalyst evaluated the gram ``transform`` interpreted (n ``element_at``
+    + ``concat_ws`` per gram, no codegen) and then shipped every ~50-byte
+    gram string into the explode just to md5 it. Tokenize + n-gram join +
+    md5 + hex-prefix int here run at C speed and only the int64 keys leave
+    the pass. Bit-identical to the expression chain (same UTF-8 md5, same
+    15-hex-char prefix; ``str.lower()``/single-space split parity with the
+    SQL twins is the house :func:`~sequila_native_spark.functions.dedup.
+    shingles_fast` contract, pinned in tests)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                out.append([])
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append([
+                int(
+                    hashlib.md5(
+                        " ".join(toks[i : i + n]).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for i in range(len(toks) - n + 1)
+            ])
+        return pd.Series(out)
+
+    return keys(col)
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     *,
@@ -96,10 +139,10 @@ def duplicated_span_stats(
     src = ensure_parallel(docs.select(id_col, text_col))
     positioned = src.select(
         F.col(id_col),
-        F.posexplode(positioned_shingles(F.col(text_col), n)).alias(
-            "__pos", "__gram"
+        F.posexplode(_positioned_gram_keys(F.col(text_col), n)).alias(
+            "__pos", "__key"
         ),
-    ).select(id_col, "__pos", _gram_key(F.col("__gram")).alias("__key"))
+    )
 
     dup_keys = (
         positioned.groupBy("__key")
@@ -242,10 +285,10 @@ def remove_duplicate_spans(
     src = ensure_parallel(docs.select(id_col, text_col))
     positioned = src.select(
         F.col(id_col),
-        F.posexplode(positioned_shingles(F.col(text_col), n)).alias(
-            "__pos", "__gram"
+        F.posexplode(_positioned_gram_keys(F.col(text_col), n)).alias(
+            "__pos", "__key"
         ),
-    ).select(id_col, "__pos", _gram_key(F.col("__gram")).alias("__key"))
+    )
     dup_keys = (
         positioned.groupBy("__key")
         .agg(F.count(F.lit(1)).alias("__cnt"))
