@@ -43,6 +43,8 @@ import math
 from collections import Counter
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -368,58 +370,63 @@ def trigram_perplexity_score(
     transition in milli-nats; a transition here is ``w_i | w_{i−2},
     w_{i−1}``, so docs with < 3 tokens score NULL with 0 transitions).
 
-    Plan: the bigram plan plus ONE more broadcast join — in-scan triple
-    assembly → explode → broadcast trigram join, broadcast bigram
-    fallback, broadcast unigram backoff, OOV floor → map-side-combinable
-    ``groupBy(doc)``. All three model tables are sample-bounded.
+    Plan (r12, guide §4.2): the model is still broadcast and the corpus
+    still never shuffles a transition — but the per-transition work runs
+    in ONE Arrow pass against the broadcast model DICTS (exactly the
+    pinned reference logic, :func:`trigram_perplexity_score_py`) instead
+    of a 3-token struct explode through three string-keyed broadcast
+    joins. Only (doc, n_transitions, Σ lp) integer partials leave the
+    pass; the ``groupBy(doc)`` then aggregates doc-sized rows, not
+    transition-sized ones. Integer sums are order-independent, so every
+    output value is identical to the join plan's.
     """
     spark = docs.sparkSession
-    tri_rows = [(u, p, w, m) for (u, p, w), m in model.trigram.items()]
-    bi_rows = [(p, w, m) for (p, w), m in model.bigram.items()]
-    uni_rows = list(model.backoff.items())
-    tri_tbl = F.broadcast(
-        spark.createDataFrame(
-            tri_rows or [("", "", "", 0)],
-            "ctx2 string, prev string, word string, __sq_tri bigint",
-        ).where(F.lit(bool(tri_rows)))
+    bc = spark.sparkContext.broadcast(
+        (model.trigram, model.bigram, model.backoff, int(model.oov_milli))
     )
-    bi_tbl = F.broadcast(
-        spark.createDataFrame(
-            bi_rows or [("", "", 0)],
-            "prev string, word string, __sq_bi bigint",
-        ).where(F.lit(bool(bi_rows)))
-    )
-    uni_tbl = F.broadcast(
-        spark.createDataFrame(
-            uni_rows or [("", 0)], "word string, __sq_uni bigint"
-        ).where(F.lit(bool(uni_rows)))
-    )
-    toks = tokens(F.col(text_col))
-    exploded = docs.select(
-        F.col(id_col), F.explode(_trigram_col(toks)).alias("__sq_tg")
-    ).select(
-        id_col,
-        F.col("__sq_tg.ctx2").alias("ctx2"),
-        F.col("__sq_tg.prev").alias("prev"),
-        F.col("__sq_tg.word").alias("word"),
-    )
+
+    @F.pandas_udf("n_transitions bigint, lp_sum bigint")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        tri, bi, uni, oov = bc.value
+        ns: list[int] = []
+        sums: list[int | None] = []
+        for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                ns.append(0)
+                sums.append(None)
+                continue
+            toks = t.lower().split(" ")
+            if len(toks) < 3:
+                ns.append(0)
+                sums.append(None)
+                continue
+            total = 0
+            for u, p, w in zip(toks, toks[1:], toks[2:]):
+                lp = tri.get((u, p, w))
+                if lp is None:
+                    lp = bi.get((p, w))
+                if lp is None:
+                    lp = uni.get(w, oov)
+                total += lp
+            ns.append(len(toks) - 2)
+            sums.append(total)
+        return pd.DataFrame({"n_transitions": ns, "lp_sum": sums})
+
+    # No filter on the UDF output here: a predicate over a UDF-computed
+    # column makes the optimizer DUPLICATE the ArrowEvalPython node (one
+    # copy under the pushed filter, one in the projection — guide §4.4),
+    # scoring every document twice. Unscoreable docs aggregate to
+    # (n_transitions=0, lp_sum=NULL), which the final projection maps to
+    # the same NULL row the old filtered plan produced.
     scored = (
-        exploded.join(tri_tbl, ["ctx2", "prev", "word"], "left")
-        .join(bi_tbl, ["prev", "word"], "left")
-        .join(uni_tbl, "word", "left")
-        .select(
-            id_col,
-            F.coalesce(
-                "__sq_tri", "__sq_bi", "__sq_uni",
-                F.lit(int(model.oov_milli)),
-            ).alias("__sq_lp"),
-        )
+        docs.select(F.col(id_col), _score(F.col(text_col)).alias("__sq_sc"))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-            F.sum("__sq_lp").cast("bigint").alias("__sq_sum"),
+            F.sum("__sq_sc.n_transitions").cast("bigint").alias("n_transitions"),
+            F.sum("__sq_sc.lp_sum").cast("bigint").alias("__sq_sum"),
         )
     )
+    toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))

@@ -242,16 +242,33 @@ def test_trigram_separates_fluent_from_shuffled_more_than_bigram(
     assert (t_shuf - t_orig) / t_orig >= (b_shuf - b_orig) / b_orig
 
 
-def test_trigram_plan_broadcasts_all_three_model_tables(spark, corpus, tri_model):
-    """One more broadcast join than the bigram plan, same shape: all three
-    sample-bounded model tables broadcast, transitions reduced with a
-    partial aggregation — the corpus is never shuffled against the model."""
+def test_trigram_plan_scores_in_scan_no_transition_shuffle(spark, corpus, tri_model):
+    """r12 shape: the model rides a broadcast VARIABLE into one Arrow pass
+    over the corpus scan (no transition explode, no string-keyed joins);
+    the only exchanges are the doc-sized partial aggregation and the
+    broadcast of the per-doc stats back onto the base — the corpus is
+    still never shuffled against the model, and nothing transition-sized
+    ever crosses an exchange."""
     from sequila_native_spark.functions import trigram_perplexity_score
     from sequila_native_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(trigram_perplexity_score(corpus, tri_model))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
-    assert plan.count("HashAggregate") >= 2, plan
+    tree = plan[: plan.find("\n\n(")]
+    # exactly ONE scoring pass: a filter over the UDF column would make the
+    # optimizer duplicate the ArrowEvalPython node (guide §4.4)
+    assert tree.count("ArrowEvalPython") == 1, plan
+    assert "Generate" not in plan, plan  # no transition explode anywhere
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final agg
+    # corpus scan feeds the scoring pass directly — no exchange below it
+    arrow_seen = False
+    for line in tree.splitlines():
+        if "ArrowEvalPython" in line:
+            arrow_seen = True
+        elif arrow_seen and "Scan" in line:
+            break
+        elif arrow_seen and "Exchange" in line:
+            raise AssertionError(f"exchange below the scoring pass:\n{plan}")
+    assert arrow_seen, plan
 
 
 def test_trigram_validation(spark, corpus):
