@@ -1996,6 +1996,14 @@ def q_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # r12 (guide §2.4): stats and removal fold over the SAME duplicated-
+    # starts subtree (duplicated_span_starts); routing both through one
+    # localCheckpoint'd/persisted copy was MEASURED SLOWER-OR-EQUAL here
+    # (interleaved fresh floors: dup-subtree 3.9-4.1 s vs checkpoint
+    # 4.7-7.0 s vs persist 3.9-5.4 s) because the duplicated subtrees'
+    # stages run concurrently while a checkpoint serializes them — so the
+    # independent-computation plan is kept. The shared-starts API remains
+    # (starts=) for compute-dominated corpora; see OPTIMIZATION_r12.md §10.
     stats = duplicated_span_stats(docs, n=4)
     rem = remove_duplicate_spans(docs, n=4).select(
         "doc_id", "lang", "n_kept_tokens"

@@ -111,7 +111,7 @@ def _positioned_gram_keys(col: Column, n: int) -> Column:
     return keys(col)
 
 
-def duplicated_span_stats(
+def duplicated_span_starts(
     docs: DataFrame,
     *,
     n: int = 8,
@@ -119,19 +119,14 @@ def duplicated_span_stats(
     id_col: str = "doc_id",
     min_count: int = 2,
 ) -> DataFrame:
-    """Per-document exact-substring duplication statistics at n-token
-    granularity: ``(id, n_tokens, n_grams, n_dup_grams, dup_tokens)``.
-
-    - ``n_grams``: n-gram instances in the doc (``max(n_tokens - n + 1, 0)``)
-    - ``n_dup_grams``: instances whose gram occurs ≥ ``min_count`` times
-      corpus-wide (within-doc repeats count, as in the paper)
-    - ``dup_tokens``: tokens covered by ≥1 duplicated gram — the union of
-      the fixed-length spans, an exact integer
-
-    Every input document appears in the output (zero stats for clean or
-    too-short docs). ``dup_tokens / n_tokens`` is the paper's duplicated
-    fraction; thresholding it is the dedup filter.
-    """
+    """Per-document sorted start positions of duplicated n-gram instances:
+    ``(id_col, __sq_starts: array<int>)``, one row per document with ≥1
+    duplicated instance. This is the subtree BOTH
+    :func:`duplicated_span_stats` and :func:`remove_duplicate_spans`
+    fold over — callers that need both (e.g. a stats+removal conservation
+    check) can compute it once, ``localCheckpoint`` it, and pass it to
+    each via their ``starts=`` parameter instead of paying the positioned-
+    gram explode and corpus-count shuffle twice (r12, guide §2.4)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
@@ -143,16 +138,25 @@ def duplicated_span_stats(
             "__pos", "__key"
         ),
     )
-
     dup_keys = (
         positioned.groupBy("__key")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .where(F.col("__cnt") >= min_count)
         .select("__key")
     )
+    return (
+        positioned.join(dup_keys, "__key")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__sq_starts"))
+    )
 
-    covered = F.aggregate(
-        F.sort_array(F.collect_list("__pos")),
+
+def _coverage_fold(starts_arr: Column, n: int) -> Column:
+    """Tokens covered by the union of fixed-length spans ``[p, p+n)`` over a
+    SORTED start array — the running two-field fold from the module
+    docstring (covered, last_end)."""
+    return F.aggregate(
+        starts_arr,
         F.struct(
             F.lit(0).cast("bigint").alias("cov"),
             F.lit(-1).cast("bigint").alias("end"),
@@ -166,14 +170,72 @@ def duplicated_span_stats(
         ),
         lambda acc: acc["cov"],
     )
-    per_doc = (
-        positioned.join(dup_keys, "__key")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
-            covered.alias("dup_tokens"),
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document exact-substring duplication statistics at n-token
+    granularity: ``(id, n_tokens, n_grams, n_dup_grams, dup_tokens)``.
+
+    - ``n_grams``: n-gram instances in the doc (``max(n_tokens - n + 1, 0)``)
+    - ``n_dup_grams``: instances whose gram occurs ≥ ``min_count`` times
+      corpus-wide (within-doc repeats count, as in the paper)
+    - ``dup_tokens``: tokens covered by ≥1 duplicated gram — the union of
+      the fixed-length spans, an exact integer
+
+    Every input document appears in the output (zero stats for clean or
+    too-short docs). ``dup_tokens / n_tokens`` is the paper's duplicated
+    fraction; thresholding it is the dedup filter.
+
+    ``starts``: a precomputed :func:`duplicated_span_starts` frame at the
+    SAME ``(n, text_col, id_col, min_count)`` — per-doc n_dup_grams is its
+    array size and dup_tokens the same coverage fold, so the values are
+    bit-identical while the explode+count shuffle is shared with other
+    consumers instead of recomputed.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if starts is not None:
+        per_doc = starts.select(
+            F.col(id_col),
+            F.size("__sq_starts").cast("bigint").alias("n_dup_grams"),
+            _coverage_fold(F.col("__sq_starts"), n).alias("dup_tokens"),
         )
-    )
+    else:
+        src = ensure_parallel(docs.select(id_col, text_col))
+        positioned = src.select(
+            F.col(id_col),
+            F.posexplode(_positioned_gram_keys(F.col(text_col), n)).alias(
+                "__pos", "__key"
+            ),
+        )
+
+        dup_keys = (
+            positioned.groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") >= min_count)
+            .select("__key")
+        )
+
+        per_doc = (
+            positioned.join(dup_keys, "__key")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+                _coverage_fold(
+                    F.sort_array(F.collect_list("__pos")), n
+                ).alias("dup_tokens"),
+            )
+        )
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
@@ -251,6 +313,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     min_count: int = 2,
     kept_col: str = "kept_text",
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """The paper's REMOVAL pass (Lee et al. 2021 §4.2): delete every token
     covered by a duplicated n-gram and keep the rest, preserving order.
@@ -271,6 +334,10 @@ def remove_duplicate_spans(
     tokens) per doc, pure JVM, no Python, no extra shuffle beyond the
     stats plan's own. Removal policy alternatives (drop the whole doc,
     mask) are one expression on the same columns.
+
+    ``starts``: a precomputed :func:`duplicated_span_starts` frame at the
+    SAME ``(n, text_col, id_col, min_count)``, to share that subtree with
+    other consumers (bit-identical output either way).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -282,24 +349,14 @@ def remove_duplicate_spans(
             f"column(s) {sorted(taken)} collide with removal outputs; "
             f"rename them first"
         )
-    src = ensure_parallel(docs.select(id_col, text_col))
-    positioned = src.select(
-        F.col(id_col),
-        F.posexplode(_positioned_gram_keys(F.col(text_col), n)).alias(
-            "__pos", "__key"
-        ),
-    )
-    dup_keys = (
-        positioned.groupBy("__key")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= min_count)
-        .select("__key")
-    )
-    starts = (
-        positioned.join(dup_keys, "__key")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__sq_starts"))
-    )
+    if starts is None:
+        starts = duplicated_span_starts(
+            docs,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            min_count=min_count,
+        )
     out = docs.join(starts, id_col, "left")
     toks = tokens(F.col(text_col))
 

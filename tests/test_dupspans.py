@@ -220,3 +220,30 @@ def test_span_removal_tvf_matches_api(spark):
     assert got == want
     with pytest.raises(ValueError, match="sequila_span_removal takes"):
         sequila_sql(spark, "SELECT * FROM sequila_span_removal('span_docs')")
+
+
+def test_shared_starts_bit_identical(spark):
+    """stats/removal fed a precomputed duplicated_span_starts frame (the
+    r12 shared-subtree path used by q_doc_span_removal) return EXACTLY the
+    rows of the independent computations — on the real corpus."""
+    from sequila_native_spark.functions import (
+        duplicated_span_starts,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    starts = duplicated_span_starts(docs, n=4).localCheckpoint()
+
+    solo_stats = duplicated_span_stats(docs, n=4)
+    shared_stats = duplicated_span_stats(docs, n=4, starts=starts)
+    assert sorted(map(tuple, solo_stats.collect())) == sorted(
+        map(tuple, shared_stats.collect())
+    )
+
+    solo_rem = remove_duplicate_spans(docs, n=4)
+    shared_rem = remove_duplicate_spans(docs, n=4, starts=starts)
+    cols = ["doc_id", "kept_text", "n_tokens", "n_kept_tokens"]
+    assert sorted(map(tuple, solo_rem.select(cols).collect())) == sorted(
+        map(tuple, shared_rem.select(cols).collect())
+    )
+    assert shared_stats.where(F.col("dup_tokens") > 0).count() > 0, "inert"
