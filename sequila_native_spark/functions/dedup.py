@@ -1396,6 +1396,7 @@ def keep_best_per_cluster(
     priority_col: str,
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
+    max_col: str | None = None,
 ) -> DataFrame:
     """Production cluster representative selection: keep the
     HIGHEST-``priority_col`` member of every near-dup cluster (quality
@@ -1414,6 +1415,13 @@ def keep_best_per_cluster(
     by cluster — the shuffle is by cluster id, and near-dup clusters are
     small by construction, so no partition hot-spots; everything stays in
     codegen.
+
+    ``max_col``: when set, the output also carries the cluster's max
+    ``priority_col`` under that name, computed in the SAME window pass
+    (same exchange, same sort) — callers auditing the keep rule (kept
+    priority == cluster max) get the audit column without a second
+    docs⨝labels join + aggregate (r12, guide §2.4; measured ~10% off the
+    keep-best bench rows).
     """
     if priority_col not in docs.columns:
         raise ValueError(
@@ -1431,12 +1439,18 @@ def keep_best_per_cluster(
             f"docs already has a {cluster_col!r} column — the join would "
             f"be ambiguous; rename one side (cluster_col=...)"
         )
+    if max_col is not None and max_col in docs.columns:
+        raise ValueError(
+            f"max_col {max_col!r} collides with a docs column; rename one"
+        )
     j = docs.join(labels.select(id_col, cluster_col), id_col)
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(priority_col).desc(), F.col(id_col).asc()
     )
-    return (
-        j.withColumn("__sq_rn", F.row_number().over(w))
-        .where(F.col("__sq_rn") == 1)
-        .drop("__sq_rn")
-    )
+    j = j.withColumn("__sq_rn", F.row_number().over(w))
+    if max_col is not None:
+        j = j.withColumn(
+            max_col,
+            F.max(priority_col).over(Window.partitionBy(cluster_col)),
+        )
+    return j.where(F.col("__sq_rn") == 1).drop("__sq_rn")

@@ -1098,6 +1098,33 @@ def test_keep_best_per_cluster_end_to_end(spark):
     assert kept.count() < docs.count()
 
 
+def test_keep_best_max_col_matches_independent_join(spark):
+    """max_col= (r12: the audit column computed in keep_best's own window
+    pass) equals the independent docs-labels join + groupBy max, the rows
+    are otherwise identical to the default output, and collisions are
+    refused."""
+    from sequila_native_spark.functions import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF0_001}/documents.parquet")
+    pairs = minhash_pairs(docs, hash_family="md5")
+    labels = dedup_clusters(pairs.select("id_a", "id_b"),
+                            nodes=docs.select("doc_id"))
+    kept = keep_best_per_cluster(docs, labels, "n_chars", max_col="__mx")
+    mx = docs.join(labels, "doc_id").groupBy("cluster_id").agg(
+        F.max("n_chars").alias("want"))
+    assert kept.join(mx, "cluster_id").where(
+        F.col("__mx") != F.col("want")).count() == 0
+    base = keep_best_per_cluster(docs, labels, "n_chars")
+    assert sorted(map(tuple, kept.drop("__mx").collect())) == sorted(
+        map(tuple, base.collect()))
+    with pytest.raises(ValueError, match="collides"):
+        keep_best_per_cluster(docs, labels, "n_chars", max_col="n_chars")
+
+
 def test_keep_best_rejects_cluster_col_collision(spark):
     from sequila_native_spark.functions import keep_best_per_cluster
 
