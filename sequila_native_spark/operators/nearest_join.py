@@ -83,11 +83,15 @@ Algorithms:
        class's true top-k; witness distance is computed in-plan, no kernel.
     3. **Global reduce**: union, dedup ``(probe, build)`` (a pair can meet
        in several shared chunks), ``row_number ≤ k`` over ``(distance,
-       start, end, build_id)``, then two compact joins rehydrate payloads.
-       Probes with no candidate anywhere get null-left padding from the
-       final left join. Per-chunk top-k → global top-k is exact: any
-       globally top-k build sharing a chunk with the probe is top-k within
-       that chunk (local order is a restriction of the global order).
+       start, end, build_id)``, then payload rehydration: when the left
+       output columns are exactly equi-keys + bounds (the common genomic
+       shape) the winner struct and the probe row already carry every
+       value and no join is needed (r12); wider payloads keep the compact
+       id-equi rehydrate join. Probes with no candidate anywhere get
+       null-left padding from the final left join. Per-chunk top-k →
+       global top-k is exact: any globally top-k build sharing a chunk
+       with the probe is top-k within that chunk (local order is a
+       restriction of the global order).
 """
 
 from __future__ import annotations
@@ -244,6 +248,7 @@ def nearest_join(
             conf.resolve_nearest_chunks(spark),
             adaptive=isinstance(raw_chunks, str)
             and raw_chunks.strip().lower() == "auto",
+            payload=(left_start, left_end, strict, check),
         )
     elif algo == "broadcast_probe":
         out = _probe_broadcast_nearest(lb, rb, l_keys, r_keys, out_cols, k, flags)
@@ -665,7 +670,7 @@ _PSUP = "__sq_probe_sup"
 
 def _range_partitioned_nearest(
     lb, rb, l_keys, r_keys, out_cols, k=1, flags=None, n_chunks=32,
-    adaptive=False,
+    adaptive=False, payload=None,
 ):
     """Coordinate-chunked nearest: parallelism = keys × chunks (module
     docstring has the full design + exactness argument).
@@ -678,6 +683,16 @@ def _range_partitioned_nearest(
     window (O(chunks) per key) at k=1, a two-level super-chunk hierarchy
     (O(chunks^1.5·k)) at k>1 — no quadratic term remains (r7);
     ``NEAREST_MAX_CHUNKS`` now only bounds the chunk-domain grid.
+
+    ``payload`` = ``(left_start, left_end, strict, checked)`` from the
+    caller enables the r12 build-payload fast path: when the left output
+    columns are exactly the equi-keys plus the bound columns (the common
+    genomic shape), the winner's payload is reconstructed from the values
+    the candidate rows already carry — key from the probe row (equi-join
+    equality), bounds from the winning struct (+1 on the end under strict
+    normalization; exact because ``checked`` guarantees the normalized
+    bounds equal the originals) — and the build side is never rescanned
+    for rehydration. Wider build payloads keep the id-equi rehydrate join.
     """
     left_cols = [c for c in out_cols if c in lb.columns]
     right_cols = [c for c in out_cols if c not in lb.columns]
@@ -746,8 +761,19 @@ def _range_partitioned_nearest(
     # the target chunk). Volume: ≤ keys × chunks × 2k summary-sized rows;
     # gathered by prefix-min window (k=1) / two-level hierarchy (k>1).
     n_ch = int((int(hi) - int(lo)) // width) + 1
+    # Key domain for the witness grid, taken from the PROBE side (r12,
+    # guide §2.4): witnesses only matter for (key, chunk) groups that hold
+    # probe rows — a build-only key never produces output, and a probe-only
+    # key's grid rows carry all-null minima and are filtered below — so the
+    # probe-derived domain is value-identical to the former build-derived
+    # one while sparing a full build-side scan + distinct. Key values are
+    # renamed (and cast) onto the build-side key names the grid joins use.
+    lkt = {f.name: f.dataType for f in lb.schema.fields}
     dom = (
-        lbid.select(*l_keys).distinct()
+        rb.select(
+            *[F.col(rk).cast(lkt[lk]).alias(lk)
+              for rk, lk in zip(r_keys, l_keys)]
+        ).distinct()
         .select(
             *l_keys,
             F.explode(
@@ -756,51 +782,53 @@ def _range_partitioned_nearest(
         )
     )
 
+    def witnesses_from_minima(s, below):
+        # prefix/suffix MIN WINDOW over the (key, chunk) grid: within a
+        # flank class min() is associative, so min over {chunks < p}
+        # equals the running min of per-chunk minima. O(keys × chunks)
+        # rows total and no inequality join at all (r7; the former
+        # chunk-domain × summaries join was the documented O(chunks²)
+        # term). The window sorts ≤ chunks summary rows per key.
+        s = s.alias("__sq_s")
+        d = dom.alias("__sq_d")
+        sc = lambda c: F.col(f"__sq_s.{c}")  # noqa: E731
+        dc = lambda c: F.col(f"__sq_d.{c}")  # noqa: E731
+        cond = sc(_CH) == dc(_PCH)
+        for lk in l_keys:
+            cond = cond & (sc(lk) == dc(lk))
+        grid = d.join(s, cond, "left").select(
+            *[dc(lk) for lk in l_keys], dc(_PCH),
+            sc("__sq_m").alias("__sq_m"),
+        )
+        w = Window.partitionBy(*l_keys).orderBy(F.col(_PCH).asc())
+        w = (
+            w.rowsBetween(Window.unboundedPreceding, -1) if below
+            else w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        return (
+            grid.withColumn("__sq_pm", F.min("__sq_m").over(w))
+            .where(F.col("__sq_pm").isNotNull())
+            .select(
+                *l_keys,
+                F.col("__sq_pm.b").alias(_BID),
+                F.col("__sq_pm.s").alias(_LS),
+                F.col("__sq_pm.e").alias(_LE),
+                F.col(_PCH).alias(_CH),
+            )
+        )
+
     def flank_witnesses(summary_chunk, below, order_by, min_struct):
         base = lbid.select(*l_keys, _BID, _LS, _LE).withColumn(
             _CH, summary_chunk
         )
         if k == 1:
             # top-1 per (key, chunk) via min(struct) — map-side combinable
-            # partial aggregation, NO full build-side sort shuffle — then a
-            # prefix/suffix MIN WINDOW over the (key, chunk) grid: within a
-            # flank class min() is associative, so min over {chunks < p}
-            # equals the running min of per-chunk minima. O(keys × chunks)
-            # rows total and no inequality join at all (r7; the former
-            # chunk-domain × summaries join was the documented O(chunks²)
-            # term). The window sorts ≤ chunks summary rows per key.
+            # partial aggregation, NO full build-side sort shuffle
             s = (
                 base.groupBy(*l_keys, _CH)
                 .agg(F.min(min_struct).alias("__sq_m"))
             )
-            # dom and s share lbid's lineage — alias-qualify the self-join
-            s = s.alias("__sq_s")
-            d = dom.alias("__sq_d")
-            sc = lambda c: F.col(f"__sq_s.{c}")  # noqa: E731
-            dc = lambda c: F.col(f"__sq_d.{c}")  # noqa: E731
-            cond = sc(_CH) == dc(_PCH)
-            for lk in l_keys:
-                cond = cond & (sc(lk) == dc(lk))
-            grid = d.join(s, cond, "left").select(
-                *[dc(lk) for lk in l_keys], dc(_PCH),
-                sc("__sq_m").alias("__sq_m"),
-            )
-            w = Window.partitionBy(*l_keys).orderBy(F.col(_PCH).asc())
-            w = (
-                w.rowsBetween(Window.unboundedPreceding, -1) if below
-                else w.rowsBetween(1, Window.unboundedFollowing)
-            )
-            return (
-                grid.withColumn("__sq_pm", F.min("__sq_m").over(w))
-                .where(F.col("__sq_pm").isNotNull())
-                .select(
-                    *l_keys,
-                    F.col("__sq_pm.b").alias(_BID),
-                    F.col("__sq_pm.s").alias(_LS),
-                    F.col("__sq_pm.e").alias(_LE),
-                    F.col(_PCH).alias(_CH),
-                )
-            )
+            return witnesses_from_minima(s, below)
 
         # k > 1: two-level chunk hierarchy (r7, DESIGN.md). Builds strictly
         # below chunk p split into (a) whole super-chunks below p's and
@@ -904,25 +932,64 @@ def _range_partitioned_nearest(
     # its shuffles)
     if n_ch <= 1:
         iu = idn = True
-    if not iu:
-        lch = lch.unionByName(flank_witnesses(
-            chunk_of(_LE), below=True,
-            order_by=[F.col(_LE).desc(), F.col(_LS).asc(), F.col(_BID).asc()],
-            min_struct=F.struct(
-                F.negative(F.col(_LE)).alias("o1"),
-                F.col(_LS).alias("s"), F.col(_BID).alias("b"),
-                F.col(_LE).alias("e"),
-            ),
-        ))
-    if not idn:
-        lch = lch.unionByName(flank_witnesses(
-            chunk_of(_LS), below=False,
-            order_by=[F.col(_LS).asc(), F.col(_LE).asc(), F.col(_BID).asc()],
-            min_struct=F.struct(
-                F.col(_LS).alias("s"), F.col(_LE).alias("e"),
-                F.col(_BID).alias("b"),
-            ),
-        ))
+    below_struct = F.struct(
+        F.negative(F.col(_LE)).alias("o1"),
+        F.col(_LS).alias("s"), F.col(_BID).alias("b"),
+        F.col(_LE).alias("e"),
+    )
+    above_struct = F.struct(
+        F.col(_LS).alias("s"), F.col(_LE).alias("e"),
+        F.col(_BID).alias("b"),
+    )
+    if k == 1 and not iu and not idn:
+        # Both flanks needed at k=1 (the common case): ONE pass over the
+        # build side computes both flank minima (r12, guide §2.4). Grouping
+        # by (key, end-chunk, start-chunk) then re-aggregating per flank
+        # chunk column is exact — min() is associative and the (ce, cs)
+        # groups partition each flank's (key, chunk) group — and the two
+        # tiny re-aggregations consume the SAME shuffled aggregate, so the
+        # build scan + partial agg + exchange run once (ReusedExchange),
+        # replacing two independent full-scan aggregations.
+        g = (
+            lbid.select(*l_keys, _BID, _LS, _LE)
+            .withColumn("__sq_ce", chunk_of(_LE))
+            .withColumn("__sq_cs", chunk_of(_LS))
+            .groupBy(*l_keys, "__sq_ce", "__sq_cs")
+            .agg(
+                F.min(below_struct).alias("__sq_mb"),
+                F.min(above_struct).alias("__sq_ma"),
+            )
+        )
+        s_below = (
+            g.select(*l_keys, F.col("__sq_ce").alias(_CH), "__sq_mb")
+            .groupBy(*l_keys, _CH)
+            .agg(F.min("__sq_mb").alias("__sq_m"))
+        )
+        s_above = (
+            g.select(*l_keys, F.col("__sq_cs").alias(_CH), "__sq_ma")
+            .groupBy(*l_keys, _CH)
+            .agg(F.min("__sq_ma").alias("__sq_m"))
+        )
+        lch = lch.unionByName(
+            witnesses_from_minima(s_below, below=True)
+        ).unionByName(witnesses_from_minima(s_above, below=False))
+    else:
+        if not iu:
+            lch = lch.unionByName(flank_witnesses(
+                chunk_of(_LE), below=True,
+                order_by=[
+                    F.col(_LE).desc(), F.col(_LS).asc(), F.col(_BID).asc(),
+                ],
+                min_struct=below_struct,
+            ))
+        if not idn:
+            lch = lch.unionByName(flank_witnesses(
+                chunk_of(_LS), below=False,
+                order_by=[
+                    F.col(_LS).asc(), F.col(_LE).asc(), F.col(_BID).asc(),
+                ],
+                min_struct=above_struct,
+            ))
 
     chs_r = chunk_of(_RS)
     che_r = F.greatest(chs_r, chunk_of(_RE))
@@ -988,11 +1055,35 @@ def _range_partitioned_nearest(
         F.col(_DIST).alias("d"), F.col(_LS).alias("s"),
         F.col(_LE).alias("e"), F.col(_BID).alias("b"),
     )
+    # Build-payload fast path (r12, guide §2.4/§8): when the left output
+    # columns are exactly equi-keys + bounds, the winning struct already
+    # holds everything the payload needs — bounds from (s, e) (de-normalized
+    # by the strict shrink; exact because checked bounds equal originals),
+    # keys from the probe row (candidates share the probe's equi-key by
+    # construction, and the build side na-drops null keys, so matched rows
+    # always have a non-null probe key). The id-equi rehydrate join — and
+    # its full build-side rescan — disappears. Selection order is untouched:
+    # the same (d, s, e, b) struct min picks the same winner.
+    l_start_name, l_end_name, strict, checked = payload or (
+        None, None, False, False
+    )
+    bound_names = {l_start_name, l_end_name}
+    simple_payload = (
+        l_start_name is not None
+        and checked
+        and len(bound_names) == 2
+        and not bound_names & set(l_keys)
+        and set(left_cols) <= set(l_keys) | bound_names
+    )
+    win_extra = (
+        [F.col("__sq_w.s").alias("__sq_ws"), F.col("__sq_w.e").alias("__sq_we")]
+        if simple_payload else []
+    )
     if k == 1:
         winners = (
             cands.groupBy(_PID)
             .agg(F.min(cstruct).alias("__sq_w"))
-            .select(_PID, F.col("__sq_w.b").alias(_BID))
+            .select(_PID, F.col("__sq_w.b").alias(_BID), *win_extra)
         )
     else:
         winners = (
@@ -1003,8 +1094,29 @@ def _range_partitioned_nearest(
                 ).alias("__sq_w")
             )
             .select(_PID, F.explode("__sq_w").alias("__sq_w"))
-            .select(_PID, F.col("__sq_w.b").alias(_BID))
+            .select(_PID, F.col("__sq_w.b").alias(_BID), *win_extra)
         )
+    if simple_payload:
+        shrink = 1 if strict else 0
+        lkt = {f.name: f.dataType for f in lb.schema.fields}
+        rk_of = dict(zip(l_keys, r_keys))
+        matched = F.col(_BID).isNotNull()
+        sel = []
+        for c in out_cols:
+            if c not in left_cols:
+                sel.append(F.col(c))
+            elif c == l_start_name:
+                sel.append(F.col("__sq_ws").cast(lkt[c]).alias(c))
+            elif c == l_end_name:
+                sel.append(
+                    (F.col("__sq_we") + F.lit(shrink)).cast(lkt[c]).alias(c)
+                )
+            else:  # equi-key: copy the probe's value on matched rows
+                sel.append(
+                    F.when(matched, F.col(rk_of[c]))
+                    .otherwise(F.lit(None)).cast(lkt[c]).alias(c)
+                )
+        return rbid.join(winners, _PID, "left").select(*sel)
     winpay = winners.join(lbid.select(*left_cols, _BID), _BID).drop(_BID)
     return rbid.join(winpay, _PID, "left").select(*out_cols)
 

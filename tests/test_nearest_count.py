@@ -512,6 +512,42 @@ def test_range_partitioned_matches_partitioned_random(spark, seed, extra):
     assert got == base, extra
 
 
+@pytest.mark.parametrize(
+    "extra",
+    [dict(), dict(strict=True), dict(k=3), dict(ignore_overlaps=True)],
+)
+def test_range_partitioned_payload_fast_path(spark, extra):
+    """r12 build-payload fast path: when the build side's output columns are
+    exactly equi-keys + bounds, the payload is reconstructed from the winner
+    struct + probe key instead of a build-side rehydrate join. Pin it
+    value-identical to the partitioned oracle — strict exercises the end
+    de-normalization (+1), k=3 the exploded-winners variant."""
+    build, probe = _rp_random_tables(spark, seed=11)
+    build = build.drop("bid")  # payload == (contig, start, end) → fast path
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, **extra,
+                                 algorithm="partitioned"))
+    got = rows_set(nearest_join(build, probe, **kw, **extra,
+                                algorithm="range_partitioned"))
+    assert got == base, extra
+
+
+def test_range_partitioned_payload_fast_path_keyless(spark):
+    """Keyless fast path: no key columns to reconstruct, bounds only."""
+    build = spark.createDataFrame(
+        [(10, 20), (400, 410), (90000, 90005)], "s int, e int"
+    )
+    probe = spark.createDataFrame(
+        [(15, 16, 0), (430, 431, 1), (50000, 50001, 2)], "ps int, pe int, pid int"
+    )
+    out = nearest_join(build, probe, on=None, left_start="s", left_end="e",
+                       right_start="ps", right_end="pe",
+                       algorithm="range_partitioned", distance_col="d")
+    got = {r["pid"]: (r["s"], r["e"], r["d"]) for r in out.collect()}
+    assert got == {0: (10, 20, 0), 1: (400, 410, 20), 2: (90000, 90005, 39999)}
+
+
 @pytest.mark.parametrize("chunks", [1, 7, 1000])
 def test_range_partitioned_chunk_count_invariant(spark, chunks):
     """Results must not depend on the chunk geometry — 1 chunk (degenerate,
