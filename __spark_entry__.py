@@ -398,6 +398,11 @@ def q_map_reads_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_end": ("max", "r_end"),
         },
         min_frac_right=0.5,
+        # r13 (guide §2.4/§3.1): count/sum/min/max are batch-decomposable,
+        # so the broadcast-index kernel computes them from per-batch
+        # partials — the pair-sized exchange disappears (plans/r13).
+        # Falls back to the binned pair join past the broadcast budget.
+        algorithm="index",
     )
 
 

@@ -595,14 +595,26 @@ def main() -> None:
         "fresh_floors": fresh_floors,
     }
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        with open(detail_path, "w") as fh:
-            json.dump({"sf": sf, "value": total, "queries": timings,
-                       **detail}, fh, indent=1)
+        here = os.path.dirname(os.path.abspath(__file__))
+        payload = {"sf": sf, "cpus": int(cpus), "value": total,
+                   "queries": timings, **detail}
+        # per-cpus detail file (VERDICT r12 item 4): the driver runs the
+        # bench at two core counts and the single legacy name meant the
+        # second run clobbered the first's per-sample detail — exactly the
+        # record needed to adjudicate burst-contaminated rows. Additive:
+        # the legacy name stays for existing tooling.
+        for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{int(cpus)}.json"):
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(payload, fh, indent=1)
     except OSError:
         pass  # detail is best-effort; the stdout line below still carries it
     print(json.dumps({"detail": detail}))
+    # Final line kept lean (VERDICT r12 item 5): the one-line JSON outgrew
+    # the driver's tail-capture window twice (r5, r11 — each time silently
+    # disabling the round-over-round comparison). fresh_floors/scale_trend
+    # live in the detail file + the preceding detail line; compact
+    # separators shave ~2 bytes/key. The parsed contract (metric, value,
+    # unit, queries, sf) is unchanged and no queries entry is removed.
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -611,12 +623,8 @@ def main() -> None:
         # names whose floor confirmation (two fastest within the window)
         # never landed — treat their timings as upper bounds, not floors
         "unconfirmed": sorted(k for k, v in confirmed.items() if not v),
-        # warm floors above; cold-session floors for the watch rows (r12
-        # two-floor protocol — compare like-vs-like across rounds)
-        "fresh_floors": {k: v.get("floor") for k, v in fresh_floors.items()},
-        "scale_trend": scale_trend,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,9 +172,18 @@ def score_documents(
     force an extra job per call). Every input document appears in the
     output — gramless docs score (0, 0).
     """
-    if strategy not in ("broadcast", "inline"):
+    if strategy not in ("broadcast", "inline", "arrow"):
         raise ValueError(f"unknown strategy {strategy!r}")
     grams = gram_array(F.col(text_col), word_ngrams)
+
+    if strategy == "arrow":
+        out = _score_documents_arrow(
+            docs, weights, buckets=buckets, text_col=text_col,
+            id_col=id_col, seed=seed, word_ngrams=word_ngrams,
+        )
+        if out is not None:
+            return out
+        strategy = "broadcast"  # over-budget model: keep the join plan
 
     if strategy == "inline":
         if buckets > MAX_INLINE_BUCKETS:
@@ -223,6 +235,119 @@ def score_documents(
             F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
             F.coalesce("score_milli", F.lit(0)).cast("bigint").alias("score_milli"),
         )
+    )
+
+
+def _score_documents_arrow(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    buckets: int,
+    text_col: str,
+    id_col: str,
+    seed: int,
+    word_ngrams: int,
+) -> DataFrame | None:
+    """One-Arrow-pass scoring (r13, guide §4.1/§4.2/§3.1 — the same
+    broadcast-dict treatment as the trigram LM): the model rides a
+    broadcast variable into a single ``pandas_udf`` that tokenizes,
+    md5-buckets, and sums per batch at C speed, so the per-gram explode
+    through the (interpreted-HOF) ``gram_array`` + broadcast join + two
+    doc-id shuffles disappears — the plan is scan → ArrowEvalPython,
+    zero exchanges.
+
+    Value-identical to the broadcast-join plan by construction:
+
+    - tokenization is ``text.lower().split(' ')`` minus empties — the
+      pinned python twin of :func:`text.tokens` (same parity contract the
+      lm.py Arrow passes ship under);
+    - the bucket is the same md5 recipe as :func:`hash_bucket`
+      (``int(md5(f"{seed}:{gram}")[:8], 16) % buckets``), memoized per
+      distinct gram per batch;
+    - duplicate model buckets double-count through a broadcast join (k
+      matched rows per gram); the dense arrays reproduce that exactly
+      (``wsum[b] = Σ weights``, gram count contribution ``max(k, 1)``);
+    - integer sums are order-independent, so every output value matches.
+
+    Returns ``None`` (caller keeps the join plan) when the model exceeds
+    the accounted broadcast budget — ``buckets`` over
+    ``spark.sequila.maxBroadcastBuildRows``, or a malformed table with
+    more rows than ``buckets``.
+    """
+    from sequila_native_spark.session import SequilaConf
+
+    spark = docs.sparkSession
+    cap = SequilaConf.from_spark(spark).max_broadcast_build_rows
+    if cap is not None and 0 < cap < int(buckets):
+        return None
+    rows = (
+        weights.select("bucket", "weight_milli")
+        .limit(int(buckets) + 1).toPandas()
+    )
+    if len(rows) > int(buckets):
+        return None  # more rows than declared buckets: trust the join plan
+    wsum = np.zeros(int(buckets), dtype=np.int64)
+    nrow = np.zeros(int(buckets), dtype=np.int64)
+    b_arr = rows["bucket"].to_numpy()
+    w_arr = rows["weight_milli"].to_numpy()
+    # a model row with a valid bucket joins (and counts) even when its
+    # weight is null (coalesced to 0 by the join plan)
+    ok_b = pd.notna(b_arr) & (b_arr >= 0) & (b_arr < int(buckets))
+    np.add.at(nrow, b_arr[ok_b].astype(np.int64), 1)
+    ok_w = ok_b & pd.notna(w_arr)
+    np.add.at(wsum, b_arr[ok_w].astype(np.int64),
+              w_arr[ok_w].astype(np.int64))
+    # a gram whose bucket has no (or a null-weight) model row still counts
+    # once through the left join; k matched rows count k times
+    contrib_n = np.maximum(nrow, 1)
+    bc = spark.sparkContext.broadcast((wsum, contrib_n))
+    n_buckets = int(buckets)
+    prefix = f"{int(seed)}:"
+    bigrams = word_ngrams == 2
+
+    @F.pandas_udf("n_grams int, score_milli bigint")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        wsum_b, contrib_b = bc.value
+        md5 = hashlib.md5
+        flat: list[str] = []
+        counts: list[int] = []
+        for t in texts:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                counts.append(0)
+                continue
+            toks = [w for w in t.lower().split(" ") if w]
+            grams = list(toks)
+            if bigrams:
+                grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            counts.append(len(grams))
+            flat.extend(grams)
+        ns = np.zeros(len(counts), dtype=np.int64)
+        ss = np.zeros(len(counts), dtype=np.int64)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                                  return_inverse=True)
+            ub = np.fromiter(
+                (int(md5((prefix + g).encode()).hexdigest()[:8], 16)
+                 % n_buckets for g in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            occ_n = contrib_b[ub][inv]
+            occ_w = wsum_b[ub][inv]
+            cnts = np.asarray(counts, dtype=np.int64)
+            nz = np.flatnonzero(cnts)
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(cnts[nz][:-1], out=offsets[1:])
+            ns[nz] = np.add.reduceat(occ_n, offsets)
+            ss[nz] = np.add.reduceat(occ_w, offsets)
+        return pd.DataFrame({"n_grams": ns.astype(np.int32),
+                             "score_milli": ss})
+
+    return docs.select(
+        F.col(id_col), _score(F.col(text_col)).alias("__sq_sc")
+    ).select(
+        id_col,
+        F.col("__sq_sc.n_grams").alias("n_grams"),
+        F.col("__sq_sc.score_milli").alias("score_milli"),
     )
 
 

@@ -74,6 +74,42 @@ def test_inline_equals_broadcast(corpus, weights):
     )
 
 
+@pytest.mark.parametrize("word_ngrams", [1, 2])
+def test_arrow_equals_broadcast(corpus, weights, word_ngrams):
+    """The r13 one-Arrow-pass strategy is value-identical to the broadcast
+    join plan (same tokens, same md5 buckets, integer sums)."""
+    assert _spark_scores(
+        corpus, weights, strategy="arrow", word_ngrams=word_ngrams
+    ) == _spark_scores(
+        corpus, weights, strategy="broadcast", word_ngrams=word_ngrams
+    )
+
+
+def test_arrow_handles_duplicate_and_null_model_rows(spark, corpus):
+    """A malformed model (duplicate buckets, null weight, out-of-range
+    bucket) must score identically through arrow and broadcast — the join
+    double-counts duplicates and the arrow twin reproduces that."""
+    w = spark.createDataFrame(
+        [(3, 100), (3, 7), (5, None), (9999, 1), (None, 2), (7, -40)],
+        "bucket int, weight_milli bigint",
+    )
+    a = _spark_scores(corpus, w, strategy="arrow")
+    b = _spark_scores(corpus, w, strategy="broadcast")
+    assert a == b
+
+
+def test_arrow_over_budget_falls_back_to_broadcast(spark, corpus, weights):
+    from sequila_native_spark.session import MAX_BROADCAST_BUILD_ROWS
+
+    want = _spark_scores(corpus, weights, strategy="broadcast")
+    spark.conf.set(MAX_BROADCAST_BUILD_ROWS, str(BUCKETS - 1))
+    try:
+        got = _spark_scores(corpus, weights, strategy="arrow")
+    finally:
+        spark.conf.unset(MAX_BROADCAST_BUILD_ROWS)
+    assert got == want
+
+
 def test_scores_match_duckdb_twin(corpus, weights):
     got = _spark_scores(corpus, weights)
     con = duckdb.connect()

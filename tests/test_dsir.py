@@ -92,6 +92,28 @@ def test_hashed_ngram_counts_match_python(spark, raw_df):
     assert got == _counts_py(RAW)
 
 
+def test_hashed_ngram_counts_arrow_equals_explode(spark, raw_df):
+    """The r13 one-Arrow-pass counts equal the explode + groupBy plan
+    (forced via the broadcast budget conf) row-for-row."""
+    from sequila_native_spark.session import MAX_BROADCAST_BUILD_ROWS
+
+    def run():
+        return {
+            r["bucket"]: r["count"]
+            for r in hashed_ngram_counts(
+                raw_df, buckets=BUCKETS, seed=SEED
+            ).collect()
+        }
+
+    arrow = run()
+    spark.conf.set(MAX_BROADCAST_BUILD_ROWS, str(BUCKETS - 1))
+    try:
+        explode = run()
+    finally:
+        spark.conf.unset(MAX_BROADCAST_BUILD_ROWS)
+    assert arrow == explode
+
+
 def test_dsir_weights_match_python_reference(spark, raw_df, target_df):
     got = {
         r["bucket"]: r["weight_milli"]

@@ -1,9 +1,10 @@
 """Capture .explain("formatted") output for named headline queries.
 
 Usage: PYTHONPATH=. python tools/capture_plans.py SUFFIX QUERY [QUERY...]
-Writes plans/r12/<query>_<SUFFIX>.txt for each query, using the same
-session shape as bench.py (local[$SPARK_GRAFT_CPUS], sf dir from
-$SPARK_GRAFT_SF_DIR) so the captured plan is the benched plan.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<SUFFIX>.txt (default round
+r13) for each query, using the same session shape as bench.py
+(local[$SPARK_GRAFT_CPUS], sf dir from $SPARK_GRAFT_SF_DIR) so the
+captured plan is the benched plan.
 """
 import os
 import sys
@@ -35,7 +36,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry.queries())
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = qs.get(name) or getattr(entry, f"q_{name}")
