@@ -660,6 +660,43 @@ def _partitioned_nearest(lb, rb, l_keys, r_keys, out_cols, k=1, flags=None, salt
     )
 
 
+def _estimated_rows(df: DataFrame) -> int:
+    """Catalyst plan-statistics row estimate — ZERO jobs: ``sizeInBytes``
+    of the optimized plan divided by the schema's per-row default size
+    (the ``resolve_binned_join_partitions`` idiom). Used only for
+    parallelism heuristics, never for correctness; returns 0 when the
+    optimizer has no usable estimate."""
+    try:
+        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+    if not (0 < b < (1 << 50)):  # huge sentinel = "unknown"
+        return 0
+    # Catalyst defaultSize per field (PySpark doesn't expose it): 8 for
+    # the fixed-width numerics/timestamps, 20 for strings/binary, 16 as
+    # the conservative catch-all for nested/other types.
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampType,
+    )
+
+    def fsize(dt) -> int:
+        if isinstance(dt, (ByteType, BooleanType)):
+            return 1
+        if isinstance(dt, ShortType):
+            return 2
+        if isinstance(dt, (IntegerType, FloatType, DateType)):
+            return 4
+        if isinstance(dt, (LongType, DoubleType, TimestampType)):
+            return 8
+        if isinstance(dt, StringType):
+            return 20
+        return 16
+
+    width = max(1, sum(fsize(f.dataType) for f in df.schema.fields))
+    return max(1, b // width)
+
+
 _DIST = "__sq_dist"
 _BID = "__sq_build_id"
 _CH = "__sq_chunk"
@@ -701,27 +738,47 @@ def _range_partitioned_nearest(
     drop_subset = [*l_keys, _LS, _LE]
     lb = lb.na.drop(subset=drop_subset)
 
-    # chunk geometry from the data: one pruned two-row stats job (the same
-    # cost class as the binned join's width probe). Computed on the
-    # PRE-stamped frames so the stamped lineage stays single-purpose.
-    stats = (
-        lb.agg(F.min(_LS).alias("a"), F.max(_LE).alias("b"),
-               F.count(F.lit(1)).alias("n"))
-        .unionAll(rb.agg(F.min(_RS).alias("a"), F.max(_RE).alias("b"),
-                         F.count(F.lit(1)).alias("n")))
-        .collect()
-    )
-    spanned = [v for r in stats for v in (r["a"], r["b"]) if v is not None]
-    lo = min(spanned) if spanned else 0
-    hi = max(spanned) if spanned else 0
+    # Chunk geometry from the BUILD side only (r13, guide §2.4/§5): the
+    # former stats job unioned full-scan aggregates of BOTH sides — at
+    # corpus scale a full pass of the (large) probe side, and locally a
+    # 0.6-0.9 s blocking collect in front of the whole stage chain. The
+    # build-side min/max now span the grid, and chunk ids CLAMP into
+    # [0, n_chunks): rows outside the build span pile into the boundary
+    # chunks. Exact for ANY monotone chunk map that keeps every row inside
+    # the witness-grid domain: (a) an overlapping pair always shares the
+    # chunk of a common coordinate (monotonicity), so local capture is
+    # unchanged; (b) the flank-witness class arguments compare CHUNK ids
+    # only (membership: chunk(build end) < probe chunk still implies
+    # build end < probe start for non-overlapping members — the proof
+    # never used that the grid spans the probes); (c) results are
+    # chunk-geometry-invariant (pinned: test_nearest_count.py invariance
+    # tests + the new out-of-span clamp test).
+    stats = lb.agg(
+        F.min(_LS).alias("a"), F.max(_LE).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo = int(stats["a"]) if stats["a"] is not None else 0
+    hi = int(stats["b"]) if stats["b"] is not None else 0
+    if hi < lo:
+        hi = lo  # inverted-only build rows: a degenerate 1-chunk grid
     if adaptive:
         # "auto" also adapts DOWN to the data: below ~20k rows per chunk
         # the per-group kernel / stage overheads outweigh the parallelism
         # (measured at sf0.1: 128 chunks 4.3-4.9 s vs the row-scaled count;
-        # the conf cap still bounds it above for cluster-width inputs)
-        total_rows = sum(r["n"] for r in stats)
-        n_chunks = max(1, min(int(n_chunks), total_rows // 20_000))
+        # the conf cap still bounds it above for cluster-width inputs).
+        # The probe side's row count is ESTIMATED from Catalyst plan
+        # statistics (zero jobs — the resolve_binned_join_partitions
+        # idiom) instead of counted with a full scan; results are
+        # geometry-invariant, so estimation error only moves parallelism
+        # within the measured-flat 8-128 band (r12 sensitivity sweep).
+        est_probe = _estimated_rows(rb)
+        if est_probe > 0:
+            total_rows = int(stats["n"]) + est_probe
+            n_chunks = max(1, min(int(n_chunks), total_rows // 20_000))
+        # unknown probe size: keep the resolved chunk count (results are
+        # geometry-invariant; at worst extra chunks in the flat band)
     width = max(1, -(-(int(hi) - int(lo) + 1) // max(1, int(n_chunks))))
+    n_ch = int((int(hi) - int(lo)) // width) + 1
 
     def chunk_of(name):
         # exact integer chunk math (long DIV): double division would round
@@ -730,12 +787,17 @@ def _range_partitioned_nearest(
         # contract (tests/test_nearest_count.py::
         # test_huge_coordinates_raise_int32_guard) already keeps such values
         # out of every path; integer math removes the hazard structurally.
-        # DIV truncates toward zero == floor here because the numerator is
-        # nonnegative: ``lo`` is the global min start over BOTH sides and
-        # intervals satisfy start <= end, so every bound is >= lo.
-        return F.expr(
+        # DIV truncates toward zero, which is monotone non-decreasing in
+        # the coordinate even for the (now possible) negative numerators
+        # of out-of-span probe bounds, and the greatest/least clamp keeps
+        # every row inside the witness-grid domain [0, n_ch).
+        raw = F.expr(
             f"CAST((CAST(`{name}` AS BIGINT) - {int(lo)}) "
             f"DIV {int(width)} AS BIGINT)"
+        )
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(raw, F.lit(int(n_ch) - 1).cast("long")),
         )
 
     lbid = stamp_row_id(lb, _BID)
@@ -760,29 +822,27 @@ def _range_partitioned_nearest(
     # never duplicate local replication (their span lies entirely outside
     # the target chunk). Volume: ≤ keys × chunks × 2k summary-sized rows;
     # gathered by prefix-min window (k=1) / two-level hierarchy (k>1).
-    n_ch = int((int(hi) - int(lo)) // width) + 1
-    # Key domain for the witness grid, taken from the PROBE side (r12,
-    # guide §2.4): witnesses only matter for (key, chunk) groups that hold
-    # probe rows — a build-only key never produces output, and a probe-only
-    # key's grid rows carry all-null minima and are filtered below — so the
-    # probe-derived domain is value-identical to the former build-derived
-    # one while sparing a full build-side scan + distinct. Key values are
-    # renamed (and cast) onto the build-side key names the grid joins use.
-    lkt = {f.name: f.dataType for f in lb.schema.fields}
-    dom = (
-        rb.select(
-            *[F.col(rk).cast(lkt[lk]).alias(lk)
-              for rk, lk in zip(r_keys, l_keys)]
-        ).distinct()
-        .select(
+    # Key domain for the witness grid (r13, advisor items 1+2): derived
+    # from a BUILD-side source. The pre-r12 build-derived domain is
+    # value-identical to r12's probe-derived one (probe-only keys yield
+    # all-null grid minima dropped by the notNull filter; build-only keys
+    # add grid rows no probe ever meets), and deriving it from the tiny
+    # per-(key, chunk) SUMMARY frames — already aggregated from the one
+    # build scan the witnesses need — costs neither the probe-corpus
+    # distinct (r12's trade, net-negative when the probe is the 100 TB
+    # side) nor a second build scan. It also removes the probe→build key
+    # CAST whose silent null-out on mismatched key types could drop all
+    # flank witnesses (advisor item 2) — the domain now carries build-side
+    # key values verbatim.
+    def grid_dom(key_src):
+        return key_src.select(*l_keys).distinct().select(
             *l_keys,
             F.explode(
                 F.sequence(F.lit(0).cast("long"), F.lit(n_ch - 1).cast("long"))
             ).alias(_PCH),
         )
-    )
 
-    def witnesses_from_minima(s, below):
+    def witnesses_from_minima(s, below, dom):
         # prefix/suffix MIN WINDOW over the (key, chunk) grid: within a
         # flank class min() is associative, so min over {chunks < p}
         # equals the running min of per-chunk minima. O(keys × chunks)
@@ -828,7 +888,7 @@ def _range_partitioned_nearest(
                 base.groupBy(*l_keys, _CH)
                 .agg(F.min(min_struct).alias("__sq_m"))
             )
-            return witnesses_from_minima(s, below)
+            return witnesses_from_minima(s, below, grid_dom(s))
 
         # k > 1: two-level chunk hierarchy (r7, DESIGN.md). Builds strictly
         # below chunk p split into (a) whole super-chunks below p's and
@@ -857,7 +917,7 @@ def _range_partitioned_nearest(
             .where(F.col("__sq_rn") <= k)
             .drop("__sq_rn")
         )
-        dom_ps = dom.withColumn(_PSUP, sup_of(F.col(_PCH)))
+        dom_ps = grid_dom(s).withColumn(_PSUP, sup_of(F.col(_PCH)))
         dom_sup = dom_ps.select(*l_keys, _PSUP).distinct()
 
         def keyed(cond, a, b):
@@ -971,8 +1031,10 @@ def _range_partitioned_nearest(
             .agg(F.min("__sq_ma").alias("__sq_m"))
         )
         lch = lch.unionByName(
-            witnesses_from_minima(s_below, below=True)
-        ).unionByName(witnesses_from_minima(s_above, below=False))
+            witnesses_from_minima(s_below, below=True, dom=grid_dom(g))
+        ).unionByName(
+            witnesses_from_minima(s_above, below=False, dom=grid_dom(g))
+        )
     else:
         if not iu:
             lch = lch.unionByName(flank_witnesses(

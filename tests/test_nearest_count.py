@@ -548,6 +548,39 @@ def test_range_partitioned_payload_fast_path_keyless(spark):
     assert got == {0: (10, 20, 0), 1: (400, 410, 20), 2: (90000, 90005, 39999)}
 
 
+@pytest.mark.parametrize(
+    "extra",
+    [dict(), dict(k=3), dict(strict=True), dict(ignore_overlaps=True)],
+)
+def test_range_partitioned_probes_outside_build_span(spark, extra):
+    """r13: chunk geometry comes from the BUILD side only and probe chunk
+    ids clamp into the grid — probes far below/above the whole build span
+    (and ones straddling it) must still find their true nearest, exactly
+    as the partitioned algorithm does."""
+    build = spark.createDataFrame(
+        [("c1", 1000, 1050, 0), ("c1", 1060, 1200, 1), ("c1", 5000, 5010, 2),
+         ("c2", 2000, 2001, 3), ("c2", 2500, 2600, 4)],
+        "contig string, start int, end int, bid int",
+    )
+    probe = spark.createDataFrame(
+        [("c1", -50_000, -49_990, 0),   # far below lo
+         ("c1", 0, 5, 1),               # below lo
+         ("c1", 999_999, 1_000_050, 2),  # far above hi
+         ("c1", -10_000, 10_000, 3),    # straddles the whole span
+         ("c1", 1055, 1058, 4),         # in-span gap
+         ("c2", 1, 2, 5), ("c2", 90_000, 90_001, 6),
+         ("c3", 7, 8, 7)],               # key with no build rows
+        "contig string, p_start int, p_end int, pid int",
+    )
+    kw = dict(on="contig", left_start="start", left_end="end",
+              right_start="p_start", right_end="p_end")
+    base = rows_set(nearest_join(build, probe, **kw, **extra,
+                                 algorithm="partitioned"))
+    got = rows_set(nearest_join(build, probe, **kw, **extra,
+                                algorithm="range_partitioned"))
+    assert got == base, extra
+
+
 @pytest.mark.parametrize("chunks", [1, 7, 1000])
 def test_range_partitioned_chunk_count_invariant(spark, chunks):
     """Results must not depend on the chunk geometry — 1 chunk (degenerate,
